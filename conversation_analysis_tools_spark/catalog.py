@@ -1,0 +1,118 @@
+"""Table catalog: load the synthetic star-schema parquet tables and
+register them as temp views.
+
+Tables (see TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings -- one parquet file per table
+under an ``sf_dir``.
+
+Scale notes (100 TB posture):
+* Reads are plain ``spark.read.parquet`` so Catalyst keeps predicate
+  pushdown + column pruning; never ``.cache()`` the raw fact tables.
+* ``dim_tables`` lists the small dimensions that should be broadcast
+  on join (region/nation/supplier are tiny at every scale factor;
+  customer/part grow with sf but stay << lineitem/orders).
+* On a real deployment the fact tables would be written partitioned
+  (events by ``date(ts)``, lineitem by ``l_shipdate`` month) and
+  bucketed by their join key (orders/lineitem by orderkey) -- see
+  ``write_partitioned_layout`` which produces that layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor.
+DIM_TABLES = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the events table, tolerating parquet TIMESTAMP(NANOS).
+
+    The synthetic ``events.ts`` column is INT64 TIMESTAMP(NANOS,false),
+    which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). We read nanos
+    as a long (runtime conf) and rebuild a microsecond timestamp with
+    exact integer division -- same truncation DuckDB applies when it
+    narrows ns -> us, so the oracle comparison stays exact.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every table of the star schema as a DataFrame."""
+    out = {}
+    for name in TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        out[name] = _read_events(spark, path) if name == "events" else spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view (for ``spark.sql``)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load a single table."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    return _read_events(spark, path) if name == "events" else spark.read.parquet(path)
+
+
+def write_partitioned_layout(
+    spark: SparkSession, sf_dir: str, out_dir: str, buckets: int = 64
+) -> None:
+    """Produce the physical layout we would use at 100 TB.
+
+    * ``events`` partitioned by event date -> partition pruning for
+      every time-ranged query.
+    * ``lineitem``/``orders`` bucketed by orderkey -> the workhorse
+      equi-join (SURVEY J1) becomes shuffle-free.
+    * dimensions written plain (broadcast side).
+    """
+    from pyspark.sql import functions as F
+
+    dfs = load_tables(spark, sf_dir)
+    dfs["events"].withColumn("event_date", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(f"{out_dir}/events")
+    for name in ("orders", "lineitem"):
+        key = "o_orderkey" if name == "orders" else "l_orderkey"
+        (
+            dfs[name]
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", f"{out_dir}/{name}")
+            .saveAsTable(f"bucketed_{name}")
+        )
+    for name in ("region", "nation", "customer", "supplier", "part", "documents", "embeddings"):
+        dfs[name].write.mode("overwrite").parquet(f"{out_dir}/{name}")

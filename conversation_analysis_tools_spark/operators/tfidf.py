@@ -1,0 +1,80 @@
+"""Reference-exact TF / IDF / TF-IDF as distributed long-format tables.
+
+Formula fidelity (SURVEY §7 hard-part #5 -- these differ from
+``pyspark.ml.feature.IDF``, so they are hand-built):
+
+* TF max-normalized: ``count / max(count) within doc``
+  (pipeline/relevance_scorer.py:62-78).
+* TF sum-normalized: ``count / sum(count) within doc``
+  (pipeline/duplicate_detector.py:57-72).
+* IDF: ``ln(N / (1 + df))`` with unseen-term fallback ``ln(N + 1)``
+  (pipeline/relevance_scorer.py:80-101,122).
+
+Long format ``(doc_id, term, weight)`` rather than map columns: joins
+and aggregations over terms are then plain shuffles Catalyst can
+optimize, and the inverted-index similarity join (similarity.py) reads
+it directly. At 100 TB the token explode is a flatMap (no shuffle);
+the groupBy(doc_id, term) count is the only shuffle and it partial-
+aggregates map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from conversation_analysis_tools_spark.functions.text import tokens_with_dupes_expr
+
+
+def explode_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, text) -> (id, term) multiset, reference tokenizer."""
+    return df.select(
+        F.col(id_col), F.explode(tokens_with_dupes_expr(text_col)).alias("term")
+    )
+
+
+def term_counts(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, term) multiset -> (id, term, cnt)."""
+    return tokens.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
+
+
+def tf_max(counts: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Max-normalized TF (relevance-scorer variant)."""
+    w = Window.partitionBy(id_col)
+    return counts.select(
+        id_col, "term", (F.col("cnt") / F.max("cnt").over(w)).alias("tf")
+    )
+
+
+def tf_sum(counts: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Sum-normalized TF (duplicate-detector variant)."""
+    w = Window.partitionBy(id_col)
+    return counts.select(
+        id_col, "term", (F.col("cnt") / F.sum("cnt").over(w)).alias("tf")
+    )
+
+
+def idf(tokens: DataFrame, corpus_size: int | Column, id_col: str = "doc_id") -> DataFrame:
+    """Per-term IDF table: ``ln(N / (1 + df))``.
+
+    ``corpus_size`` is N = total docs (including docs with zero
+    tokens), matching build_idf's ``len(documents)``.
+    """
+    n = F.lit(corpus_size) if isinstance(corpus_size, int) else corpus_size
+    return (
+        tokens.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .select("term", F.log(n / (F.lit(1) + F.col("df"))).alias("idf"))
+    )
+
+
+def tfidf(tf_df: DataFrame, idf_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Join TF x IDF -> (id, term, tfidf).
+
+    The IDF side is tiny (vocabulary-sized) -> broadcast, so the TF
+    table never shuffles for this join.
+    """
+    return tf_df.join(F.broadcast(idf_df), "term").select(
+        id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )

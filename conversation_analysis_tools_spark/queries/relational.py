@@ -1,0 +1,839 @@
+"""Relational core queries (SURVEY.md §2.2-2.8) with DuckDB oracles.
+
+Each query re-expresses a reference pattern on the driver's synthetic
+star schema (FIXTURES.md §C maps reference tables -> driver tables).
+Citations in each docstring point at the reference implementation the
+semantics come from.
+
+Scale discipline applied throughout:
+* filters/projections first so parquet pushdown + pruning fire;
+* ``broadcast()`` on dimension sides of joins;
+* window-function ``lead`` instead of the reference's self-join for
+  sequential pairs (one shuffle instead of two scans + join);
+* aggregates rounded to 4 decimals on both engine sides (hash parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from conversation_analysis_tools_spark.functions.timeutil import (
+    gap_seconds,
+    hour_bucket,
+    month_bucket,
+    sqlite_dow,
+)
+from conversation_analysis_tools_spark.queries.registry import register
+from conversation_analysis_tools_spark.catalog import table as _catalog_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _catalog_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: sequential-pair response time (J3/W2/A9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_response_time",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_pairs,
+           round(avg((epoch_us(next_ts) - epoch_us(ts)) / 1000000.0), 4) AS avg_gap_sec
+    FROM nxt
+    WHERE next_ts IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Flagship: next-event gap per user via lead(), avg by type.",
+)
+def event_response_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential message-pair response time, recast on events.
+
+    Reference: message_pairs view self-join ``h.msg_order + 1 =
+    a.msg_order`` (create_views.sql:21-25) + response-time aggregation
+    ``(julianday(t2)-julianday(t1))*24*60`` (advanced_queries.sql:100-118).
+
+    Spark-first: the self-join becomes ``lead() OVER (PARTITION BY
+    user_id ORDER BY ts)`` -- one shuffle on user_id instead of a
+    self-join (two scans + shuffle both sides). The window partition
+    key (user_id) is high-cardinality => scales linearly; no skew at
+    100 TB because per-user event counts are bounded.
+    """
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("event_type", "ts", "user_id", "event_id")
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .where(F.col("next_ts").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(gap_seconds("ts", "next_ts")), 4).alias("avg_gap_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (F1-F12)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "substring_search",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE lower(text) LIKE '%spark%'
+    """,
+)
+def substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 keyword search: SQLite ``LIKE '%kw%'`` is ASCII
+    case-insensitive (sql_search.py:211-238), so lower() both sides.
+
+    The contains() predicate pushes to the parquet scan as a row-group
+    filter only via min/max (ineffective for substrings) but column
+    pruning still drops ``text`` after the filter -- the projected
+    output is 3 narrow columns, not the 100KB text.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(F.lower(F.col("text")).contains("spark")).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
+    "boolean_search",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (lower(text) LIKE '%hash%' AND lower(text) LIKE '%window%'
+           AND lower(text) NOT LIKE '%vector%')
+       OR lower(text) LIKE '%stream%'
+    """,
+)
+def boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 boolean keyword combo: the reference parses ``a AND b NOT c
+    OR d`` into a LIKE tree (sql_search.py:299-349). Same predicate as
+    one Catalyst filter -- constant-folded, evaluated in one pass.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    pred = (
+        t.contains("hash") & t.contains("window") & ~t.contains("vector")
+    ) | t.contains("stream")
+    return docs.where(pred).select("doc_id", "lang")
+
+
+@register(
+    "date_range_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      AND o_orderstatus = 'O'
+    """,
+)
+def date_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 date-range + F3 equality predicate
+    (sql_search.py:551-567,720-723).
+
+    ``to_date`` + between compiles to a timestamp range predicate that
+    *does* push down to parquet row-group min/max stats -- at 100 TB
+    with date-partitioned layout this becomes partition pruning.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.where(
+        F.to_date("o_orderdate").between("1996-01-01", "1996-12-31")
+        & (F.col("o_orderstatus") == "O")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    """,
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 correlated EXISTS -> left_semi join (sql_search.py:576-577,
+    851-855: conversations having >=1 matching message).
+
+    The filter on the probe side (totalprice) is applied *before* the
+    semi-join so the shuffled build side is minimal.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "topic_cooccurrence_filter",
+    oracle="""
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE lower(d.text) LIKE '%join%' AND lower(d.text) LIKE '%shuffle%'
+       OR lower(d.text) LIKE '%merge%' AND lower(d.text) LIKE '%sort%'
+    """,
+)
+def topic_cooccurrence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 topic co-occurrence: the reference runs two correlated scalar
+    COUNT subqueries per conversation (exper_sql.py:2511-2523); on a
+    single text column that decorrelates to a plain conjunction of
+    contains -- one scan, zero joins.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    return docs.where(
+        (t.contains("join") & t.contains("shuffle"))
+        | (t.contains("merge") & t.contains("sort"))
+    ).select("doc_id", "source")
+
+
+@register(
+    "quantile_filter",
+    oracle="""
+    WITH q AS (SELECT quantile_cont(value, 0.95) AS p95 FROM events)
+    SELECT e.event_type,
+           count(*) AS n_outliers,
+           round(avg(e.value), 4) AS avg_outlier_value
+    FROM events e, q
+    WHERE e.value > q.p95
+    GROUP BY e.event_type
+    """,
+)
+def quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 outlier/quantile filter (exper_sql.py:2675: hist range capped
+    at quantile(0.95)).
+
+    Exact ``percentile`` here for oracle parity; at 100 TB swap to
+    ``percentile_approx`` (single-pass sketch, no full sort) -- the
+    scalar is then broadcast into the filter, which is what the
+    cross-join-with-1-row plan below already does.
+    """
+    events = _t(spark, sf_dir, "events")
+    p95 = events.agg(F.percentile("value", F.lit(0.95)).alias("p95"))
+    return (
+        events.crossJoin(F.broadcast(p95))
+        .where(F.col("value") > F.col("p95"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.round(F.avg("value"), 4).alias("avg_outlier_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_workhorse",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_workhorse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 the workhorse equi-join chain (messages ⋈ conversations idiom,
+    create_views.sql:82 and ~30 other sites), recast as
+    lineitem ⋈ orders ⋈ customer revenue by segment.
+
+    Physical strategy: customer is a dimension -> broadcast (no shuffle
+    of the fact table for that join); lineitem⋈orders shuffles on
+    orderkey, which the 100 TB layout makes shuffle-free via bucketing
+    (catalog.write_partitioned_layout). Only the 3 needed columns are
+    scanned from lineitem.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "left_join_keep_empty",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS order_count,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def left_join_keep_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 left outer join so empty groups keep a row
+    (create_views.sql:42: conversations LEFT JOIN messages).
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "ordered_id_join",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    )
+    SELECT rnk, o_orderkey, o_totalprice
+    FROM ranked
+    WHERE rnk <= 25
+    """,
+)
+def ordered_id_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 CASE-ordered ID fetch (sql_search.py:462-481: fetch by ID list
+    preserving similarity order). Spark-first: join against a small
+    (id, rank) relation is the general form; here the rank relation is
+    derived by window so the oracle can reproduce it exactly.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            F.row_number().over(w).alias("rnk"), "o_orderkey", "o_totalprice"
+        )
+        .where(F.col("rnk") <= 25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A22)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_counts",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 COUNT(*) by group (access_db.py:33-40). Partial aggregation
+    (map-side combine) is automatic; output cardinality == #types.
+    """
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "conditional_agg",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4)
+               AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 SUM(CASE WHEN ...) split counts (create_views.sql:36-37,
+    sql_search.py:559-560): one pass, no per-category scans."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            4,
+        ).alias("purchase_value"),
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS unique_users,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 COUNT(DISTINCT) (create_views.sql:80, sql_search.py:845-846).
+
+    Exact distinct here (oracle parity). At 100 TB prefer
+    ``approx_count_distinct`` (HLL sketch, no expand) -- exposed as
+    query 'approx_distinct' with a rows-only check.
+    """
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("unique_users"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "length_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(length(text)), 4) AS avg_len,
+           min(length(text)) AS min_len,
+           max(length(text)) AS max_len,
+           sum(length(text)) AS total_len
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 message_length_stats view: COUNT/AVG/MIN/MAX/SUM of
+    LENGTH(content) per group (create_views.sql:46-56)."""
+    docs = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(ln), 4).alias("avg_len"),
+        F.min(ln).alias("min_len"),
+        F.max(ln).alias("max_len"),
+        F.sum(ln).alias("total_len"),
+    )
+
+
+@register(
+    "ratio_of_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_extendedprice) / avg(l_quantity), 4) AS price_per_qty,
+           round(CAST(count(*) AS DOUBLE) / count(DISTINCT l_orderkey), 4)
+               AS lines_per_order
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def ratio_of_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ratio of aggregates (advanced_queries.sql:15 response ratio;
+    access_db.py:53-65 CAST AS FLOAT avg-messages-per-conversation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice") / F.avg("l_quantity"), 4).alias(
+            "price_per_qty"
+        ),
+        F.round(
+            F.count("*").cast("double") / F.countDistinct("l_orderkey"), 4
+        ).alias("lines_per_order"),
+    )
+
+
+@register(
+    "having_filter",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 20
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 HAVING (access_db.py:181-189, exper_sql.py:1675): post-agg
+    filter; Catalyst keeps it after the final aggregation, cardinality
+    already reduced."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .where(F.col("n_events") >= 20)
+    )
+
+
+@register(
+    "time_bucketed_agg",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m') AS month,
+           CAST(date_part('dow', ts) AS INT) AS dow,
+           CAST(date_part('hour', ts) AS INT) AS hour,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def time_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 multi-dim time-bucketed agg (exper_sql.py:364-371,
+    1078-1087). SQLite %w and Postgres/DuckDB dow are both 0=Sunday;
+    Spark dayofweek is 1=Sunday -- sqlite_dow() normalizes."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            month_bucket("ts").alias("month"),
+            sqlite_dow("ts").alias("dow"),
+            hour_bucket("ts").alias("hour"),
+        )
+        .groupBy("month", "dow", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "histogram_buckets",
+    oracle="""
+    SELECT CASE
+             WHEN value < 10 THEN '0-10'
+             WHEN value < 50 THEN '10-50'
+             WHEN value < 100 THEN '50-100'
+             WHEN value < 200 THEN '100-200'
+             ELSE '200+'
+           END AS bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 CASE-bucket histogram (advanced_queries.sql:77-98; pd.cut
+    buckets exper_sql.py:2696-2725) as chained when()."""
+    events = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 10, "0-10")
+        .when(F.col("value") < 50, "10-50")
+        .when(F.col("value") < 100, "50-100")
+        .when(F.col("value") < 200, "100-200")
+        .otherwise("200+")
+    )
+    return (
+        events.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
+    "group_concat_sorted",
+    oracle="""
+    SELECT lang,
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def group_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 GROUP_CONCAT(DISTINCT ...) (sql_search.py:717) --
+    collect_set is unordered in both engines, so sort before joining
+    (SQLite's order is arbitrary; determinism requires the sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias("sources")
+    )
+
+
+@register(
+    "pivot_counts",
+    oracle="""
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 pivot (pandas .pivot after SQL, exper_sql.py:288-292).
+
+    Explicit pivot value list => single-pass plan (no extra distinct
+    job to discover columns) -- the form that survives at scale.
+    """
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "top_values",
+    oracle="""
+    SELECT p_brand, count(*) AS n
+    FROM part
+    GROUP BY p_brand
+    ORDER BY n DESC, p_brand
+    LIMIT 10
+    """,
+)
+def top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 value_counts / top-N (sql_search.py:1294-1295,
+    Counter.most_common). orderBy+limit compiles to
+    TakeOrderedAndProject -- no global sort."""
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+@register(
+    "stddev_agg",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS value_stddev,
+           round(avg(value), 4) AS value_avg
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stddev_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 STDDEV -- the reference *wanted* this and fell back because
+    SQLite lacks it (exper_sql.py:1808-1827); Spark has it natively."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
+            F.round(F.avg("value"), 4).alias("value_avg"),
+        )
+    )
+
+
+@register(
+    "json_metadata_agg",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON extraction over the metadata column
+    (uni_parse.py:293 JSON-in-TEXT; access_db.py:203-214 json fns).
+    get_json_object stays JVM-side (Jackson), no UDF."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("k_total"), F.round(F.avg(k), 4).alias("k_avg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "row_number_order",
+    oracle="""
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+)
+def row_number_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 ROW_NUMBER per conversation (create_views.sql:10). One
+    shuffle on the partition key; at 100 TB the events table is
+    pre-partitioned by user bucket so this is often shuffle-free."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select("user_id", "event_id", F.row_number().over(w).alias("seq"))
+
+
+@register(
+    "context_window",
+    oracle="""
+    WITH numbered AS (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events
+    )
+    SELECT m.user_id, m.event_id AS match_id, n.event_id AS context_id,
+           n.seq - m.seq AS offset
+    FROM numbered m
+    JOIN numbered n
+      ON n.user_id = m.user_id AND abs(n.seq - m.seq) <= 2
+    WHERE m.event_type = 'error'
+    """,
+)
+def context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 context window: rows within +/-N positions of each match in
+    the same conversation (sql_search.py:906-1027 issues one SQL query
+    per match in a Python loop -- here it is ONE distributed self-join,
+    not n_matches round-trips).
+    """
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = events.select(
+        "user_id", "event_id", "event_type", F.row_number().over(w).alias("seq")
+    )
+    matches = numbered.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("m_user"),
+        F.col("event_id").alias("match_id"),
+        F.col("seq").alias("m_seq"),
+    )
+    return (
+        numbered.join(
+            matches,
+            (numbered.user_id == matches.m_user)
+            & (F.abs(numbered.seq - matches.m_seq) <= 2),
+        )
+        .select(
+            F.col("m_user").alias("user_id"),
+            "match_id",
+            F.col("event_id").alias("context_id"),
+            (F.col("seq") - F.col("m_seq")).alias("offset"),
+        )
+    )
+
+
+@register(
+    "per_group_share",
+    oracle="""
+    SELECT event_type,
+           CAST(date_part('hour', ts) AS INT) AS hour,
+           count(*) AS n,
+           round(count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY event_type), 4)
+               AS pct_of_type
+    FROM events
+    GROUP BY event_type, 2
+    """,
+)
+def per_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 per-group normalization: hourly counts as % of platform total
+    (exper_sql.py:1186-1193) -- window sum over the aggregate, one
+    extra (tiny) shuffle on the group key."""
+    events = _t(spark, sf_dir, "events")
+    agg = (
+        events.select("event_type", hour_bucket("ts").alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    return agg.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w), 4).alias("pct_of_type"),
+    )
+
+
+@register(
+    "top_n_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        FROM part
+    )
+    SELECT p_brand, p_partkey, p_retailprice, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 rank-and-keep-top-k per group (exper_sql.py:1566-1577 pandas
+    head-after-sort) -- row_number window + filter; deterministic via
+    p_partkey tiebreak."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.select(
+            "p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rnk")
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (O1-O6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_k_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 ORDER BY ... DESC LIMIT k (sql_search.py:238, LIMIT 100
+    result caps). TakeOrderedAndProject: per-partition heap + driver
+    merge, never a global sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "multi_key_sort",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, n_docs DESC, source
+    """,
+)
+def multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 multi-key sort (create_views.sql:85: ORDER BY platform,
+    message_count DESC)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang", F.desc("n_docs"), "source")
+    )

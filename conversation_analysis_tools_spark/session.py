@@ -1,0 +1,75 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-test runs on ``local[N]`` but every
+knob is the one you would also set on a 1000-executor cluster reading
+100 TB:
+
+* AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch) -- at 100 TB the static ``shuffle.partitions``
+  number is always wrong for *some* stage; AQE re-plans per stage.
+* ``spark.sql.shuffle.partitions`` sized from the parallelism of the
+  session rather than the 200 default (on a real cluster this would be
+  2-3x total cores; AQE coalesces down when partitions are small).
+* Arrow enabled for the few grouped-pandas operators (TextRank) so the
+  Python boundary is batched, never row-at-a-time.
+* Session timezone pinned to UTC so timestamp bucketing is
+  deterministic and matches the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "conversation-analysis-tools-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so the same entry points work under the driver harness
+    and on a real cluster (where ``master`` is provided by spark-submit
+    and this argument stays None).
+    """
+    builder = SparkSession.builder.appName(app_name)
+
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+
+    if shuffle_partitions is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        shuffle_partitions = max(cpus, 8)
+
+    conf = {
+        # --- planner / optimizer ---
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # --- scan sizing: at 100 TB this bounds per-task input ---
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        # --- Python boundary: Arrow batches, never per-row pickling ---
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # --- determinism for the oracle comparison ---
+        "spark.sql.session.timeZone": "UTC",
+        # local-mode niceties (harmless on a cluster)
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    return builder.getOrCreate()
