@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "total_headline_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1,
+     "pipeline_docs_per_sec": N}
+
+``pipeline_docs_per_sec`` is the comparable number for BASELINE.md's
+full-pipeline throughput (~55-83 docs/s on 1000 docs, single process).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from conversation_analysis_tools_spark.session import get_spark
+
+#: Representative coverage: scan+window, 3-table join, time agg,
+#: window rank, tokenize+tfidf, inverted-index similarity, LSH dedup,
+#: ANN, sessionization, full NLP pipeline.
+HEADLINE = [
+    "event_response_time",
+    "join_workhorse",
+    "time_bucketed_agg",
+    "top_n_per_group",
+    "word_frequency_top5",
+    "nlp_tfidf",
+    "nlp_relevance",
+    "nlp_duplicate_pairs",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_knn",
+    "session_windows_30m",
+    "pipeline_analysis_results",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(master=f"local[{cpus}]")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # JVM/codegen warmup so per-query timings measure the plan, not JIT
+    qs["group_counts"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    n_docs = None
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        rows = df.collect()
+        timings[name] = round(time.time() - t0, 3)
+        if name == "pipeline_analysis_results":
+            n_docs = len(rows)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if n_docs:
+        out["pipeline_docs_per_sec"] = round(
+            n_docs / timings["pipeline_analysis_results"], 1
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,9 @@ STOPWORDS_SQL_ARRAY = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 def raw_tokens_expr(text: Column | str) -> Column:
     """``[a-z]{3,}`` word extraction on lowercased text, stopwords kept."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN))
+    # idx=0 = whole match (Spark defaults to capture group 1, which
+    # errors on group-free patterns; DuckDB returns group 0 by default)
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
 
 
 def tokens_expr(text: Column | str, keep_stopwords: bool = False) -> Column:

@@ -1,0 +1,355 @@
+"""Deduplication family for the training-data pipeline: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Design constraints:
+* Everything is deterministic and engine-portable: hashes are md5
+  (bit-identical in Spark and DuckDB) so even the approximate paths
+  are oracle-checkable -- the LSH banding produces the *same* candidate
+  set in both engines.
+* Candidate generation never materializes O(n^2): LSH buckets
+  (MinHash), bit-blocks (SimHash), or inverted shingle index (Jaccard)
+  bound the join.
+* At 100 TB: shingle explode is a flatMap; the per-band groupBy is the
+  only shuffle; bucket skew (a degenerate band key shared by everyone)
+  is capped with ``max_bucket`` -- buckets larger than that are almost
+  always boilerplate collisions and are dropped, mirroring common
+  practice (e.g. spark.mllib's MinHashLSH OR-amplification followed by
+  verification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingle) distinct word n-grams over raw lowercase tokens.
+
+    Tokens are the reference tokenizer's raw form (stopwords kept --
+    shingle dedup wants surface form).
+    """
+    from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
+
+    arr = raw_tokens_expr(text_col)
+    sh = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+#: DuckDB fragment producing the same (doc_id, shingle) relation.
+SHINGLES_SQL = r"""
+shingles AS (
+    SELECT DISTINCT doc_id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(0, len(toks) - 2),
+                                          i -> array_to_string(toks[i+1:i+3], ' '))
+                      ELSE [] END) AS shingle
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '\b[a-z]{3,}\b') AS toks
+              FROM documents)
+    )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash (hash-groupBy; the
+    always-first, always-cheap pass)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("representative"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """k=16 MinHash signature per doc: h_i = min(md5('i:' || shingle)).
+
+    md5-as-permutation: lexicographic min over the hex digest is a
+    uniform min-hash; identical in any engine. One groupBy -- all 16
+    mins partial-aggregate map-side.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(
+            f"h{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature -> (id, band, key): 4 bands x 4 rows, band key =
+    md5 of the concatenated row hashes."""
+    rows_per_band = N_HASHES // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols).cast("binary")).alias("key"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_candidates(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
+    """Pairs sharing >= 1 band bucket. ``max_bucket`` drops degenerate
+    buckets (skew cap at scale)."""
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "key").agg(F.count("*").alias("bsz"))
+        bands = bands.join(
+            sizes.where(F.col("bsz") <= max_bucket), ["band", "key"], "left_semi"
+        )
+    a = bands.select(F.col(id_col).alias("id1"), "band", "key")
+    b = bands.select(F.col(id_col).alias("id2"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard on distinct shingle sets for candidate pairs only."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
+    inter = (
+        candidates.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    z1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(z1), "id1")
+        .join(F.broadcast(z2), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("inter")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash LSH candidates -> exact-Jaccard verified pairs."""
+    sh = shingles(df, id_col, text_col)
+    cands = minhash_candidates(lsh_bands(minhash_signatures(sh, id_col), id_col), id_col, max_bucket)
+    return jaccard_verify(cands, sh, threshold, id_col)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _hex_val(c):
+    """Hex digit char -> 0..15 (base conversion; engine-portable)."""
+    return F.conv(c, 16, 10).cast("int")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over token multiset, md5-derived bit projections.
+
+    bit b of token = bit (3 - b%4) of hex digit b//4 of md5(token);
+    simhash bit b = 1 iff sum over tokens cnt * (2*bit - 1) > 0.
+    Engine-portable (md5 + integer ops only).
+    """
+    from conversation_analysis_tools_spark.operators.tfidf import term_counts
+    from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
+
+    tokens = df.select(F.col(id_col), F.explode(raw_tokens_expr(text_col)).alias("term"))
+    counts = term_counts(tokens, id_col)
+    counts = counts.withColumn("h", F.md5(F.col("term").cast("binary")))
+    bit_sums = []
+    for b in range(SIMHASH_BITS):
+        digit = F.substring("h", b // 4 + 1, 1)
+        bit = F.shiftright(_hex_val(digit), 3 - b % 4).bitwiseAND(F.lit(1))
+        contrib = F.col("cnt") * (bit * 2 - F.lit(1))
+        bit_sums.append(F.sum(contrib).alias(f"s{b}"))
+    sums = counts.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    sig: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= k via 4-bit block candidates.
+
+    Pigeonhole: hamming <= 3 over 4 blocks => >= 1 identical block.
+    Candidates share a (block_idx, block_value); exact hamming filter
+    after. Never O(n^2).
+    """
+    blocks = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"),
+                        F.shiftright("simhash", 4 * j).bitwiseAND(F.lit(15)).alias("val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "simhash", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"))
+    a = blocks.select(
+        F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"), "blk", "val"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"), "blk", "val"
+    )
+    return (
+        a.join(b, ["blk", "val"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sh1", "sh2")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted index)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via inverted shingle index:
+    only pairs sharing a shingle are generated."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    z1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(z1), "id1")
+        .join(F.broadcast(z2), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine within blocking key.
+
+    ``block_col`` bounds the pair space (at scale the block is an LSH
+    bucket from ann.hyperplane_buckets; here the given label). Cosine
+    is a zip_with/aggregate expression -- JVM-side, no UDF.
+    """
+    from conversation_analysis_tools_spark.functions.vector import cosine_expr
+
+    a = emb.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+    )
+    b = emb.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+    )
+    on = [block_col] if block_col else []
+    pairs = a.join(b, on) if on else a.crossJoin(b)
+    return (
+        pairs.where(F.col("id1") < F.col("id2"))
+        .select(
+            *( [F.col(block_col)] if block_col else [] ),
+            "id1",
+            "id2",
+            cosine_expr("v1", "v2").alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

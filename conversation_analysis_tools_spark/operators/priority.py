@@ -64,7 +64,11 @@ def combined_score_expr(
 ) -> Column:
     w = dict(weights or DEFAULT_WEIGHTS)
     total = sum(w.values())
-    w = {k: v / total for k, v in w.items()}
+    # Skip normalization when weights already sum to 1: dividing by a
+    # 1.0000000000000002 float total would perturb every weight by an
+    # ulp and make threshold comparisons engine-dependent.
+    if abs(total - 1.0) > 1e-12:
+        w = {k: v / total for k, v in w.items()}
     rec = F.lit(recency) if isinstance(recency, float) else recency
     return (
         F.lit(w["relevance"]) * relevance

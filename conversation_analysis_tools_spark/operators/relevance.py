@@ -79,7 +79,11 @@ def score_documents(
     """N9/N10: combined relevance score per document."""
     w = dict(weights or DEFAULT_WEIGHTS)
     total = sum(w.values())
-    w = {k: v / total for k, v in w.items()}
+    # Same ulp-drift guard as priority.combined_score_expr: 0.3+0.4+0.3
+    # sums to 0.9999999999999999 in floats; normalizing by that would
+    # shift each weight off its literal value.
+    if abs(total - 1.0) > 1e-12:
+        w = {k: v / total for k, v in w.items()}
 
     scored = with_keyword_scores(docs, keywords, id_col, text_col)
     kw_tfidf = keyword_tfidf_scores(docs, keywords, id_col, text_col)

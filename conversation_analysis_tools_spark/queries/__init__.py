@@ -14,5 +14,8 @@ from conversation_analysis_tools_spark.queries import nlp  # noqa: F401
 from conversation_analysis_tools_spark.queries import dedup  # noqa: F401
 from conversation_analysis_tools_spark.queries import textstats  # noqa: F401
 from conversation_analysis_tools_spark.queries import similarity  # noqa: F401
+from conversation_analysis_tools_spark.queries import iterative  # noqa: F401
+from conversation_analysis_tools_spark.queries import streaming  # noqa: F401
+from conversation_analysis_tools_spark.queries import multimodal  # noqa: F401
 
 __all__ = ["REGISTRY", "register", "Query"]

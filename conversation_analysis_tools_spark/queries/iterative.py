@@ -1,0 +1,187 @@
+"""Iterative operators (SURVEY §2.9 N13-N15, N19-N20, N30): connected
+components, TextRank, and the full pipeline composition.
+
+Connected components still gets a strict oracle: the duplicate graph
+at threshold 0.9 is small, so DuckDB can compute the transitive
+closure with a recursive CTE and take min-reachable-id per node --
+exactly the min-label fixpoint the distributed loop converges to.
+TextRank is rows-only (float power iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.operators import components as C
+from conversation_analysis_tools_spark.operators import similarity as S
+from conversation_analysis_tools_spark.operators import textrank as TR
+from conversation_analysis_tools_spark.queries.nlp import _TF_SUM_CTE, KEYWORDS
+from conversation_analysis_tools_spark.queries.registry import register
+
+#: Recursive transitive closure over the 0.9-cosine duplicate graph.
+_CC_ORACLE_CTE = f"""
+    WITH RECURSIVE {_TF_SUM_CTE},
+    dots AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.tf * b.tf) AS dot
+        FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id1, id2
+        FROM dots JOIN norms x ON id1 = x.doc_id JOIN norms y ON id2 = y.doc_id
+        WHERE dot / (x.nrm * y.nrm) >= 0.9
+    ),
+    edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs
+        UNION SELECT id2, id1 FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+"""
+
+
+@register(
+    "nlp_connected_components",
+    oracle=f"""
+    {_CC_ORACLE_CTE}
+    SELECT a AS id, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def nlp_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N19 single-linkage clustering: duplicate-pair edges -> connected
+    components (pipeline/duplicate_detector.py:216-264 does DFS; here
+    iterative min-label propagation with localCheckpoint per round,
+    SURVEY §4 item 2). Component id = min member id.
+    """
+    docs = _catalog_table(spark, "documents", sf_dir)
+    pairs = S.duplicate_pairs(docs, threshold=0.9)
+    return C.connected_components(pairs.select("id1", "id2"))
+
+
+@register(
+    "nlp_unique_docs",
+    oracle=f"""
+    {_CC_ORACLE_CTE},
+    comp AS (
+        SELECT a AS id, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ),
+    reps AS (SELECT min(id) AS id FROM comp GROUP BY component)
+    SELECT id FROM reps
+    UNION ALL
+    SELECT doc_id AS id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp)
+    """,
+)
+def nlp_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N20 unique-doc selection: cluster representative = min(id),
+    plus all standalone docs (pipeline/duplicate_detector.py:266-299).
+    """
+    docs = _catalog_table(spark, "documents", sf_dir)
+    pairs = S.duplicate_pairs(docs, threshold=0.9)
+    comp = C.connected_components(pairs.select("id1", "id2"))
+    return C.unique_representatives(docs.select(F.col("doc_id").alias("id")), comp)
+
+
+@register("textrank_docs", oracle=None)
+def textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N13/N14 TextRank at document grain: within each source, rank
+    documents on the token-set-cosine graph; keep top-3
+    (pipeline/summarizer.py:122-204; damping .85, atol 1e-6, 100
+    iters). applyInPandas per source -- the per-group matrix is tiny
+    (SURVEY §4 item 3). Rows-only: float power iteration.
+    """
+    from conversation_analysis_tools_spark.functions.text import tokens_expr
+
+    docs = _catalog_table(spark, "documents", sf_dir).select(
+        "source", "doc_id", tokens_expr("text").alias("tokens")
+    )
+    ranked = TR.textrank_rank(docs, "source", "doc_id", "tokens")
+    return TR.summarize_top_k(ranked, k=3).select(
+        "source", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+@register("textrank_key_docs", oracle=None)
+def textrank_key_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N15 key sentences by threshold: scores max-normalized within
+    group, keep >= 0.9 (pipeline/summarizer.py:244-284). Rows-only."""
+    from conversation_analysis_tools_spark.functions.text import tokens_expr
+
+    docs = _catalog_table(spark, "documents", sf_dir).select(
+        "source", "doc_id", tokens_expr("text").alias("tokens")
+    )
+    ranked = TR.textrank_rank(docs, "source", "doc_id", "tokens")
+    return TR.key_nodes_by_threshold(ranked, "source", threshold=0.9).select(
+        "source", "doc_id", F.round("norm_score", 6).alias("norm_score")
+    )
+
+
+from conversation_analysis_tools_spark.queries.nlp import (
+    _PRIORITY_ORACLE,
+    _RELEVANCE_ORACLE,
+)
+
+_CC_INNER = _CC_ORACLE_CTE.replace("WITH RECURSIVE", "", 1)
+
+_PIPELINE_ORACLE = f"""
+    WITH RECURSIVE {_CC_INNER},
+    comp AS (
+        SELECT a AS id, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ),
+    pr AS ({_PRIORITY_ORACLE}),
+    rel AS ({_RELEVANCE_ORACLE})
+    SELECT pr.doc_id AS message_id,
+           rel.relevance AS relevance_score,
+           pr.priority_score,
+           pr.priority_level,
+           (c.id IS NOT NULL AND c.id <> c.component) AS is_duplicate
+    FROM pr
+    JOIN rel ON pr.doc_id = rel.doc_id
+    LEFT JOIN comp c ON pr.doc_id = c.id
+"""
+
+
+@register("pipeline_analysis_results", oracle=_PIPELINE_ORACLE)
+def pipeline_analysis_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N30 full pipeline composition -> analysis_results table
+    (pipeline/pipeline.py:248-323: fetch -> relevance -> duplicates ->
+    priority -> store; schema mirrors pipeline.py:390-400).
+
+    One DataFrame DAG: the token table feeds relevance, the TF table
+    feeds the duplicate graph, priority joins on top. The duplicate
+    flag marks non-representative cluster members (what the
+    reference's dedup filter drops). Rows-only: composition includes
+    the iterative CC.
+    """
+    from conversation_analysis_tools_spark.operators import priority as P
+    from conversation_analysis_tools_spark.operators import relevance as R
+
+    docs = _catalog_table(spark, "documents", sf_dir)
+    scored = R.score_documents(docs, KEYWORDS).select(
+        "doc_id", F.round("relevance", 6).alias("relevance"), "text"
+    )
+    classified = P.classify(scored, "relevance", ["dup"], ["slow", "vector"])
+
+    pairs = S.duplicate_pairs(docs, threshold=0.9)
+    comp = C.connected_components(pairs.select("id1", "id2"))
+    dups = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id"), F.lit(True).alias("is_duplicate")
+    )
+    return (
+        classified.join(dups, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("message_id"),
+            F.col("relevance").alias("relevance_score"),
+            F.round("priority_score", 6).alias("priority_score"),
+            "priority_level",
+            F.coalesce("is_duplicate", F.lit(False)).alias("is_duplicate"),
+        )
+    )

@@ -1,0 +1,52 @@
+"""Multimodal queries: metadata extraction over binary media columns.
+
+The md5 digest is engine-portable, so even the pandas-UDF path gets a
+real oracle: DuckDB recomputes n_bytes and the digest from the same
+bytes; width/height come from the same md5-derived deterministic fake
+(first two digest bytes), expressible in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.operators import multimodal as M
+from conversation_analysis_tools_spark.queries.registry import register
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(64 + CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INT) * 64
+                   + CAST(strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS INT) * 4
+                AS INT) AS width,
+           CAST(64 + CAST(strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1 AS INT) * 64
+                   + CAST(strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1 AS INT) * 4
+                AS INT) AS height,
+           md5(text) AS content_digest
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction via mapInPandas (Arrow
+    batches). The codec is the deterministic md5 fake (see
+    operators/multimodal.decode_image) -- byte0*4+64 width,
+    byte1*4+64 height -- which the oracle reproduces from hex digits
+    (byte0 = 16*hex[0] + hex[1], so width = 64 + hex[0]*64 + hex[1]*4).
+    """
+    docs = _catalog_table(spark, "documents", sf_dir)
+    media = M.docs_as_media(docs)
+    return M.extract_metadata(media, fake=True)
+
+
+@register("multimodal_frame_plan", oracle=None)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan shape (explode of per-media frame indexes);
+    rows-only -- the real decoder is stubbed."""
+    docs = _catalog_table(spark, "documents", sf_dir)
+    return M.frame_sample_plan(M.docs_as_media(docs))

@@ -1,1 +1,520 @@
-"""Placeholder — filled in later phases."""
+"""NLP pipeline queries (SURVEY.md §2.9, N1-N29) on the documents /
+embeddings tables, with DuckDB oracles.
+
+Every operator is native Spark column expressions / higher-order
+functions / joins -- zero Python UDFs (§2.11). Formula fidelity to the
+reference is pinned in operators/{tfidf,relevance,similarity,priority}.
+
+Oracle discipline: values that pass through transcendental functions
+(ln, sqrt) or float aggregation are rounded to 6 decimals on both
+sides; orderings use the *rounded* sort key plus a unique tiebreak so
+rank boundaries cannot flip between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.functions.text import (
+    STOPWORDS_SQL_ARRAY,
+    sentences_expr,
+    tokens_with_dupes_expr,
+)
+from conversation_analysis_tools_spark.functions.vector import cosine_expr
+from conversation_analysis_tools_spark.operators import relevance as R
+from conversation_analysis_tools_spark.operators import similarity as S
+from conversation_analysis_tools_spark.operators import tfidf as T
+from conversation_analysis_tools_spark.operators import priority as P
+from conversation_analysis_tools_spark.queries.registry import register
+
+#: Keywords for relevance scoring -- drawn from the corpus vocabulary
+#: (plays the role of the reference's ML keyword list, tests/conftest.py:28-39).
+KEYWORDS = ["spark", "join", "filter", "stream", "vector"]
+CRITICAL_KW = ["dup"]
+HIGH_KW = ["slow", "vector"]
+
+KW_SQL = "[" + ", ".join(f"'{k}'" for k in KEYWORDS) + "]"
+KW_IN = ", ".join(f"'{k}'" for k in KEYWORDS)
+
+#: Shared oracle CTE: the reference tokenizer in DuckDB.
+TOK_CTE = (
+    "tok AS (\n"
+    "  SELECT doc_id, unnest(list_filter(\n"
+    "    regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),\n"
+    f"    t -> NOT list_contains({STOPWORDS_SQL_ARRAY}, t))) AS term\n"
+    "  FROM documents\n"
+    ")"
+)
+
+#: tokens as a per-doc list (for density/coverage expressions).
+TOKLIST_CTE = (
+    "toklist AS (\n"
+    "  SELECT doc_id, list_filter(\n"
+    "    regexp_extract_all(lower(text), '\\b[a-z]{3,}\\b'),\n"
+    f"    t -> NOT list_contains({STOPWORDS_SQL_ARRAY}, t)) AS toks\n"
+    "  FROM documents\n"
+    ")"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _catalog_table(spark, "documents", sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _catalog_table(spark, "embeddings", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# N1: tokenizer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nlp_token_stats",
+    oracle=f"""
+    WITH {TOKLIST_CTE}
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct
+    FROM toklist
+    """,
+)
+def nlp_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 tokenize: \\b[a-z]{3,}\\b on lowered text minus stopwords
+    (pipeline/relevance_scorer.py:44-60). Pure flatMap -- no shuffle."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_with_dupes_expr("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N2/N3: the two TF normalizations
+# ---------------------------------------------------------------------------
+
+_COUNTS_CTE = (
+    "counts AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term)"
+)
+
+
+@register(
+    "nlp_tf_max",
+    oracle=f"""
+    WITH {TOK_CTE}, {_COUNTS_CTE}
+    SELECT doc_id, term,
+           cnt / max(cnt) OVER (PARTITION BY doc_id) AS tf
+    FROM counts
+    """,
+)
+def nlp_tf_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 max-normalized TF (relevance scorer variant,
+    pipeline/relevance_scorer.py:62-78). Exact integer ratio -- no
+    rounding needed for hash parity."""
+    tokens = T.explode_tokens(_docs(spark, sf_dir))
+    return T.tf_max(T.term_counts(tokens))
+
+
+@register(
+    "nlp_tf_sum",
+    oracle=f"""
+    WITH {TOK_CTE}, {_COUNTS_CTE}
+    SELECT doc_id, term,
+           cnt / sum(cnt) OVER (PARTITION BY doc_id) AS tf
+    FROM counts
+    """,
+)
+def nlp_tf_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 sum-normalized TF (duplicate detector variant,
+    pipeline/duplicate_detector.py:57-72)."""
+    tokens = T.explode_tokens(_docs(spark, sf_dir))
+    return T.tf_sum(T.term_counts(tokens))
+
+
+# ---------------------------------------------------------------------------
+# N4/N5: IDF and TF-IDF (reference formula, not Spark ML's)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nlp_idf",
+    oracle=f"""
+    WITH {TOK_CTE}
+    SELECT term,
+           count(DISTINCT doc_id) AS df,
+           round(ln((SELECT count(*) FROM documents) / (1 + count(DISTINCT doc_id))), 6) AS idf
+    FROM tok GROUP BY term
+    """,
+)
+def nlp_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 IDF = ln(N / (1 + df)) -- the reference's formula
+    (pipeline/relevance_scorer.py:80-101), NOT Spark ML's
+    log((N+1)/(df+1))."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    tokens = T.explode_tokens(docs)
+    return (
+        tokens.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.round(F.log(F.lit(float(n)) / (F.lit(1) + F.col("df"))), 6).alias("idf"),
+        )
+    )
+
+
+@register(
+    "nlp_tfidf",
+    oracle=f"""
+    WITH {TOK_CTE}, {_COUNTS_CTE},
+    tf AS (
+        SELECT doc_id, term, cnt / max(cnt) OVER (PARTITION BY doc_id) AS tf
+        FROM counts
+    ),
+    idf AS (
+        SELECT term, ln((SELECT count(*) FROM documents) / (1 + count(DISTINCT doc_id))) AS idf
+        FROM tok GROUP BY term
+    )
+    SELECT t.doc_id, t.term, round(t.tf * i.idf, 6) AS tfidf
+    FROM tf t JOIN idf i ON t.term = i.term
+    """,
+)
+def nlp_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 TF-IDF = max-norm TF x reference IDF
+    (pipeline/relevance_scorer.py:103-125). IDF side is vocabulary-
+    sized -> broadcast join, TF table never reshuffles."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    tokens = T.explode_tokens(docs)
+    tf = T.tf_max(T.term_counts(tokens))
+    idf_df = T.idf(tokens, n)
+    out = T.tfidf(tf, idf_df)
+    return out.select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
+
+
+# ---------------------------------------------------------------------------
+# N6-N10: relevance scoring
+# ---------------------------------------------------------------------------
+
+_RELEVANCE_ORACLE = f"""
+    WITH {TOK_CTE}, {TOKLIST_CTE}, {_COUNTS_CTE},
+    tf AS (
+        SELECT doc_id, term, cnt / max(cnt) OVER (PARTITION BY doc_id) AS tf
+        FROM counts
+    ),
+    idf AS (
+        SELECT term, ln((SELECT count(*) FROM documents) / (1 + count(DISTINCT doc_id))) AS idf
+        FROM tok GROUP BY term
+    ),
+    kwsum AS (
+        SELECT t.doc_id, sum(t.tf * i.idf) / {{nkw}} AS tfidf_score
+        FROM tf t JOIN idf i ON t.term = i.term
+        WHERE t.term IN ({KW_IN}) AND t.tf * i.idf > 0
+        GROUP BY t.doc_id
+    ),
+    base AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) > 0
+                    THEN len(list_filter(toks, t -> list_contains({KW_SQL}, t))) * 1.0 / len(toks)
+                    ELSE 0.0 END AS density,
+               len(list_intersect(list_distinct(toks), {KW_SQL})) * 1.0 / {{nkw}} AS coverage
+        FROM toklist
+    )
+    SELECT b.doc_id,
+           round(b.density, 6) AS density,
+           round(b.coverage, 6) AS coverage,
+           round(coalesce(k.tfidf_score, 0.0), 6) AS tfidf_score,
+           round(0.3 * b.density + 0.4 * b.coverage + 0.3 * coalesce(k.tfidf_score, 0.0), 6)
+               AS relevance
+    FROM base b LEFT JOIN kwsum k ON b.doc_id = k.doc_id
+""".replace("{nkw}", str(len(KEYWORDS)))
+
+
+@register("nlp_relevance", oracle=_RELEVANCE_ORACLE)
+def nlp_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6-N9 keyword density / coverage / tfidf / combined relevance
+    (pipeline/relevance_scorer.py:127-224; weights .3/.4/.3)."""
+    scored = R.score_documents(_docs(spark, sf_dir), KEYWORDS)
+    return scored.select(
+        "doc_id",
+        F.round("density", 6).alias("density"),
+        F.round("coverage", 6).alias("coverage"),
+        F.round("tfidf_score", 6).alias("tfidf_score"),
+        F.round("relevance", 6).alias("relevance"),
+    )
+
+
+@register(
+    "nlp_relevance_topk",
+    oracle=f"""
+    WITH scored AS ({_RELEVANCE_ORACLE})
+    SELECT doc_id, relevance
+    FROM scored
+    ORDER BY relevance DESC, doc_id
+    LIMIT 50
+    """,
+)
+def nlp_relevance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N10 rank_documents top-k (pipeline/relevance_scorer.py:246-278).
+    Sorts on the *rounded* score (+doc_id tiebreak) so the rank-50
+    boundary is engine-independent; TakeOrderedAndProject, no global
+    sort."""
+    scored = R.score_documents(_docs(spark, sf_dir), KEYWORDS)
+    return (
+        scored.select("doc_id", F.round("relevance", 6).alias("relevance"))
+        .orderBy(F.desc("relevance"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N11: sentence split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nlp_sentence_stats",
+    oracle=r"""
+    WITH sent AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split_regex(text, '[.!?]+'), s -> trim(s)),
+                   s -> s <> '' AND len(string_split_regex(s, '\s+')) >= 3) AS sentences
+        FROM documents
+    )
+    SELECT doc_id, len(sentences) AS n_sentences
+    FROM sent
+    """,
+)
+def nlp_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N11 sentence split: [.!?]+ delimiters, trimmed, >=3 words
+    (pipeline/summarizer.py:42-61)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.size(sentences_expr("text")).cast("bigint").alias("n_sentences")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N16-N18: similarity / duplicate pairs (inverted-index join, J8)
+# ---------------------------------------------------------------------------
+
+_TF_SUM_CTE = f"""
+    {TOK_CTE}, {_COUNTS_CTE},
+    tf AS (
+        SELECT doc_id, term, cnt / sum(cnt) OVER (PARTITION BY doc_id) AS tf
+        FROM counts
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY doc_id)
+"""
+
+
+@register(
+    "nlp_duplicate_pairs",
+    oracle=f"""
+    WITH {_TF_SUM_CTE},
+    dots AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.tf * b.tf) AS dot
+        FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2, round(dot / (x.nrm * y.nrm), 6) AS sim
+    FROM dots JOIN norms x ON id1 = x.doc_id JOIN norms y ON id2 = y.doc_id
+    WHERE dot / (x.nrm * y.nrm) >= 0.9
+    """,
+)
+def nlp_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N17/J8 duplicate pair detection: cosine of sum-normalized TF
+    >= threshold, pairs i<j (pipeline/duplicate_detector.py:127-167).
+
+    The reference loops O(n^2); here an inverted-index self-join on
+    term generates only pairs sharing >=1 term (exact -- disjoint
+    pairs have cosine 0, duplicate_detector.py:94-95). At 100 TB the
+    MinHash-LSH variant (dedup module) replaces this.
+    """
+    pairs = S.duplicate_pairs(_docs(spark, sf_dir), threshold=0.9)
+    return pairs.select("id1", "id2", F.round("sim", 6).alias("sim"))
+
+
+@register(
+    "nlp_near_duplicates",
+    oracle=f"""
+    WITH {_TF_SUM_CTE},
+    target AS (SELECT term, tf FROM tf WHERE doc_id = 0),
+    dots AS (
+        SELECT a.doc_id, sum(a.tf * t.tf) AS dot
+        FROM tf a JOIN target t ON a.term = t.term
+        WHERE a.doc_id <> 0
+        GROUP BY a.doc_id
+    )
+    SELECT d.doc_id AS dup_id,
+           round(d.dot / (n.nrm * (SELECT nrm FROM norms WHERE doc_id = 0)), 6) AS sim
+    FROM dots d JOIN norms n ON d.doc_id = n.doc_id
+    WHERE d.dot / (n.nrm * (SELECT nrm FROM norms WHERE doc_id = 0)) >= 0.5
+    """,
+)
+def nlp_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N18 near-duplicates of one target doc: one-vs-all cosine >=
+    threshold (pipeline/duplicate_detector.py:169-214). Target vector
+    broadcast; only per-candidate dot aggregation shuffles."""
+    return S.near_duplicates_of(_docs(spark, sf_dir), target_id=0, threshold=0.5).select(
+        "dup_id", F.round("sim", 6).alias("sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N21-N25: priority classification
+# ---------------------------------------------------------------------------
+
+_PRIORITY_ORACLE = f"""
+    WITH scored AS ({_RELEVANCE_ORACLE}),
+    feats AS (
+        SELECT d.doc_id,
+               s.relevance,
+               CAST(CASE WHEN len(string_split_regex(trim(d.text), '\\s+')) < 50 THEN 0.1
+                    WHEN len(string_split_regex(trim(d.text), '\\s+')) < 200 THEN 0.5
+                    WHEN len(string_split_regex(trim(d.text), '\\s+')) < 500 THEN 0.8
+                    ELSE 1.0 END AS DOUBLE) AS length_score,
+               CAST(CASE WHEN lower(d.text) LIKE '%dup%' THEN 1.0
+                    WHEN lower(d.text) LIKE '%slow%' OR lower(d.text) LIKE '%vector%' THEN 0.7
+                    ELSE 0.0 END AS DOUBLE) AS keyword_score
+        FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, length_score, keyword_score,
+           round(0.4 * relevance + 0.2 * length_score + 0.3 * keyword_score + 0.1 * 0.5, 6)
+               AS priority_score,
+           CASE WHEN 0.4 * relevance + 0.2 * length_score + 0.3 * keyword_score + 0.05 >= 0.85 THEN 'CRITICAL'
+                WHEN 0.4 * relevance + 0.2 * length_score + 0.3 * keyword_score + 0.05 >= 0.65 THEN 'HIGH'
+                WHEN 0.4 * relevance + 0.2 * length_score + 0.3 * keyword_score + 0.05 >= 0.45 THEN 'MEDIUM'
+                WHEN 0.4 * relevance + 0.2 * length_score + 0.3 * keyword_score + 0.05 >= 0.25 THEN 'LOW'
+                ELSE 'NONE' END AS priority_level
+    FROM feats
+"""
+
+
+@register("nlp_priority", oracle=_PRIORITY_ORACLE)
+def nlp_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N21-N24 priority: length step-fn, substring keyword score
+    (max-combine), weighted combine (recency=0.5 default), threshold
+    levels (pipeline/priority_classifier.py:77-198).
+
+    Note: the relevance input is the *rounded* N9 score so both
+    engines branch identically at level thresholds.
+    """
+    docs = _docs(spark, sf_dir)
+    scored = R.score_documents(docs, KEYWORDS).select(
+        "doc_id", F.round("relevance", 6).alias("relevance"), "text"
+    )
+    out = P.classify(scored, "relevance", CRITICAL_KW, HIGH_KW)
+    return out.select(
+        "doc_id",
+        "length_score",
+        "keyword_score",
+        F.round("priority_score", 6).alias("priority_score"),
+        "priority_level",
+    )
+
+
+@register(
+    "nlp_priority_distribution",
+    oracle=f"""
+    WITH pr AS ({_PRIORITY_ORACLE})
+    SELECT priority_level, count(*) AS n
+    FROM pr GROUP BY priority_level
+    """,
+)
+def nlp_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N25 level histogram (pipeline/priority_classifier.py:325-345)."""
+    return (
+        nlp_priority(spark, sf_dir)
+        .groupBy("priority_level")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N29: topic keyword search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nlp_topic_search",
+    oracle="""
+    SELECT source,
+           sum(CASE WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
+                         OR lower(text) LIKE '%hash%' THEN 1 ELSE 0 END) AS relevant_docs,
+           count(*) AS total_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY relevant_docs DESC, source
+    LIMIT 10
+    """,
+)
+def nlp_topic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N29 topic keyword search: rank groups by count of docs matching
+    the topic's keyword list (sql_search.py:839-862, topic dict
+    sql_search.py:1696-1763)."""
+    docs = _docs(spark, sf_dir)
+    t = F.lower(F.col("text"))
+    rel = F.when(
+        t.contains("join") | t.contains("merge") | t.contains("hash"), 1
+    ).otherwise(0)
+    return (
+        docs.groupBy("source")
+        .agg(F.sum(rel).alias("relevant_docs"), F.count("*").alias("total_docs"))
+        .orderBy(F.desc("relevant_docs"), F.asc("source"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# N27: dense semantic top-k search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semantic_search_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+        SELECT e.vec_id, e.label,
+               round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, sim
+    FROM sims
+    WHERE sim >= 0.3
+    ORDER BY sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def semantic_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N27 semantic top-k: cosine(query, embedding) >= 0.3, top 20
+    (sql_search.py:394-514; defaults threshold 0.3 / limit 20).
+
+    The query vector is collected once (one row) and inlined as a
+    literal -> broadcast to every executor; cosine is a zip_with/
+    aggregate expression, JVM-side; top-k is TakeOrderedAndProject.
+    """
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    sims = (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_expr(F.col("embedding"), q), 6).alias("sim"),
+        )
+    )
+    return sims.where(F.col("sim") >= 0.3).orderBy(F.desc("sim"), F.asc("vec_id")).limit(20)

@@ -837,3 +837,142 @@ def multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("lang", F.desc("n_docs"), "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining filter / join / agg / set-op surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "in_list_filter",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      AND p_size >= 10
+    """,
+)
+def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 IN-list / OR-of-equals (sql_search.py:732-740: model IN
+    matched list). isin compiles to an In predicate that pushes down
+    to the parquet scan."""
+    part = _t(spark, sf_dir, "part")
+    return part.where(
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33") & (F.col("p_size") >= 10)
+    ).select("p_partkey", "p_brand", "p_retailprice")
+
+
+@register(
+    "length_filter",
+    oracle="SELECT doc_id, n_chars FROM documents WHERE length(text) > 300",
+)
+def length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 LENGTH(content) > k skip-short filter (sql_search.py:1200)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.length("text") > 300)
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "pair_join_unconstrained",
+    oracle="""
+    SELECT a.user_id,
+           count(*) AS n_pairs,
+           round(avg(a.value - b.value), 4) AS avg_value_diff
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+    GROUP BY a.user_id
+    """,
+)
+def pair_join_unconstrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 unconstrained within-group pair join (advanced_queries.sql:11-20:
+    human x assistant all-pairs per conversation, intentionally loose).
+
+    Self-joins on a bounded-cardinality group key: per-key blowup is
+    quadratic in per-user event count, which is bounded -- at 100 TB
+    AQE skew-join splits any hot user.
+    """
+    events = _t(spark, sf_dir, "events")
+    a = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("value").alias("va")
+    )
+    b = events.where(F.col("event_type") == "error").select(
+        "user_id", F.col("value").alias("vb")
+    )
+    return (
+        a.join(b, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.col("va") - F.col("vb")), 4).alias("avg_value_diff"),
+        )
+    )
+
+
+@register(
+    "json_group_export",
+    oracle="""
+    SELECT user_id,
+           to_json(list(struct_pack(event_id := event_id, event_type := event_type)
+                        ORDER BY event_id)) AS events_json
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def json_group_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/S8 JSON aggregation: whole group -> one JSON document
+    (access_db.py:201-219 json_group_array(json_object(...))).
+    Sorted by event_id first -- JSON text is byte-identical across
+    engines only with a deterministic element order."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("event_id"), F.col("event_type")))
+            )
+        ).alias("events_json")
+    )
+
+
+@register(
+    "set_except_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: EXCEPT (reference does this with Python sets,
+    content_analysis.py:104-131; engine gets SQL set ops natively).
+    Catalyst plans EXCEPT as a left-anti aggregate join."""
+    events = _t(spark, sf_dir, "events")
+    purch = events.where(F.col("event_type") == "purchase").select("user_id")
+    errs = events.where(F.col("event_type") == "error").select("user_id")
+    return purch.exceptAll(errs).distinct() if False else purch.distinct().exceptAll(errs.distinct())
+
+
+@register("random_sample", oracle=None)
+def random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 ORDER BY RANDOM() LIMIT n sampling corpus pull
+    (sql_search.py:1194-1203). Seeded rand() for reproducibility
+    within an engine; rows-only check (nondeterministic across
+    engines by nature)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy(F.rand(42))
+        .limit(50)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register("limit_sample", oracle=None)
+def limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 LIMIT-only sampling (exper_sql.py:626,737) -- no defined
+    order, rows-only count check. CollectLimit short-circuits the
+    scan (reads one partition if it suffices)."""
+    return _t(spark, sf_dir, "documents").select("doc_id", "text").limit(100)

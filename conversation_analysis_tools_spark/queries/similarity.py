@@ -1,1 +1,121 @@
-"""Placeholder — filled in later phases."""
+"""Similarity-search queries over the embeddings table: exact
+brute-force kNN (oracle-checked) and the hyperplane-LSH approximate
+path (rows-only -- the hyperplane constants live in Python; recall is
+asserted against the exact result in tests instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.operators import ann as A
+from conversation_analysis_tools_spark.queries.registry import register
+
+N_QUERIES = 5  # vec_id 0..4 used as the query batch
+EMB_DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _catalog_table(spark, "embeddings", sf_dir)
+
+
+@register(
+    "ann_bruteforce_knn",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    sims AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_dot_product(e.v, q.qv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+                   AS sim
+        FROM e, q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM sims
+    )
+    SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def ann_bruteforce_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for a 5-query batch: broadcast
+    queries x one corpus scan, per-query window rank. The baseline
+    every approximate path is measured against."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return A.brute_force_topk(emb, queries, k=5)
+
+
+@register("ann_lsh_knn", oracle=None)
+def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (3 planes, multiprobe 1-bit).
+
+    Rows-only check; tests assert recall >= 0.5 against
+    ann_bruteforce_knn. Plane count trades recall for candidate
+    fraction: these synthetic embeddings are near-isotropic (worst
+    case for LSH), so few planes + multiprobe is the operating point;
+    real clustered embeddings support more planes (smaller buckets).
+    At 100 TB this is the path: bucket join is linear, brute force
+    is not.
+    """
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return A.lsh_topk(emb, queries, dim=EMB_DIM, k=5, n_planes=3)
+
+
+@register("kmeans_clusters", oracle=None)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N28 KMeans over embeddings (sql_search.py:32-33 declares
+    KMeans/PCA surface): k=10, fixed seed, returns cluster sizes.
+    Rows-only (float iteration order is engine-specific)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=10, seed=42, maxIter=20).fit(emb)
+    preds = model.transform(emb)
+    return (
+        preds.groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
+@register("pca_projection", oracle=None)
+def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N28 PCA projection to 2D (the reference imports PCA for result
+    projection). Returns per-label centroid of the projected points --
+    stable aggregate of an engine-specific decomposition (rows-only).
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = PCA(k=2, inputCol="features", outputCol="pca").fit(emb)
+    proj = model.transform(emb).select(
+        "label", vector_to_array("pca").alias("p")
+    )
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.round(F.avg(F.col("p")[0]), 4).alias("pc1_centroid"),
+            F.round(F.avg(F.col("p")[1]), 4).alias("pc2_centroid"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,116 @@
+"""Windowed event-time queries (SURVEY §2.10 extension surface).
+
+The window transformations live in ``streaming/events.py`` and are
+plan-identical in batch and streaming mode; here they run in batch so
+DuckDB can oracle them (tumbling = date_trunc; sliding = union of
+offset truncs; sessions = gaps-and-islands). ``streaming_tumbling``
+additionally executes the real Structured Streaming path
+(readStream -> watermark -> availableNow) as a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.queries.registry import register
+from conversation_analysis_tools_spark.streaming import (
+    read_event_stream,
+    run_to_memory_sink,
+    session_aggregate,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _catalog_table(spark, "events", sf_dir)
+
+
+@register(
+    "window_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows (batch semantics of the
+    streaming op -- window(ts, '1 hour').start == date_trunc hour)."""
+    return tumbling_counts(_events(spark, sf_dir), "1 hour")
+
+
+@register(
+    "window_sliding_2h1h",
+    oracle="""
+    WITH assigned AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def window_sliding_2h1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h windows every 1h: each event belongs to 2 windows
+    (window start in {trunc(ts), trunc(ts)-1h})."""
+    return sliding_counts(_events(spark, sf_dir), "2 hours", "1 hour")
+
+
+@register(
+    "session_windows_30m",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT min(ts) AS session_start, user_id,
+           count(*) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute gap, per user -- Spark's built-in
+    ``session_window`` vs the classic gaps-and-islands SQL (lag ->
+    cumulative-sum session ids). Session start = first event ts."""
+    return session_aggregate(_events(spark, sf_dir), "30 minutes")
+
+
+@register("streaming_tumbling", oracle=None)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming path: readStream over the events
+    parquet, watermark, tumbling window agg, availableNow trigger to a
+    memory sink. Rows-only (execution-mode check; the math is already
+    oracle-checked via window_tumbling_hourly)."""
+    import os
+    import tempfile
+    import uuid
+
+    name = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    # The file stream source requires a *directory*; stage the single
+    # parquet file into one via symlink (zero copy).
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
+    src = read_event_stream(spark, d)
+    agg = tumbling_counts(src, "1 hour")
+    run_to_memory_sink(agg, name)
+    return spark.table(name)

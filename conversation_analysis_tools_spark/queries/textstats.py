@@ -1,1 +1,533 @@
-"""Placeholder — filled in later phases."""
+"""Text-statistics queries: the reference's word-frequency / topic /
+sentiment / complexity aggregations (SURVEY §2.4 A15-A20) plus the
+training-data-pipeline text-analysis extensions (language-ID, quality
+scoring, token counting, document fingerprinting).
+
+All are single-pass column-expression plans over ``documents`` --
+explode+agg for token statistics, chained-when for bucketing, md5 for
+fingerprints (identical across Spark and DuckDB, so oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.functions.text import (
+    STOPWORDS,
+    STOPWORDS_SQL_ARRAY,
+    raw_tokens_expr,
+    word_count_expr,
+    sentence_count_expr,
+)
+from conversation_analysis_tools_spark.queries.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _catalog_table(spark, "documents", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# A15: word frequency with per-1000 normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "word_frequency_top5",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(list_filter(
+            regexp_extract_all(lower(text), '\\b[a-z]{{4,}}\\b'),
+            t -> NOT list_contains({STOPWORDS_SQL_ARRAY}, t))) AS term
+        FROM documents
+    ),
+    counts AS (SELECT lang, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    ranked AS (
+        SELECT lang, term, cnt,
+               round(cnt * 1000.0 / sum(cnt) OVER (PARTITION BY lang), 4) AS per_1000,
+               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rnk
+        FROM counts
+    )
+    SELECT lang, term, cnt, per_1000, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def word_frequency_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 word-frequency agg: 4+-char tokens (the exper_sql variant
+    uses \\b[a-zA-Z]{4,}\\b -- exper_sql.py:634-676), stopword filter,
+    top-5 per group with per-1000-words normalization
+    (exper_sql.py:741-782).
+
+    Explode -> two-level agg; the per-1000 window reuses the groupBy
+    partitioning (same key) so AQE plans no extra shuffle.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"\b[a-z]{4,}\b"), 0),
+        lambda t: ~F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS]), t),
+    )
+    counts = (
+        docs.select("lang", F.explode(toks).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wl = Window.partitionBy("lang")
+    wr = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.select(
+            "lang",
+            "term",
+            "cnt",
+            F.round(F.col("cnt") * 1000.0 / F.sum("cnt").over(wl), 4).alias("per_1000"),
+            F.row_number().over(wr).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16: vocabulary set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_common_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(list_filter(
+            regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b'),
+            t -> NOT list_contains({STOPWORDS_SQL_ARRAY}, t))) AS term
+        FROM documents
+    )
+    SELECT term FROM tok WHERE lang = 'en' GROUP BY term HAVING count(*) >= 10
+    INTERSECT
+    SELECT term FROM tok WHERE lang = 'zh' GROUP BY term HAVING count(*) >= 10
+    """,
+)
+def vocab_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 vocabulary set ops: frequent-term sets intersected across
+    groups (content_analysis.py:104-131 uses Python set &/-).
+    Spark ``intersect`` == SQL INTERSECT (distinct semantics)."""
+    from conversation_analysis_tools_spark.functions.text import tokens_with_dupes_expr
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("lang", F.explode(tokens_with_dupes_expr("text")).alias("term"))
+
+    def frequent(lang: str) -> DataFrame:
+        return (
+            tok.where(F.col("lang") == lang)
+            .groupBy("term")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= 10)
+            .select("term")
+        )
+
+    return frequent("en").intersect(frequent("zh"))
+
+
+# ---------------------------------------------------------------------------
+# A17: topic co-occurrence
+# ---------------------------------------------------------------------------
+
+TOPICS = {
+    "performance": ["slow", "fast"],
+    "storage": ["table", "column", "row"],
+    "relational": ["join", "filter", "scan"],
+}
+
+
+def _topic_flag_sql(kws: list[str]) -> str:
+    return (
+        "CASE WHEN "
+        + " OR ".join(f"lower(text) LIKE '%{k}%'" for k in kws)
+        + " THEN 1 ELSE 0 END"
+    )
+
+
+@register(
+    "topic_cooccurrence_matrix",
+    oracle=f"""
+    WITH flags AS (
+        SELECT {_topic_flag_sql(TOPICS['performance'])} AS f_performance,
+               {_topic_flag_sql(TOPICS['storage'])} AS f_storage,
+               {_topic_flag_sql(TOPICS['relational'])} AS f_relational,
+               count(*) OVER () AS total
+        FROM documents
+    )
+    SELECT 'performance' AS topic_a, 'storage' AS topic_b,
+           sum(f_performance * f_storage) AS n_docs,
+           round(sum(f_performance * f_storage) * 1.0 / any_value(total), 6) AS frac
+    FROM flags
+    UNION ALL
+    SELECT 'performance', 'relational',
+           sum(f_performance * f_relational),
+           round(sum(f_performance * f_relational) * 1.0 / any_value(total), 6)
+    FROM flags
+    UNION ALL
+    SELECT 'storage', 'relational',
+           sum(f_storage * f_relational),
+           round(sum(f_storage * f_relational) * 1.0 / any_value(total), 6)
+    FROM flags
+    """,
+)
+def topic_cooccurrence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 co-occurrence matrix, one pass: per-doc boolean topic flags
+    then pairwise sum(flag_i * flag_j), normalized to [0,1]
+    (exper_sql.py:2495-2548 runs N^2 separate queries -- here it is a
+    single scan regardless of topic count).
+    """
+    docs = _docs(spark, sf_dir)
+    t = F.lower(F.col("text"))
+
+    def flag(kws: list[str]):
+        pred = None
+        for k in kws:
+            c = t.contains(k)
+            pred = c if pred is None else (pred | c)
+        return F.when(pred, 1).otherwise(0)
+
+    flags = docs.select(
+        flag(TOPICS["performance"]).alias("f_performance"),
+        flag(TOPICS["storage"]).alias("f_storage"),
+        flag(TOPICS["relational"]).alias("f_relational"),
+    )
+    agg = flags.agg(
+        F.sum(F.col("f_performance") * F.col("f_storage")).alias("ps"),
+        F.sum(F.col("f_performance") * F.col("f_relational")).alias("pr"),
+        F.sum(F.col("f_storage") * F.col("f_relational")).alias("sr"),
+        F.count("*").alias("total"),
+    )
+    pairs = [
+        ("performance", "storage", "ps"),
+        ("performance", "relational", "pr"),
+        ("storage", "relational", "sr"),
+    ]
+    stack = ", ".join(f"'{a}', '{b}', {c}" for a, b, c in pairs)
+    return agg.selectExpr(
+        f"stack(3, {stack}) AS (topic_a, topic_b, n_docs)", "total"
+    ).select(
+        "topic_a",
+        "topic_b",
+        "n_docs",
+        F.round(F.col("n_docs") * 1.0 / F.col("total"), 6).alias("frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A18: dynamic CASE-column topic aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topic_case_agg",
+    oracle=f"""
+    SELECT source,
+           count(*) AS total_docs,
+           sum({_topic_flag_sql(TOPICS['performance'])}) AS performance,
+           sum({_topic_flag_sql(TOPICS['storage'])}) AS storage,
+           sum({_topic_flag_sql(TOPICS['relational'])}) AS relational,
+           round(sum({_topic_flag_sql(TOPICS['performance'])}) * 100.0 / count(*), 4)
+               AS performance_pct
+    FROM documents
+    GROUP BY source
+    """,
+)
+def topic_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 generated one-SUM(CASE)-per-topic aggregation
+    (exper_sql.py:2260-2287: 8 topics x 5 keywords, built
+    programmatically) -- same code-generation idea, Spark agg list."""
+    docs = _docs(spark, sf_dir)
+    t = F.lower(F.col("text"))
+
+    def flag(kws):
+        pred = None
+        for k in kws:
+            c = t.contains(k)
+            pred = c if pred is None else (pred | c)
+        return F.when(pred, 1).otherwise(0)
+
+    aggs = [F.count("*").alias("total_docs")] + [
+        F.sum(flag(kws)).alias(topic) for topic, kws in TOPICS.items()
+    ]
+    return (
+        docs.groupBy("source")
+        .agg(*aggs)
+        .withColumn(
+            "performance_pct",
+            F.round(F.col("performance") * 100.0 / F.col("total_docs"), 4),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A19: sentiment word counts
+# ---------------------------------------------------------------------------
+
+POS_WORDS = ["fast", "small"]
+NEG_WORDS = ["slow", "big"]
+
+
+@register(
+    "sentiment_wordcount",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b')) AS term
+        FROM documents
+    )
+    SELECT source,
+           sum(CASE WHEN term IN ({', '.join(repr(w) for w in POS_WORDS)}) THEN 1 ELSE 0 END) AS pos_hits,
+           sum(CASE WHEN term IN ({', '.join(repr(w) for w in NEG_WORDS)}) THEN 1 ELSE 0 END) AS neg_hits,
+           round(sum(CASE WHEN term IN ({', '.join(repr(w) for w in POS_WORDS)}) THEN 1 ELSE 0 END) * 100.0
+                 / nullif(sum(CASE WHEN term IN ({', '.join(repr(w) for w in POS_WORDS + NEG_WORDS)}) THEN 1 ELSE 0 END), 0), 4)
+               AS pos_pct
+    FROM tok
+    GROUP BY source
+    """,
+)
+def sentiment_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 sentiment lexicon counting: occurrences of +/- word lists,
+    positive percentage (exper_sql.py:889-984). Conditional agg over
+    the exploded token stream -- one shuffle on source."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("source", F.explode(raw_tokens_expr("text")).alias("term"))
+    pos = F.sum(F.when(F.col("term").isin(POS_WORDS), 1).otherwise(0))
+    neg = F.sum(F.when(F.col("term").isin(NEG_WORDS), 1).otherwise(0))
+    both = F.sum(F.when(F.col("term").isin(POS_WORDS + NEG_WORDS), 1).otherwise(0))
+    return tok.groupBy("source").agg(
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        F.round(pos * 100.0 / F.nullif(both, F.lit(0)), 4).alias("pos_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A20: message complexity (exact reference expressions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "complexity_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1 AS words,
+           length(text) - length(replace(text, '.', '')) AS sentences,
+           CASE WHEN length(text) - length(replace(text, '.', '')) > 0
+                THEN round((length(text) - length(replace(text, ' ', '')) + 1) * 1.0
+                           / (length(text) - length(replace(text, '.', ''))), 4)
+                ELSE 0.0 END AS words_per_sentence
+    FROM documents
+    """,
+)
+def complexity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 complexity: words ~ spaces+1, sentences ~ '.' count, ratio
+    with divide-by-zero CASE guard -- the exact LENGTH-REPLACE
+    expressions of exper_sql.py:988-1005."""
+    docs = _docs(spark, sf_dir)
+    words = word_count_expr("text")
+    sents = sentence_count_expr("text")
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("words"),
+        sents.cast("bigint").alias("sentences"),
+        F.when(sents > 0, F.round(words * 1.0 / sents, 4)).otherwise(0.0).alias(
+            "words_per_sentence"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions: language-ID, quality, token counts, fingerprints
+# ---------------------------------------------------------------------------
+
+#: marker-word heuristic profiles (n-gram language ID degenerates to
+#: marker words on this synthetic corpus; the operator shape -- score
+#: per language, argmax -- is the real thing).
+LANG_MARKERS = {
+    "en": ["the", "data", "fast"],
+    "es": ["spark", "query"],
+    "de": ["window", "stream"],
+}
+
+
+@register(
+    "langid_heuristic",
+    oracle="""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               (CASE WHEN lower(text) LIKE '%the%' THEN 1 ELSE 0 END
+                + CASE WHEN lower(text) LIKE '%data%' THEN 1 ELSE 0 END
+                + CASE WHEN lower(text) LIKE '%fast%' THEN 1 ELSE 0 END) AS s_en,
+               (CASE WHEN lower(text) LIKE '%spark%' THEN 1 ELSE 0 END
+                + CASE WHEN lower(text) LIKE '%query%' THEN 1 ELSE 0 END) AS s_es,
+               (CASE WHEN lower(text) LIKE '%window%' THEN 1 ELSE 0 END
+                + CASE WHEN lower(text) LIKE '%stream%' THEN 1 ELSE 0 END) AS s_de
+        FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM scores
+    """,
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-word scoring + argmax (training-data
+    pipeline extension; heuristic n-gram language ID). Deterministic
+    tie-break: en > es > de."""
+    docs = _docs(spark, sf_dir)
+    t = F.lower(F.col("text"))
+
+    def score(kws):
+        s = F.lit(0)
+        for k in kws:
+            s = s + F.when(t.contains(k), 1).otherwise(0)
+        return s
+
+    scores = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        score(LANG_MARKERS["en"]).alias("s_en"),
+        score(LANG_MARKERS["es"]).alias("s_es"),
+        score(LANG_MARKERS["de"]).alias("s_de"),
+    )
+    pred = (
+        F.when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return scores.select("doc_id", "actual_lang", pred.alias("predicted_lang"))
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, n_chars,
+               len(regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b')) AS n_tokens,
+               len(list_filter(regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b'),
+                               t -> list_contains({STOPWORDS_SQL_ARRAY}, t))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(n_stop * 1.0 / nullif(n_tokens, 0), 6) AS stopword_ratio,
+           round(n_chars * 1.0 / nullif(n_tokens, 0), 4) AS avg_token_len,
+           CASE WHEN n_tokens < 20 THEN 'low'
+                WHEN n_stop * 1.0 / nullif(n_tokens, 0) > 0.1 THEN 'medium'
+                ELSE 'high' END AS quality
+    FROM feats
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / stopword-ratio features +
+    bucket label (training-data pipeline extension; mirrors the
+    length-punct-stopword heuristics family)."""
+    docs = _docs(spark, sf_dir)
+    raw = raw_tokens_expr("text")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    feats = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(raw).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(raw, lambda t: F.array_contains(stop_arr, t)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    ratio = F.col("n_stop") * 1.0 / F.nullif(F.col("n_tokens"), F.lit(0))
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars") * 1.0 / F.nullif(F.col("n_tokens"), F.lit(0)), 4).alias(
+            "avg_token_len"
+        ),
+        F.when(F.col("n_tokens") < 20, "low")
+        .when(ratio > 0.1, "medium")
+        .otherwise("high")
+        .alias("quality"),
+    )
+
+
+@register(
+    "token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS regex_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex pre-token
+    count, and the chars/4 BPE estimate (training-data pipeline
+    extension)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        )
+        .cast("bigint")
+        .alias("regex_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           md5(array_to_string(list_sort(list_distinct(list_filter(
+               regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b'),
+               t -> NOT list_contains({STOPWORDS_SQL_ARRAY}, t)))), ' ')) AS token_set_hash
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash + token-set hash
+    (order/frequency-insensitive near-dup key). md5 is bit-identical
+    across engines -> oracle-checkable."""
+    docs = _docs(spark, sf_dir)
+    from conversation_analysis_tools_spark.functions.text import tokens_expr
+
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.array_distinct(tokens_expr("text")))).cast(
+                "binary"
+            )
+        ).alias("token_set_hash"),
+    )
+
+
+@register(
+    "fingerprint_dup_groups",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(list_filter(
+                   regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b'),
+                   t -> NOT list_contains({STOPWORDS_SQL_ARRAY}, t)))), ' ')) AS token_set_hash
+        FROM documents
+    )
+    SELECT token_set_hash, count(*) AS n_docs, min(doc_id) AS representative
+    FROM fp
+    GROUP BY token_set_hash
+    HAVING count(*) > 1
+    """,
+)
+def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by token-set fingerprint: hash-groupBy
+    dedup (the scalable exact path; representative = min(doc_id),
+    mirroring N20's min-cluster selection)."""
+    fp = doc_fingerprints(spark, sf_dir)
+    return (
+        fp.groupBy("token_set_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,65 @@
+"""ANN recall against exact kNN; streaming-vs-batch window equality;
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conversation_analysis_tools_spark.catalog import table
+from conversation_analysis_tools_spark.operators import ann as A
+from conversation_analysis_tools_spark.operators import multimodal as M
+from tests.conftest import SF_DIR
+
+
+def _queries(emb, n=5):
+    return emb.where(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_lsh_recall_against_bruteforce(spark):
+    emb = table(spark, "embeddings", SF_DIR)
+    q = _queries(emb)
+    exact = A.brute_force_topk(emb, q, k=5).collect()
+    approx = A.lsh_topk(emb, q, dim=64, k=5, n_planes=3).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    from conversation_analysis_tools_spark.streaming import (
+        read_event_stream,
+        run_to_memory_sink,
+        tumbling_counts,
+    )
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="stream_events_test_")
+    os.symlink(os.path.abspath(f"{SF_DIR}/events.parquet"), f"{d}/events.parquet")
+    batch = tumbling_counts(table(spark, "events", SF_DIR), "1 hour")
+    stream = read_event_stream(spark, d)
+    agg = tumbling_counts(stream, "1 hour")
+    run_to_memory_sink(agg, "t_stream_test")
+    streamed = spark.table("t_stream_test")
+    b = sorted(map(tuple, batch.collect()))
+    s = sorted(map(tuple, streamed.collect()))
+    assert b == s
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"bytes", fake=False)
+
+
+def test_multimodal_metadata_deterministic(spark, sample_docs):
+    media = M.docs_as_media(
+        sample_docs.select(F.col("doc_id"), "text")
+    )
+    meta1 = sorted(map(tuple, M.extract_metadata(media).collect()))
+    meta2 = sorted(map(tuple, M.extract_metadata(media).collect()))
+    assert meta1 == meta2
+    row = dict(zip(["media_id", "mime", "n_bytes", "width", "height", "content_digest"], meta1[0]))
+    assert row["n_bytes"] > 0 and 64 <= row["width"] <= 1087

@@ -1,0 +1,62 @@
+"""Similarity, duplicate detection, clustering, dedup-family anchors
+(reference test_duplicate_detector.py invariants)."""
+
+from pyspark.sql import functions as F
+
+from conversation_analysis_tools_spark.operators import dedup as D
+from conversation_analysis_tools_spark.operators import similarity as S
+from conversation_analysis_tools_spark.operators.components import (
+    connected_components,
+    unique_representatives,
+)
+
+
+def test_duplicate_pair_found(spark, sample_docs):
+    # reference test_duplicate_detector.py:71-79: pair (0,5) detected
+    pairs = S.duplicate_pairs(sample_docs, threshold=0.8).collect()
+    assert any(r["id1"] == 0 and r["id2"] == 5 for r in pairs)
+    exact = [r for r in pairs if r["id1"] == 0 and r["id2"] == 5][0]
+    assert abs(exact["sim"] - 1.0) < 1e-9  # identical docs -> cosine 1
+
+
+def test_disjoint_docs_not_paired(spark, sample_docs):
+    # doc 4 shares no content words with doc 1 -> no pair at any threshold
+    pairs = S.duplicate_pairs(sample_docs, threshold=0.01).collect()
+    assert not any(
+        (r["id1"] == 1 and r["id2"] == 4) or (r["id1"] == 4 and r["id2"] == 1)
+        for r in pairs
+    )
+
+
+def test_connected_components_and_unique_docs(spark, sample_docs):
+    pairs = S.duplicate_pairs(sample_docs, threshold=0.8)
+    comp = connected_components(pairs.select("id1", "id2"))
+    rows = {r["id"]: r["component"] for r in comp.collect()}
+    assert rows[0] == 0 and rows[5] == 0  # cluster {0,5} labeled by min id
+    uniq = unique_representatives(
+        sample_docs.select(F.col("doc_id").alias("id")), comp
+    )
+    ids = sorted(r["id"] for r in uniq.collect())
+    # representative 0 kept, duplicate 5 dropped
+    assert ids == [0, 1, 2, 3, 4]
+
+
+def test_minhash_finds_exact_duplicate(spark, sample_docs):
+    pairs = D.minhash_dedup_pairs(sample_docs, threshold=0.5).collect()
+    hit = [r for r in pairs if r["id1"] == 0 and r["id2"] == 5]
+    assert hit and abs(hit[0]["jaccard"] - 1.0) < 1e-12
+
+
+def test_simhash_exact_duplicate_zero_hamming(spark, sample_docs):
+    sig = D.simhash(sample_docs)
+    pairs = D.simhash_pairs(sig, max_hamming=3).collect()
+    hit = [r for r in pairs if r["id1"] == 0 and r["id2"] == 5]
+    assert hit and hit[0]["hamming"] == 0
+
+
+def test_chained_components_transitivity(spark):
+    # a-b and b-c similar, a-c not directly: single linkage joins all 3
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id1 long, id2 long")
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[8] == 7
