@@ -29,12 +29,116 @@ def tf_vectors(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return T.tf_sum(T.term_counts(tokens, id_col), id_col)
 
 
+#: Vocabulary size below which the dense-vector plan beats the
+#: inverted index: with v distinct terms shared by nearly all docs the
+#: term join materializes O(v * n^2) rows, while the dense plan is a
+#: broadcast nested-loop over n^2 pairs with a v-wide codegen dot.
+SMALL_VOCAB_LIMIT = 256
+
+
 def pairwise_cosine(
     tf: DataFrame,
     id_col: str = "doc_id",
     max_df: int | None = None,
+    strategy: str = "auto",
+    threshold: float = 0.0,
 ) -> DataFrame:
-    """All-pairs cosine via inverted-index self-join -> (id1, id2, sim).
+    """All-pairs cosine -> (id1, id2, sim). Physical strategy chosen
+    from corpus statistics (a deliberate optimizer decision, SURVEY §4):
+
+    * ``inverted``: self-join on term -- optimal for large sparse
+      vocabularies (real text), where few pairs share terms.
+    * ``dense``: vocab-aligned normalized dense vectors, broadcast
+      nested-loop pair scan with an unrolled dot product -- optimal
+      when the vocabulary is tiny and shared (every pair overlaps, so
+      the inverted index degenerates to O(vocab * n^2) join rows).
+    * ``auto``: count distinct terms, pick accordingly.
+    """
+    if strategy == "auto":
+        vocab_size = tf.select("term").distinct().count()
+        strategy = "dense" if vocab_size <= SMALL_VOCAB_LIMIT else "inverted"
+    if strategy == "dense":
+        return _pairwise_cosine_dense(tf, id_col, threshold)
+    return _pairwise_cosine_inverted(tf, id_col, max_df)
+
+
+def _pairwise_cosine_dense(
+    tf: DataFrame, id_col: str = "doc_id", threshold: float = 0.0
+) -> DataFrame:
+    """Dense plan: block matrix product.
+
+    One row per doc with a vocab-aligned L2-normalized vector; the
+    full (n x v) matrix is tiny when v is small (n=10^6, v=256 ->
+    ~2 GB; here ~1 MB) and is broadcast; each Arrow batch of the
+    SAME relation streams through ``mapInPandas`` and computes
+    ``batch @ M.T`` with BLAS -- ~10^9 FLOPs/s/core instead of a
+    per-pair join. Only pairs >= threshold cross back out of Python,
+    so the output stays sparse. At larger n, block BOTH sides
+    (grid of batch x batch products) -- same operator, different
+    broadcast granularity.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vocab = sorted(r["term"] for r in tf.select("term").distinct().collect())
+    vidx = {t: i for i, t in enumerate(vocab)}
+    spark = tf.sparkSession
+
+    ent = F.map_from_entries(F.collect_list(F.struct("term", "tf")))
+    per_doc = tf.groupBy(id_col).agg(ent.alias("m"))
+
+    # build the broadcast matrix from one collect of the compact table
+    compact = per_doc.select(F.col(id_col).alias("_id"), "m").collect()
+    ids = np.array(sorted(r["_id"] for r in compact), dtype=np.int64)
+    pos = {int(i): k for k, i in enumerate(ids)}
+    mat = np.zeros((len(ids), len(vocab)))
+    for r in compact:
+        row = mat[pos[int(r["_id"])]]
+        for t, v in r["m"].items():
+            row[vidx[t]] = v
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    thr = threshold
+
+    def block(batches):
+        M = b_mat.value
+        all_ids = b_ids.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.zeros((len(pdf), M.shape[1]))
+            for k, m in enumerate(pdf["m"]):
+                row = V[k]
+                for t, v in m.items():
+                    row[vidx[t]] = v
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0] = 1.0
+            V = V / n[:, None]
+            sims = V @ M.T
+            batch_ids = pdf["_id"].to_numpy()
+            out_i, out_j, out_s = [], [], []
+            for k in range(len(pdf)):
+                mask = (sims[k] >= thr) & (all_ids > batch_ids[k])
+                js = np.nonzero(mask)[0]
+                if len(js):
+                    out_i.extend([batch_ids[k]] * len(js))
+                    out_j.extend(all_ids[js])
+                    out_s.extend(sims[k][js])
+            yield pd.DataFrame({"id1": out_i, "id2": out_j, "sim": out_s})
+
+    src = per_doc.select(F.col(id_col).alias("_id"), "m")
+    return src.mapInPandas(block, schema="id1 long, id2 long, sim double")
+
+
+def _pairwise_cosine_inverted(
+    tf: DataFrame,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Inverted-index plan: self-join on term -> groupBy pair.
 
     ``tf`` is (id, term, tf). Norms are per-doc aggregates; the dot
     product groups the term-join by pair. Only pairs sharing a term
@@ -81,10 +185,13 @@ def duplicate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """N17: pairs with cosine >= threshold (default 0.8,
     pipeline/duplicate_detector.py:127-167)."""
-    sims = pairwise_cosine(tf_vectors(docs, id_col, text_col), id_col, max_df)
+    sims = pairwise_cosine(
+        tf_vectors(docs, id_col, text_col), id_col, max_df, strategy, threshold
+    )
     return sims.where(F.col("sim") >= threshold)
 
 
