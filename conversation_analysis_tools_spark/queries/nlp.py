@@ -518,3 +518,16 @@ def semantic_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sims.where(F.col("sim") >= 0.3).orderBy(F.desc("sim"), F.asc("vec_id")).limit(20)
+
+
+@register("embedding_generation", oracle=None)
+def embedding_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N26 embedding generation: reference-exact TF-IDF pivoted into a
+    dense vocab-aligned array<float> column (replaces
+    TfidfVectorizer(max_features=5000) + npz cache,
+    sql_search.py:1161-1249). Rows-only: the vector payload is
+    property-tested (dimension, zero-token docs, norm) in
+    tests/test_embed_views.py."""
+    from conversation_analysis_tools_spark.operators.embed import tfidf_embeddings
+
+    return tfidf_embeddings(_docs(spark, sf_dir), vocab_size=5000)

@@ -976,3 +976,132 @@ def limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, rows-only count check. CollectLimit short-circuits the
     scan (reads one partition if it suffices)."""
     return _t(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Window extensions beyond the reference (free Spark surface, §2.5 note)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_avg_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT day, n,
+           round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS rolling_7d_avg
+    FROM daily
+    """,
+)
+def rolling_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day average of daily event counts -- rowsBetween
+    frame (the frame type the reference never had; extends W-family).
+    """
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day", "n", F.round(F.avg("n").over(w), 4).alias("rolling_7d_avg")
+    )
+
+
+@register(
+    "lag_day_over_day",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT day, n,
+           n - lag(n) OVER (ORDER BY day) AS delta,
+           round((n - lag(n) OVER (ORDER BY day)) * 100.0
+                 / nullif(lag(n) OVER (ORDER BY day), 0), 4) AS pct_change
+    FROM daily
+    """,
+)
+def lag_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day delta and % change via lag() (W-family extension).
+    """
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.select(F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("day")
+    lagn = F.lag("n").over(w)
+    return daily.select(
+        "day",
+        "n",
+        (F.col("n") - lagn).alias("delta"),
+        F.round((F.col("n") - lagn) * 100.0 / F.nullif(lagn, F.lit(0)), 4).alias(
+            "pct_change"
+        ),
+    )
+
+
+@register(
+    "cube_rollup_counts",
+    oracle="""
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(date_part('dow', ts) AS INT), -1) AS dow,
+           count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, CAST(date_part('dow', ts) AS INT))
+    """,
+)
+def cube_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (the idiomatic upgrade of the reference's
+    pivot cross-tabs, SURVEY §2.4 note): all (type, dow) margins in
+    one pass -- partial aggregation handles the grouping-set
+    expansion, no N separate queries."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select("event_type", sqlite_dow("ts").alias("dow"))
+        .cube("event_type", "dow")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "n",
+        )
+    )
+
+
+@register(
+    "sql_endpoint_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS users,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    WHERE value > 50
+    GROUP BY event_type
+    """,
+)
+def sql_endpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 raw-SQL endpoint: the engine accepts SQL text (the reference
+    funnels every query through SQL strings, and
+    exper_sql.py:2015-2141 passes arbitrary user SQL). Identical SQL
+    runs on both engines here -- Catalyst gets it as text, not as a
+    built plan."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*) AS n,
+               count(DISTINCT user_id) AS users,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        WHERE value > 50
+        GROUP BY event_type
+        """
+    )
