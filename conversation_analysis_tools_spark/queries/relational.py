@@ -1105,3 +1105,78 @@ def sql_endpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+@register(
+    "join_enrich_pct",
+    oracle="""
+    WITH per AS (
+        SELECT event_type, CAST(date_part('hour', ts) AS INT) AS hour,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, sum(n) AS total FROM per GROUP BY event_type)
+    SELECT p.event_type, p.hour, p.n,
+           round(p.n * 100.0 / t.total, 4) AS pct
+    FROM per p JOIN tot t ON p.event_type = t.event_type
+    """,
+)
+def join_enrich_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 merge/enrich join: totals aggregated separately then joined
+    back for per-group percentages (exper_sql.py:1712-1715 pandas
+    merge). The window-function form of the same computation is
+    per_group_share (W4); both shapes belong to the surface."""
+    events = _t(spark, sf_dir, "events")
+    per = (
+        events.select("event_type", hour_bucket("ts").alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(F.col("n") * 100.0 / F.col("total"), 4).alias("pct"),
+    )
+
+
+@register(
+    "stats_summary",
+    oracle="""
+    SELECT count(*) AS n_events,
+           round(avg(value), 4) AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           round(stddev_samp(value), 4) AS std_value,
+           round(quantile_cont(value, 0.5), 4) AS median_value
+    FROM events
+    """,
+)
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 statistics summary: one-row avg/min/max/std/median rollup
+    (pipeline/pipeline.py:325-354 result stats). Exact percentile for
+    the oracle; percentile_approx is the 100 TB variant (see
+    approx_stats)."""
+    events = _t(spark, sf_dir, "events")
+    return events.agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+    )
+
+
+@register("approx_stats", oracle=None)
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB forms of A3/A21: approx_count_distinct (HLL) and
+    percentile_approx (quantile sketch) -- single-pass, mergeable,
+    no sort/expand. Rows-only (sketches are engine-specific)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5, 10000), 4).alias("approx_median"),
+        F.count("*").alias("n"),
+    )

@@ -114,3 +114,40 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(src, "1 hour")
     run_to_memory_sink(agg, name)
     return spark.table(name)
+
+
+@register(
+    "stateful_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState in
+    streaming mode; identical-semantics grouped-pandas in batch --
+    streaming/events.sessionize_with_state). The oracle is the
+    gaps-and-islands SQL; the streaming path carries the same logic
+    as GroupState across micro-batches."""
+    from conversation_analysis_tools_spark.streaming.events import sessionize_with_state
+
+    return sessionize_with_state(_events(spark, sf_dir), gap_minutes=30.0)

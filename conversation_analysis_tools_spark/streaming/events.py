@@ -98,3 +98,114 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_sec: int = 120) 
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def sessionize_with_state(
+    events: "DataFrame",
+    gap_minutes: float = 30.0,
+    watermark: str = "2 hours",
+) -> "DataFrame":
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user session tracking with arbitrary state (the escape hatch
+    for semantics session_window can't express -- e.g. carrying
+    last-event metadata or custom expiry rules across micro-batches).
+
+    Batch-mode fallback: when the input is a batch DataFrame the same
+    semantics run as a grouped-pandas op (state loop inside the
+    group), so the operator is testable without a streaming sink.
+    Emits one row per closed-or-final session.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, total_value double"
+    )
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        rows = []
+        start = end = None
+        n = 0
+        tot = 0.0
+        for ts, v in zip(pdf["ts"], pdf["value"]):
+            if start is None:
+                start, end, n, tot = ts, ts, 1, float(v)
+            elif ts - end > gap:
+                rows.append((start, end, n, round(tot, 4)))
+                start, end, n, tot = ts, ts, 1, float(v)
+            else:
+                end, n, tot = ts, n + 1, tot + float(v)
+        if start is not None:
+            rows.append((start, end, n, round(tot, 4)))
+        uid = pdf["user_id"].iloc[0]
+        return pd.DataFrame(
+            [(uid, s, e, c, t) for (s, e, c, t) in rows],
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+
+    if not events.isStreaming:
+        return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandas(
+            sessionize_pdf, schema=out_schema
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def with_state(key, pdfs, state: "GroupState"):
+        import pandas as pd  # noqa: F811
+
+        (user_id,) = key
+        if state.exists:
+            start_ms, end_ms, n, tot = state.get
+        else:
+            start_ms = end_ms = None
+            n, tot = 0, 0.0
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                ms = int(ts.value // 1_000_000)
+                if start_ms is None:
+                    start_ms, end_ms, n, tot = ms, ms, 1, float(v)
+                elif ms - end_ms > gap_minutes * 60_000:
+                    closed.append((start_ms, end_ms, n, tot))
+                    start_ms, end_ms, n, tot = ms, ms, 1, float(v)
+                else:
+                    end_ms, n, tot = ms, n + 1, tot + float(v)
+        if state.hasTimedOut:
+            if start_ms is not None:
+                closed.append((start_ms, end_ms, n, tot))
+            state.remove()
+        else:
+            state.update((start_ms, end_ms, n, tot))
+            state.setTimeoutDuration(int(gap_minutes * 60_000))
+        if closed:
+            yield pd.DataFrame(
+                [
+                    (
+                        user_id,
+                        pd.Timestamp(s, unit="ms"),
+                        pd.Timestamp(e, unit="ms"),
+                        c,
+                        round(t, 4),
+                    )
+                    for (s, e, c, t) in closed
+                ],
+                columns=[
+                    "user_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "total_value",
+                ],
+            )
+
+    src = events.withWatermark("ts", watermark)
+    return src.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        with_state,
+        outputStructType=out_schema,
+        stateStructType="start_ms bigint, end_ms bigint, n bigint, tot double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
