@@ -40,7 +40,11 @@ def shingles(
     """
     from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
 
-    arr = raw_tokens_expr(text_col)
+    # Materialize the token array in its own projection FIRST: inlining
+    # the regexp into the transform lambda makes Spark re-evaluate the
+    # regexp per shingle (no CSE inside lambdas) -- measured 10x cost.
+    toks = df.select(F.col(id_col), raw_tokens_expr(text_col).alias("_toks"))
+    arr = F.col("_toks")
     sh = F.when(
         F.size(arr) >= n,
         F.transform(
@@ -49,7 +53,7 @@ def shingles(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -184,7 +188,8 @@ def minhash_dedup_pairs(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash LSH candidates -> exact-Jaccard verified pairs."""
-    sh = shingles(df, id_col, text_col)
+    # persist: the shingle table feeds signatures AND the verify joins
+    sh = shingles(df, id_col, text_col).persist()
     cands = minhash_candidates(lsh_bands(minhash_signatures(sh, id_col), id_col), id_col, max_bucket)
     return jaccard_verify(cands, sh, threshold, id_col)
 
@@ -285,7 +290,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via inverted shingle index:
     only pairs sharing a shingle are generated."""
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
     s2 = sh.select(F.col(id_col).alias("id2"), "shingle")

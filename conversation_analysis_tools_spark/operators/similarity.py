@@ -54,16 +54,26 @@ def pairwise_cosine(
       the inverted index degenerates to O(vocab * n^2) join rows).
     * ``auto``: count distinct terms, pick accordingly.
     """
+    vocab = None
     if strategy == "auto":
-        vocab_size = tf.select("term").distinct().count()
-        strategy = "dense" if vocab_size <= SMALL_VOCAB_LIMIT else "inverted"
+        # one tiny job decides the strategy AND yields the vocabulary
+        probe = (
+            tf.select("term").distinct().limit(SMALL_VOCAB_LIMIT + 1).collect()
+        )
+        if len(probe) <= SMALL_VOCAB_LIMIT:
+            strategy, vocab = "dense", sorted(r["term"] for r in probe)
+        else:
+            strategy = "inverted"
     if strategy == "dense":
-        return _pairwise_cosine_dense(tf, id_col, threshold)
+        return _pairwise_cosine_dense(tf, id_col, threshold, vocab)
     return _pairwise_cosine_inverted(tf, id_col, max_df)
 
 
 def _pairwise_cosine_dense(
-    tf: DataFrame, id_col: str = "doc_id", threshold: float = 0.0
+    tf: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+    vocab: list | None = None,
 ) -> DataFrame:
     """Dense plan: block matrix product.
 
@@ -80,15 +90,19 @@ def _pairwise_cosine_dense(
     import numpy as np
     import pandas as pd
 
-    vocab = sorted(r["term"] for r in tf.select("term").distinct().collect())
-    vidx = {t: i for i, t in enumerate(vocab)}
     spark = tf.sparkSession
 
     ent = F.map_from_entries(F.collect_list(F.struct("term", "tf")))
-    per_doc = tf.groupBy(id_col).agg(ent.alias("m"))
+    # persist: this relation is both the broadcast-matrix source (one
+    # collect) and the streamed side (mapInPandas) -- without the
+    # persist the tokenize+groupBy lineage would run twice
+    per_doc = tf.groupBy(id_col).agg(ent.alias("m")).persist()
 
-    # build the broadcast matrix from one collect of the compact table
+    # one collect feeds the matrix AND (if not probed already) the vocab
     compact = per_doc.select(F.col(id_col).alias("_id"), "m").collect()
+    if vocab is None:
+        vocab = sorted({t for r in compact for t in r["m"]})
+    vidx = {t: i for i, t in enumerate(vocab)}
     ids = np.array(sorted(r["_id"] for r in compact), dtype=np.int64)
     pos = {int(i): k for k, i in enumerate(ids)}
     mat = np.zeros((len(ids), len(vocab)))

@@ -60,3 +60,19 @@ def test_chained_components_transitivity(spark):
     comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[7] == comp[8] == 7
+
+
+def test_cc_strategies_agree(spark):
+    # the driver-side union-find and the distributed min-label loop
+    # must produce identical components
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 2), (11, 12), (3, 4), (4, 2)], "id1 long, id2 long"
+    )
+    local = sorted(map(tuple, connected_components(edges, strategy="local").collect()))
+    dist = sorted(
+        map(tuple, connected_components(edges, strategy="distributed").collect())
+    )
+    assert local == dist
+    comp = dict(local)
+    assert comp[5] == comp[9] == comp[2] == comp[3] == comp[4] == 2
+    assert comp[11] == comp[12] == 11
