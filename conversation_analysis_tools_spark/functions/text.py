@@ -72,14 +72,22 @@ def tokens_with_dupes_expr(text: Column | str) -> Column:
     return F.filter(raw, lambda t: ~F.array_contains(stop, t))
 
 
+def ws_trim_expr(col: Column) -> Column:
+    """Python ``str.strip()`` equivalent: strips ALL whitespace, not
+    just spaces (Spark/DuckDB ``trim`` are space-only -- a measured
+    parity gap vs the reference's .strip())."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def sentences_expr(text: Column | str, min_words: int = 3) -> Column:
     """Sentence split: ``[.!?]+`` delimiters, trimmed, >= min_words words.
 
-    Mirrors pipeline/summarizer.py:42-61.
+    Mirrors pipeline/summarizer.py:42-61 (trim == str.strip, all
+    whitespace).
     """
     col = F.col(text) if isinstance(text, str) else text
     parts = F.split(col, r"[.!?]+")
-    trimmed = F.transform(parts, lambda s: F.trim(s))
+    trimmed = F.transform(parts, lambda s: ws_trim_expr(s))
     return F.filter(
         trimmed,
         lambda s: (s != "") & (F.size(F.split(s, r"\s+")) >= min_words),

@@ -25,8 +25,10 @@ DEFAULT_LENGTHS = {"min_words": 50, "substantial": 200, "comprehensive": 500}
 
 
 def length_score_expr(text_col: str = "text", thresholds: dict | None = None) -> Column:
+    from conversation_analysis_tools_spark.functions.text import ws_trim_expr
+
     th = thresholds or DEFAULT_LENGTHS
-    wc = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    wc = F.size(F.split(ws_trim_expr(F.col(text_col)), r"\s+"))
     return (
         F.when(wc < th["min_words"], 0.1)
         .when(wc < th["substantial"], 0.5)

@@ -378,9 +378,9 @@ _PRIORITY_ORACLE = f"""
     feats AS (
         SELECT d.doc_id,
                s.relevance,
-               CAST(CASE WHEN len(string_split_regex(trim(d.text), '\\s+')) < 50 THEN 0.1
-                    WHEN len(string_split_regex(trim(d.text), '\\s+')) < 200 THEN 0.5
-                    WHEN len(string_split_regex(trim(d.text), '\\s+')) < 500 THEN 0.8
+               CAST(CASE WHEN len(string_split_regex(regexp_replace(d.text, '^\\s+|\\s+$', '', 'g'), '\\s+')) < 50 THEN 0.1
+                    WHEN len(string_split_regex(regexp_replace(d.text, '^\\s+|\\s+$', '', 'g'), '\\s+')) < 200 THEN 0.5
+                    WHEN len(string_split_regex(regexp_replace(d.text, '^\\s+|\\s+$', '', 'g'), '\\s+')) < 500 THEN 0.8
                     ELSE 1.0 END AS DOUBLE) AS length_score,
                CAST(CASE WHEN lower(d.text) LIKE '%dup%' THEN 1.0
                     WHEN lower(d.text) LIKE '%slow%' OR lower(d.text) LIKE '%vector%' THEN 0.7

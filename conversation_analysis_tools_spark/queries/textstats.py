@@ -21,6 +21,7 @@ from conversation_analysis_tools_spark.functions.text import (
     raw_tokens_expr,
     word_count_expr,
     sentence_count_expr,
+    ws_trim_expr,
 )
 from conversation_analysis_tools_spark.queries.registry import register
 
@@ -453,7 +454,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_counts",
     oracle=r"""
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+           len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS ws_tokens,
            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS regex_tokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
     FROM documents
@@ -466,7 +467,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(F.split(ws_trim_expr(F.col("text")), r"\s+")).cast("bigint").alias("ws_tokens"),
         F.size(
             F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
         )

@@ -1,0 +1,96 @@
+"""Randomized parity tests: the Spark column expressions must agree
+with a direct Python implementation of the reference semantics
+(re.findall tokenizer, Counter-based TF, str.split word counts) on a
+seeded corpus of adversarial strings -- one Spark job per property.
+"""
+
+import math
+import random
+import re
+import string
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from conversation_analysis_tools_spark.functions.text import (
+    STOPWORDS,
+    sentences_expr,
+    tokens_with_dupes_expr,
+)
+from conversation_analysis_tools_spark.operators import tfidf as T
+
+_ALPHABET = string.ascii_letters + string.digits + " .!?'\"-_\t\n(){}[]@#$%&*"
+
+
+def _corpus(n=200, seed=7):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        k = rng.randint(0, 120)
+        out.append((i, "".join(rng.choice(_ALPHABET) for _ in range(k))))
+    # adversarial edges
+    out += [
+        (n, ""),
+        (n + 1, "   "),
+        (n + 2, "ab"),  # below 3-char minimum
+        (n + 3, "the and or of"),  # all stopwords
+        (n + 4, "abc123def ghi"),  # word-boundary interaction
+        (n + 5, "The THE the tHe"),
+    ]
+    return out
+
+
+def _py_tokens(text: str):
+    words = re.findall(r"\b[a-z]{3,}\b", text.lower())
+    return [w for w in words if w not in set(STOPWORDS)]
+
+
+def test_tokenizer_matches_reference_python(spark):
+    data = _corpus()
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select("doc_id", tokens_with_dupes_expr("text").alias("toks")).collect()
+    }
+    for doc_id, text in data:
+        assert got[doc_id] == _py_tokens(text), (doc_id, text)
+
+
+def test_tf_matches_reference_python(spark):
+    data = [(i, t) for i, t in _corpus(seed=11) if _py_tokens(t)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    tf_max = T.tf_max(T.term_counts(T.explode_tokens(df)))
+    got = {}
+    for r in tf_max.collect():
+        got.setdefault(r["doc_id"], {})[r["term"]] = r["tf"]
+    for doc_id, text in data:
+        c = Counter(_py_tokens(text))
+        mx = max(c.values())
+        expect = {t: n / mx for t, n in c.items()}
+        assert got[doc_id] == expect, doc_id
+
+
+def test_sentence_split_matches_reference_python(spark):
+    data = _corpus(seed=13)
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", sentences_expr("text").alias("s")).collect()
+    }
+    for doc_id, text in data:
+        sents = [s.strip() for s in re.split(r"[.!?]+", text) if s.strip()]
+        expect = [s for s in sents if len(s.split()) >= 3]
+        assert got[doc_id] == expect, (doc_id, text)
+
+
+def test_idf_formula_on_random_corpus(spark):
+    data = _corpus(n=80, seed=17)
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    n = len(data)
+    idf = {r["term"]: r["idf"] for r in T.idf(T.explode_tokens(df), n).collect()}
+    dfreq = Counter()
+    for _, text in data:
+        for t in set(_py_tokens(text)):
+            dfreq[t] += 1
+    for t, d in dfreq.items():
+        assert abs(idf[t] - math.log(n / (1 + d))) < 1e-9, t
