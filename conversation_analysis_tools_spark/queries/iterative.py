@@ -161,27 +161,16 @@ def pipeline_analysis_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's dedup filter drops). Rows-only: composition includes
     the iterative CC.
     """
-    from conversation_analysis_tools_spark.operators import priority as P
-    from conversation_analysis_tools_spark.operators import relevance as R
+    from conversation_analysis_tools_spark.pipeline import run_content_pipeline
 
     docs = _catalog_table(spark, "documents", sf_dir)
-    scored = R.score_documents(docs, KEYWORDS).select(
-        "doc_id", F.round("relevance", 6).alias("relevance"), "text"
+    out = run_content_pipeline(
+        docs,
+        {
+            "keywords": KEYWORDS,
+            "critical_keywords": ["dup"],
+            "high_keywords": ["slow", "vector"],
+            "duplicate_threshold": 0.9,
+        },
     )
-    classified = P.classify(scored, "relevance", ["dup"], ["slow", "vector"])
-
-    pairs = S.duplicate_pairs(docs, threshold=0.9)
-    comp = C.connected_components(pairs.select("id1", "id2"))
-    dups = comp.where(F.col("id") != F.col("component")).select(
-        F.col("id").alias("doc_id"), F.lit(True).alias("is_duplicate")
-    )
-    return (
-        classified.join(dups, "doc_id", "left")
-        .select(
-            F.col("doc_id").alias("message_id"),
-            F.col("relevance").alias("relevance_score"),
-            F.round("priority_score", 6).alias("priority_score"),
-            "priority_level",
-            F.coalesce("is_duplicate", F.lit(False)).alias("is_duplicate"),
-        )
-    )
+    return out["analysis_results"]

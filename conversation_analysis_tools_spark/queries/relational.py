@@ -953,7 +953,7 @@ def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     purch = events.where(F.col("event_type") == "purchase").select("user_id")
     errs = events.where(F.col("event_type") == "error").select("user_id")
-    return purch.exceptAll(errs).distinct() if False else purch.distinct().exceptAll(errs.distinct())
+    return purch.distinct().exceptAll(errs.distinct())
 
 
 @register("random_sample", oracle=None)
