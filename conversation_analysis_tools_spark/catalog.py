@@ -63,6 +63,7 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load every table of the star schema as a DataFrame."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle tz parity
     out = {}
     for name in TABLES:
         path = f"{sf_dir}/{name}.parquet"
@@ -79,7 +80,13 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
 
 
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Load a single table."""
+    """Load a single table.
+
+    Pins the session timezone to UTC on every load: the driver's
+    SparkSession (not built by our factory) must bucket timestamps
+    identically to the DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
