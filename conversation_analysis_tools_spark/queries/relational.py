@@ -1180,3 +1180,72 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile_approx("value", 0.5, 10000), 4).alias("approx_median"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (beyond-reference custom operators; see operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           s.event_id AS last_signup_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest signup at
+    or before it. Union-tag + last(ignorenulls) window -- one shuffle
+    on user_id, no join operator at all (operators/temporal.asof_join);
+    oracle uses DuckDB's native ASOF JOIN."""
+    from conversation_analysis_tools_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = events.where(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(purchases, signups, "user_id", "ts", "ts", ["event_id"])
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("asof_event_id").alias("last_signup_id"),
+    )
+
+
+@register(
+    "range_join_5min",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           p.event_id AS purchase_id,
+           e.user_id
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000
+    """,
+)
+def range_join_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: (error, purchase) pairs of the same user
+    within 5 minutes. Bucketed-candidate plan (join on adjacent
+    width-delta time buckets, exact band filter after) instead of the
+    O(n^2) conditional join Spark would otherwise plan
+    (operators/temporal.range_join)."""
+    from conversation_analysis_tools_spark.operators.temporal import range_join
+
+    events = _t(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    out = range_join(errors, purchases, "user_id", "ts", "pts", 300.0)
+    return out.select("error_id", "purchase_id", "user_id")
