@@ -1249,3 +1249,37 @@ def range_join_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = range_join(errors, purchases, "user_id", "ts", "pts", 300.0)
     return out.select("error_id", "purchase_id", "user_id")
+
+
+@register(
+    "context_window_frame",
+    oracle="""
+    WITH numbered AS (
+        SELECT user_id, event_id, event_type, ts
+        FROM events
+    )
+    SELECT user_id, event_id,
+           list(event_id) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+           ) AS context_ids
+    FROM numbered
+    """,
+)
+def context_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 context window, frame variant: neighbors collected with a
+    rowsBetween(-2, 2) frame (the alternate plan SURVEY §2.5 lists
+    next to the self-join form in `context_window`). One window pass,
+    no join; the frame order is fully deterministic (ts, event_id) so
+    the collected lists hash identically across engines."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.collect_list("event_id").over(w).alias("context_ids"),
+    )
