@@ -532,3 +532,74 @@ def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("representative"))
         .where(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id, lang, n_chars,
+               len(regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b')) AS n_tokens,
+               len(list_filter(regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b'),
+                               t -> list_contains({STOPWORDS_SQL_ARRAY}, t))) AS n_stop,
+               md5(array_to_string(list_sort(list_distinct(list_filter(
+                   regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b'),
+                   t -> NOT list_contains({STOPWORDS_SQL_ARRAY}, t)))), ' ')) AS fp
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, lang, n_chars, fp,
+               CASE WHEN n_tokens < 20 THEN 'low'
+                    WHEN n_stop * 1.0 / nullif(n_tokens, 0) > 0.1 THEN 'medium'
+                    ELSE 'high' END AS quality
+        FROM feats
+    ),
+    deduped AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM quality
+    )
+    SELECT lang,
+           count(*) AS kept_docs,
+           sum(n_chars) AS kept_chars
+    FROM deduped
+    WHERE rn = 1 AND quality <> 'low'
+    GROUP BY lang
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation capstone: quality-filter -> exact
+    near-dup removal (token-set fingerprint, keep min doc_id) ->
+    per-language corpus stats. Composes quality_scores +
+    doc_fingerprints semantics into the one-pass pipeline a 100 TB
+    pretraining-data job runs (filter early, dedup on the hash, only
+    then aggregate -- the scan never materializes dropped docs)."""
+    from conversation_analysis_tools_spark.functions.text import tokens_expr
+
+    docs = _docs(spark, sf_dir)
+    raw = raw_tokens_expr("text")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(raw).alias("n_tokens"),
+        F.size(F.filter(raw, lambda t: F.array_contains(stop_arr, t))).alias("n_stop"),
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.array_distinct(tokens_expr("text")))).cast(
+                "binary"
+            )
+        ).alias("fp"),
+    )
+    quality = feats.withColumn(
+        "quality",
+        F.when(F.col("n_tokens") < 20, "low")
+        .when(F.col("n_stop") * 1.0 / F.nullif(F.col("n_tokens"), F.lit(0)) > 0.1, "medium")
+        .otherwise("high"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = quality.withColumn("rn", F.row_number().over(w))
+    return (
+        deduped.where((F.col("rn") == 1) & (F.col("quality") != "low"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept_docs"), F.sum("n_chars").alias("kept_chars"))
+    )
