@@ -55,3 +55,39 @@ def render_markdown(conversation_row, message_rows) -> str:
 def safe_filename(title: str) -> str:
     """Filename sanitizer (sql_search.py:1851 regex idiom)."""
     return _SAFE_NAME.sub("_", title or "untitled")[:80]
+
+
+_CODE_BLOCK = re.compile(r"```(\w*)\n(.*?)```", re.DOTALL)
+
+
+def render_html(conversation_row, message_rows) -> str:
+    """S10 per-conversation HTML render with code-block rewrite
+    (sql_search.py:1886-1968: fenced code -> <pre><code>) --
+    driver-side presentation like the markdown sink."""
+
+    def esc(s: str) -> str:
+        return (
+            (s or "")
+            .replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    def body(content: str) -> str:
+        out, last = [], 0
+        for m in _CODE_BLOCK.finditer(content or ""):
+            out.append(f"<p>{esc(content[last:m.start()])}</p>")
+            lang = m.group(1) or "text"
+            out.append(f'<pre><code class="{lang}">{esc(m.group(2))}</code></pre>')
+            last = m.end()
+        out.append(f"<p>{esc(content[last:] if content else '')}</p>")
+        return "".join(out)
+
+    title = esc(conversation_row["title"] or conversation_row["id"])
+    parts = [f"<html><head><title>{title}</title></head><body><h1>{title}</h1>"]
+    for m in message_rows:
+        parts.append(f'<div class="msg {esc(m["sender"])}"><h2>{esc(m["sender"])}</h2>')
+        parts.append(body(m["content"]))
+        parts.append("</div>")
+    parts.append("</body></html>")
+    return "".join(parts)

@@ -62,6 +62,22 @@ def test_chained_components_transitivity(spark):
     assert comp[7] == comp[8] == 7
 
 
+def test_cosine_strategies_agree(spark, sample_docs):
+    # the inverted-index and dense-matrix plans are different physical
+    # strategies for the same operator -- results must match
+    inv = {
+        (r["id1"], r["id2"]): round(r["sim"], 9)
+        for r in S.duplicate_pairs(sample_docs, 0.3, strategy="inverted").collect()
+    }
+    den = {
+        (r["id1"], r["id2"]): round(r["sim"], 9)
+        for r in S.duplicate_pairs(sample_docs, 0.3, strategy="dense").collect()
+    }
+    assert set(inv) == set(den)
+    for k in inv:
+        assert abs(inv[k] - den[k]) < 1e-9, k
+
+
 def test_cc_strategies_agree(spark):
     # the driver-side union-find and the distributed min-label loop
     # must produce identical components
