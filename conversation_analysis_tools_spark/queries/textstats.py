@@ -603,3 +603,73 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("kept_docs"), F.sum("n_chars").alias("kept_chars"))
     )
+
+
+@register(
+    "stratified_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS total_docs
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS kept_docs,
+           any_value(total_docs) AS total_docs,
+           sum(n_chars) AS kept_chars
+    FROM ranked
+    WHERE rn <= 30
+    GROUP BY lang
+    """,
+)
+def stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: cap each language at N
+    docs, selection order = md5(content) (pseudo-random but
+    reproducible across engines and runs -- the data-mixing quota
+    pattern of pretraining pipelines; seeded sample() would be
+    engine-specific)."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("text").cast("binary")), "doc_id")
+    wt = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wt).alias("total_docs"),
+    )
+    return (
+        ranked.where(F.col("rn") <= 30)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.any_value("total_docs").alias("total_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
+@register(
+    "corpus_length_percentiles",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length percentiles (the corpus profile every
+    training-data pipeline reports before/after curation). Exact
+    percentile for the oracle; percentile_approx is the sketch path
+    at 100 TB (approx_stats)."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99_chars"),
+    )
