@@ -22,9 +22,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a narrow input up to full parallelism when the scan
+    produced fewer splits than cores (small-file case: one parquet
+    row-group = one task would serialize the whole shingle/md5 chain).
+    The shuffle moves only the raw rows -- far cheaper than computing
+    the derived arrays single-threaded. At 100 TB the scan already has
+    thousands of splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
 # ---------------------------------------------------------------------------
 # shingling
 # ---------------------------------------------------------------------------
+
+
+def shingle_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh_arr) distinct word n-grams per doc as a sorted array.
+
+    Narrow (map-only) stage: the per-doc distinct is ``array_distinct``
+    inside the row, NOT a groupBy/distinct shuffle -- the distinct key
+    always includes the doc id, so no cross-row work is needed. Array
+    size is bounded by doc length (content capped at 100k chars at
+    ingest), so the row stays executor-memory-safe at 100 TB.
+    """
+    from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
+
+    # Materialize the token array in its own projection FIRST: inlining
+    # the regexp into the transform lambda makes Spark re-evaluate the
+    # regexp per shingle (no CSE inside lambdas) -- measured 10x cost.
+    # _spread here (not at call sites) so every shingle consumer shares
+    # one plan shape and CacheManager can substitute a persisted copy.
+    toks = _spread(df, id_col).select(
+        F.col(id_col), raw_tokens_expr(text_col).alias("_toks")
+    )
+    arr = F.col("_toks")
+    sh = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(F.col(id_col), F.array_distinct(sh).alias("sh_arr"))
 
 
 def shingles(
@@ -36,25 +85,10 @@ def shingles(
     """(id, shingle) distinct word n-grams over raw lowercase tokens.
 
     Tokens are the reference tokenizer's raw form (stopwords kept --
-    shingle dedup wants surface form).
-    """
-    from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
-
-    # Materialize the token array in its own projection FIRST: inlining
-    # the regexp into the transform lambda makes Spark re-evaluate the
-    # regexp per shingle (no CSE inside lambdas) -- measured 10x cost.
-    toks = df.select(F.col(id_col), raw_tokens_expr(text_col).alias("_toks"))
-    arr = F.col("_toks")
-    sh = F.when(
-        F.size(arr) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(arr) - F.lit(n)),
-            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
+    shingle dedup wants surface form). Zero-shuffle: explode of
+    ``shingle_arrays`` (already per-doc distinct)."""
+    return shingle_arrays(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -151,29 +185,28 @@ def minhash_candidates(
 
 
 def jaccard_verify(
-    candidates: DataFrame, sh: DataFrame, threshold: float, id_col: str = "doc_id"
+    candidates: DataFrame, sh_arr: DataFrame, threshold: float, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact Jaccard on distinct shingle sets for candidate pairs only."""
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
-    s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
-    inter = (
-        candidates.join(s1, "id1")
-        .join(s2, ["id2", "shingle"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("inter"))
-    )
-    z1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
-    z2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    """Exact Jaccard for candidate pairs via per-doc shingle arrays.
+
+    Two equi-joins bring each side's array onto the (rare) candidate
+    row; intersection is ``array_intersect`` inside the row -- no
+    exploded inverted-index re-join, no groupBy. At scale the candidate
+    set is tiny relative to the corpus, so shipping two arrays per
+    candidate beats re-shuffling the full shingle table twice.
+    """
+    a1 = sh_arr.select(F.col(id_col).alias("id1"), F.col("sh_arr").alias("a1"))
+    a2 = sh_arr.select(F.col(id_col).alias("id2"), F.col("sh_arr").alias("a2"))
+    inter = F.size(F.array_intersect("a1", "a2"))
     return (
-        inter.join(F.broadcast(z1), "id1")
-        .join(F.broadcast(z2), "id2")
+        candidates.join(a1, "id1")
+        .join(a2, "id2")
         .select(
             "id1",
             "id2",
             (
-                F.col("inter")
-                / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+                inter.cast("double")
+                / (F.size("a1") + F.size("a2") - inter)
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
@@ -188,10 +221,11 @@ def minhash_dedup_pairs(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash LSH candidates -> exact-Jaccard verified pairs."""
-    # persist: the shingle table feeds signatures AND the verify joins
-    sh = shingles(df, id_col, text_col).persist()
+    # persist: the array table feeds signatures AND the verify joins
+    arrs = shingle_arrays(df, id_col, text_col).persist()
+    sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     cands = minhash_candidates(lsh_bands(minhash_signatures(sh, id_col), id_col), id_col, max_bucket)
-    return jaccard_verify(cands, sh, threshold, id_col)
+    return jaccard_verify(cands, arrs, threshold, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +250,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     from conversation_analysis_tools_spark.operators.tfidf import term_counts
     from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
 
-    tokens = df.select(F.col(id_col), F.explode(raw_tokens_expr(text_col)).alias("term"))
+    tokens = _spread(df, id_col).select(
+        F.col(id_col), F.explode(raw_tokens_expr(text_col)).alias("term")
+    )
     counts = term_counts(tokens, id_col)
     counts = counts.withColumn("h", F.md5(F.col("term").cast("binary")))
     bit_sums = []
@@ -290,8 +326,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via inverted shingle index:
     only pairs sharing a shingle are generated."""
-    sh = shingles(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    # sizes from the array stage: narrow projection, no extra groupBy
+    sizes = arrs.select(F.col(id_col), F.size("sh_arr").alias("sz"))
     s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
     s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
     inter = (
