@@ -34,15 +34,16 @@ def tfidf_embeddings(
     """
     tokens = T.explode_tokens(docs, id_col, text_col)
     n_docs = docs.count()
-    df_tbl = tokens.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    counts = T.term_counts(tokens, id_col)
+    df_tbl = counts.groupBy("term").agg(F.count("*").alias("df"))
     vocab = [
         r["term"]
         for r in df_tbl.orderBy(F.desc("df"), F.asc("term")).limit(vocab_size).collect()
     ]
     vocab = sorted(vocab)
 
-    tf = T.tf_max(T.term_counts(tokens, id_col), id_col)
-    idf_df = T.idf(tokens, n_docs, id_col)
+    tf = T.tf_max(counts, id_col)
+    idf_df = T.idf_from_counts(counts, n_docs, id_col)
     w = T.tfidf(tf, idf_df, id_col).where(F.col("term").isin(vocab))
 
     ent = F.map_from_entries(F.collect_list(F.struct("term", "tfidf")))

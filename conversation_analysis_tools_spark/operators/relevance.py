@@ -48,17 +48,22 @@ def keyword_tfidf_scores(
     keywords: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc tfidf keyword score: sum of matched keyword tfidf / |kws|.
 
     Uses the max-normalized TF and reference IDF (tfidf.py). The
     keyword filter happens *before* the aggregation so only keyword
-    rows shuffle.
+    rows shuffle. Pass a (possibly persisted) ``counts`` table to share
+    the tokenize+count work with other pipeline branches; IDF is then
+    derived from it too (idf_from_counts), so the raw token stream is
+    shuffled exactly once.
     """
     n_docs = docs.count()  # corpus size N; cheap metadata-only count on parquet
-    tokens = T.explode_tokens(docs, id_col, text_col)
-    tf = T.tf_max(T.term_counts(tokens, id_col), id_col)
-    idf_df = T.idf(tokens, n_docs, id_col)
+    if counts is None:
+        counts = T.term_counts(T.explode_tokens(docs, id_col, text_col), id_col)
+    tf = T.tf_max(counts, id_col)
+    idf_df = T.idf_from_counts(counts, n_docs, id_col)
     tfidf_df = T.tfidf(tf, idf_df, id_col)
     kw = [k.lower() for k in keywords]
     per_doc = (
@@ -75,6 +80,7 @@ def score_documents(
     weights: dict[str, float] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """N9/N10: combined relevance score per document."""
     w = dict(weights or DEFAULT_WEIGHTS)
@@ -86,7 +92,7 @@ def score_documents(
         w = {k: v / total for k, v in w.items()}
 
     scored = with_keyword_scores(docs, keywords, id_col, text_col)
-    kw_tfidf = keyword_tfidf_scores(docs, keywords, id_col, text_col)
+    kw_tfidf = keyword_tfidf_scores(docs, keywords, id_col, text_col, counts)
     return (
         scored.join(kw_tfidf, id_col, "left")
         .withColumn("tfidf_score", F.coalesce(F.col("tfidf_score"), F.lit(0.0)))

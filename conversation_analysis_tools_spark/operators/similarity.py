@@ -23,10 +23,19 @@ from pyspark.sql import functions as F
 from conversation_analysis_tools_spark.operators import tfidf as T
 
 
-def tf_vectors(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, term, tf) sum-normalized -- the duplicate-detector vector."""
-    tokens = T.explode_tokens(docs, id_col, text_col)
-    return T.tf_sum(T.term_counts(tokens, id_col), id_col)
+def tf_vectors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """(id, term, tf) sum-normalized -- the duplicate-detector vector.
+
+    Pass a precomputed (persisted) ``counts`` table to share the
+    tokenize+count shuffle with other branches of a pipeline."""
+    if counts is None:
+        counts = T.term_counts(T.explode_tokens(docs, id_col, text_col), id_col)
+    return T.tf_sum(counts, id_col)
 
 
 #: Vocabulary size below which the dense-vector plan beats the
@@ -92,24 +101,37 @@ def _pairwise_cosine_dense(
 
     spark = tf.sparkSession
 
+    if vocab is None:
+        vocab = sorted(r["term"] for r in tf.select("term").distinct().collect())
+
+    # Vocab-aligned dense vector built JVM-side (map lookup per slot in
+    # codegen): both the driver collect and the Arrow batches then hold
+    # ready-made float arrays -- no per-cell Python dict fills.
     ent = F.map_from_entries(F.collect_list(F.struct("term", "tf")))
+    vkeys = F.array(*[F.lit(t) for t in vocab])
     # persist: this relation is both the broadcast-matrix source (one
     # collect) and the streamed side (mapInPandas) -- without the
     # persist the tokenize+groupBy lineage would run twice
-    per_doc = tf.groupBy(id_col).agg(ent.alias("m")).persist()
+    per_doc = (
+        tf.groupBy(id_col)
+        .agg(ent.alias("m"))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform(
+                vkeys, lambda t: F.coalesce(F.element_at(F.col("m"), t), F.lit(0.0))
+            ).alias("v"),
+        )
+        .persist()
+    )
 
-    # one collect feeds the matrix AND (if not probed already) the vocab
-    compact = per_doc.select(F.col(id_col).alias("_id"), "m").collect()
-    if vocab is None:
-        vocab = sorted({t for r in compact for t in r["m"]})
-    vidx = {t: i for i, t in enumerate(vocab)}
-    ids = np.array(sorted(r["_id"] for r in compact), dtype=np.int64)
-    pos = {int(i): k for k, i in enumerate(ids)}
-    mat = np.zeros((len(ids), len(vocab)))
-    for r in compact:
-        row = mat[pos[int(r["_id"])]]
-        for t, v in r["m"].items():
-            row[vidx[t]] = v
+    compact = per_doc.collect()
+    ids = np.array([r["_id"] for r in compact], dtype=np.int64)
+    # explicit reshape keeps 2-D on an empty corpus / empty vocab
+    mat = np.array([r["v"] for r in compact], dtype=float).reshape(
+        len(compact), len(vocab)
+    )
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     mat = mat / norms[:, None]
@@ -123,28 +145,20 @@ def _pairwise_cosine_dense(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.zeros((len(pdf), M.shape[1]))
-            for k, m in enumerate(pdf["m"]):
-                row = V[k]
-                for t, v in m.items():
-                    row[vidx[t]] = v
+            V = np.stack(pdf["v"].to_numpy())
             n = np.linalg.norm(V, axis=1)
             n[n == 0] = 1.0
             V = V / n[:, None]
             sims = V @ M.T
             batch_ids = pdf["_id"].to_numpy()
-            out_i, out_j, out_s = [], [], []
-            for k in range(len(pdf)):
-                mask = (sims[k] >= thr) & (all_ids > batch_ids[k])
-                js = np.nonzero(mask)[0]
-                if len(js):
-                    out_i.extend([batch_ids[k]] * len(js))
-                    out_j.extend(all_ids[js])
-                    out_s.extend(sims[k][js])
-            yield pd.DataFrame({"id1": out_i, "id2": out_j, "sim": out_s})
+            # vectorized pair extraction over the whole batch
+            mask = (sims >= thr) & (all_ids[None, :] > batch_ids[:, None])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id1": batch_ids[ii], "id2": all_ids[jj], "sim": sims[ii, jj]}
+            )
 
-    src = per_doc.select(F.col(id_col).alias("_id"), "m")
-    return src.mapInPandas(block, schema="id1 long, id2 long, sim double")
+    return per_doc.mapInPandas(block, schema="id1 long, id2 long, sim double")
 
 
 def _pairwise_cosine_inverted(
@@ -200,11 +214,12 @@ def duplicate_pairs(
     text_col: str = "text",
     max_df: int | None = None,
     strategy: str = "auto",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """N17: pairs with cosine >= threshold (default 0.8,
     pipeline/duplicate_detector.py:127-167)."""
     sims = pairwise_cosine(
-        tf_vectors(docs, id_col, text_col), id_col, max_df, strategy, threshold
+        tf_vectors(docs, id_col, text_col, counts), id_col, max_df, strategy, threshold
     )
     return sims.where(F.col("sim") >= threshold)
 

@@ -69,6 +69,25 @@ def idf(tokens: DataFrame, corpus_size: int | Column, id_col: str = "doc_id") ->
     )
 
 
+def idf_from_counts(
+    counts: DataFrame, corpus_size: int | Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-term IDF from the (id, term, cnt) table.
+
+    ``counts`` rows are already distinct (id, term), so df is a plain
+    ``count(*)`` per term -- re-aggregating the compact counts table
+    instead of running a second countDistinct shuffle over the raw
+    token stream. Same result as ``idf``; preferred whenever the
+    counts table is already materialized (it usually is: TF needs it).
+    """
+    n = F.lit(corpus_size) if isinstance(corpus_size, int) else corpus_size
+    return (
+        counts.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select("term", F.log(n / (F.lit(1) + F.col("df"))).alias("idf"))
+    )
+
+
 def tfidf(tf_df: DataFrame, idf_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Join TF x IDF -> (id, term, tfidf).
 

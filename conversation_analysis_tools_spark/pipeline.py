@@ -61,15 +61,26 @@ def run_content_pipeline(
     cfg = {**DEFAULT_CONFIG, **(config or {})}
     kws = cfg["keywords"]
 
+    # One tokenize+count shuffle feeds the relevance branch (tf_max +
+    # idf) AND the duplicate branch (tf_sum) -- the same shared-vector
+    # optimization the reference does in Python
+    # (pipeline/duplicate_detector.py:147-151), here as a persisted
+    # long-format table.
+    from conversation_analysis_tools_spark.operators import tfidf as T
+
+    counts = T.term_counts(
+        T.explode_tokens(docs, id_col, text_col), id_col
+    ).persist()
+
     scored = R.score_documents(
-        docs, kws, cfg["relevance_weights"], id_col, text_col
+        docs, kws, cfg["relevance_weights"], id_col, text_col, counts=counts
     ).select(
         id_col, F.round("relevance", 6).alias("relevance"), text_col,
         *( [group_col] if group_col else [] ),
     )
 
     pairs = S.duplicate_pairs(
-        docs, cfg["duplicate_threshold"], id_col, text_col
+        docs, cfg["duplicate_threshold"], id_col, text_col, counts=counts
     )
     comp = C.connected_components(pairs.select("id1", "id2"))
     uniq = C.unique_representatives(

@@ -158,10 +158,12 @@ def nlp_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     log((N+1)/(df+1))."""
     docs = _docs(spark, sf_dir)
     n = docs.count()
-    tokens = T.explode_tokens(docs)
+    # df from the counts table (distinct (doc_id, term) rows): count(*)
+    # per term on the compact table, not countDistinct on raw tokens
+    counts = T.term_counts(T.explode_tokens(docs))
     return (
-        tokens.groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        counts.groupBy("term")
+        .agg(F.count("*").alias("df"))
         .select(
             "term",
             "df",
@@ -192,9 +194,9 @@ def nlp_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized -> broadcast join, TF table never reshuffles."""
     docs = _docs(spark, sf_dir)
     n = docs.count()
-    tokens = T.explode_tokens(docs)
-    tf = T.tf_max(T.term_counts(tokens))
-    idf_df = T.idf(tokens, n)
+    counts = T.term_counts(T.explode_tokens(docs))
+    tf = T.tf_max(counts)
+    idf_df = T.idf_from_counts(counts, n)
     out = T.tfidf(tf, idf_df)
     return out.select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
 
