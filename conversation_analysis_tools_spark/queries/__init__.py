@@ -17,5 +17,6 @@ from conversation_analysis_tools_spark.queries import similarity  # noqa: F401
 from conversation_analysis_tools_spark.queries import iterative  # noqa: F401
 from conversation_analysis_tools_spark.queries import streaming  # noqa: F401
 from conversation_analysis_tools_spark.queries import multimodal  # noqa: F401
+from conversation_analysis_tools_spark.queries import sampling  # noqa: F401
 
 __all__ = ["REGISTRY", "register", "Query"]

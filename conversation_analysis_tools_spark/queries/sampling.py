@@ -1,0 +1,339 @@
+"""Corpus sampling / splitting / packing queries -- the selection side
+of a large-scale training-data pipeline (beyond-reference extension,
+companion to the dedup and quality families):
+
+* deterministic train/eval hash split (no RNG: reproducible across
+  runs, engines, and cluster sizes -- the property a 100 TB corpus
+  rebuild needs),
+* per-source mixture sampling (domain mixing weights),
+* token-budget sequence packing (fill fixed-size training sequences),
+* unigram-LM document scoring (cheap perplexity-proxy quality signal),
+* corpus n-gram counts (the LM table itself),
+* PII redaction (regex scrub with match accounting).
+
+Everything hash-based uses md5 (bit-identical in Spark and DuckDB), so
+even the sampling queries have strict value oracles: uniformity comes
+from the hash, determinism from the key. Lexicographic comparison on
+the hex prefix is an engine-portable "u < p" test (hex chars are
+ASCII-ordered in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
+from conversation_analysis_tools_spark.queries.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _catalog_table(spark, "documents", sf_dir)
+
+
+def _doc_hash() -> F.Column:
+    """md5 of the decimal doc id -- the deterministic sampling key."""
+    return F.md5(F.col("doc_id").cast("string").cast("binary"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/eval split
+# ---------------------------------------------------------------------------
+
+#: First-two-hex-chars threshold: '1a' = 26/256 ~ 10.2% eval.
+EVAL_HEX = "1a"
+
+
+@register(
+    "hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{EVAL_HEX}'
+                THEN 'eval' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/eval split by md5(doc_id) prefix.
+
+    Map-only (no shuffle, no RNG state): every engine, run, and
+    partitioning produces the same assignment, and new docs never
+    reshuffle old ones -- the standard reproducible-split idiom for
+    pretraining corpora. The decontamination_check query audits the
+    same split (doc_id % 10) family.
+    """
+    split = F.when(
+        F.substring(_doc_hash(), 1, 2) < EVAL_HEX, F.lit("eval")
+    ).otherwise(F.lit("train"))
+    return _docs(spark, sf_dir).select("doc_id", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# per-source mixture sampling
+# ---------------------------------------------------------------------------
+
+#: Keep-rates by source parity: even-numbered sources 25%, odd 75%
+#: (stand-in for a real domain-mixing table, e.g. web 25% / books 75%).
+#: Thresholds are 4-hex-digit prefixes: floor(rate * 65536) in hex.
+MIX_EVEN_HEX = "4000"  # 0.25
+MIX_ODD_HEX = "c000"  # 0.75
+
+
+@register(
+    "source_mixing_sample",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_total,
+           sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                    < (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                            THEN '{MIX_EVEN_HEX}' ELSE '{MIX_ODD_HEX}' END)
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM documents
+    GROUP BY source
+    """,
+)
+def source_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampler: per-source deterministic keep-rates
+    (25% even-numbered sources / 75% odd), audited as kept-vs-total
+    counts per source.
+
+    The keep decision is a pure row expression (hash prefix <
+    per-source threshold) -- at 100 TB this is a map-only filter that
+    composes with any downstream op; the rate table would be a
+    broadcast join against a real mixing-weights dimension instead of
+    the inline CASE.
+    """
+    rate_hex = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(MIX_EVEN_HEX)
+    ).otherwise(F.lit(MIX_ODD_HEX))
+    kept = (F.substring(_doc_hash(), 1, 4) < rate_hex).cast("int")
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_total"), F.sum(kept).alias("n_kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+SEQ_BUDGET = 512
+
+
+@register(
+    "token_budget_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+    FROM toks
+    """,
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into {SEQ_BUDGET}-token training sequences per
+    source: seq_id = floor(cumulative-tokens-before / budget) in
+    doc_id order.
+
+    One window shuffle partitioned by source (the natural packing
+    unit); the running sum is a streaming frame, never a
+    materialized cross-doc state. Docs longer than the budget simply
+    own consecutive seq_ids -- the boundary-crossing splitter is a
+    downstream flatMap over (doc, seq offsets).
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(raw_tokens_expr("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(cum_before / SEQ_BUDGET).cast("bigint").alias("seq_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM document scoring (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\b[a-z]{3,}\b')) AS term
+        FROM documents
+    ),
+    counts AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    lm AS (SELECT term, sum(cnt) AS tcnt FROM counts GROUP BY term),
+    total AS (SELECT sum(tcnt) AS tot FROM lm)
+    SELECT c.doc_id,
+           CAST(sum(c.cnt) AS BIGINT) AS n_tokens,
+           round(sum(c.cnt * ln(l.tcnt * 1.0 / t.tot)) / sum(c.cnt), 6)
+               AS avg_logprob
+    FROM counts c JOIN lm l ON c.term = l.term CROSS JOIN total t
+    GROUP BY c.doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average unigram log-probability under the corpus's own
+    unigram LM -- the cheap perplexity-proxy quality filter (documents
+    of gibberish / boilerplate score far from the corpus mode).
+
+    Plan: one tokenize+count shuffle; the LM table is vocabulary-sized
+    -> broadcast back onto the counts; total token mass is a scalar.
+    Docs with zero tokens have no defined score and are absent (inner
+    join), mirroring how a perplexity filter treats empty docs.
+    """
+    docs = _docs(spark, sf_dir)
+    # raw surface tokens (stopwords KEPT): an LM quality signal wants
+    # the real token stream, unlike the relevance pipeline's tokenizer
+    tok = docs.select("doc_id", F.explode(raw_tokens_expr("text")).alias("term"))
+    counts = (
+        tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt")).persist()
+    )
+    lm = counts.groupBy("term").agg(F.sum("cnt").alias("tcnt"))
+    total = lm.agg(F.sum("tcnt")).first()[0]
+    return (
+        counts.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.log(F.col("tcnt") / F.lit(float(total))))
+                / F.sum("cnt"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram counts (the LM table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_ngram_top20",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\b[a-z]{3,}\b') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT unnest(CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(0, len(toks) - 2),
+                                          i -> array_to_string(toks[i+1:i+3], ' '))
+                      ELSE [] END) AS trigram
+        FROM toks
+    )
+    SELECT trigram, count(*) AS cnt
+    FROM grams
+    GROUP BY trigram
+    ORDER BY cnt DESC, trigram
+    LIMIT 20
+    """,
+)
+def corpus_ngram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus word-trigrams by occurrence (multiset -- unlike
+    the dedup shingles, duplicates within a doc count). The n-gram LM
+    table in miniature: flatMap explode -> one partial-aggregated
+    groupBy -> TakeOrderedAndProject; count-desc with lexicographic
+    tiebreak for a deterministic oracle.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(raw_tokens_expr("text").alias("_toks"))
+    arr = F.col("_toks")
+    grams = F.when(
+        F.size(arr) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - F.lit(3)),
+            lambda i: F.concat_ws(" ", F.slice(arr, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.explode(grams).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("trigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Patterns valid (and identical in behavior) in Java regex and RE2.
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z]+"
+PHONE_RE = r"\b555-[0-9]{3,}\b"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH augmented AS (
+        SELECT doc_id,
+               'contact ' || source || '@example.com or 555-' ||
+                   CAST(1000 + doc_id % 9000 AS VARCHAR) || ' re: ' ||
+                   substr(text, 1, 40) AS contact_line
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(contact_line, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(contact_line, '{PHONE_RE}')) AS n_phones,
+           regexp_replace(
+               regexp_replace(contact_line, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM augmented
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and mask email/phone patterns.
+
+    The corpus is synthetic and PII-free, so the query plants a
+    deterministic contact line per doc (from its own columns) and then
+    scrubs it -- exercising the real operator (regex find-count +
+    multi-pattern replace, map-only, no shuffle) with a non-trivial
+    strict oracle. Patterns are chosen to behave identically in Java
+    regex and RE2.
+    """
+    contact = F.concat(
+        F.lit("contact "),
+        F.col("source"),
+        F.lit("@example.com or 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", contact.alias("contact_line"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("contact_line", EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("contact_line", F.lit(EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("contact_line", F.lit(PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
