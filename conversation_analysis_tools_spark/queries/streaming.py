@@ -151,3 +151,86 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conversation_analysis_tools_spark.streaming.events import sessionize_with_state
 
     return sessionize_with_state(_events(spark, sf_dir), gap_minutes=30.0)
+
+
+def _staged_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file source needs a
+    directory; stage the single file via symlink, zero copy)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
+    return read_event_stream(spark, d)
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment AS segment,
+           count(*) AS n,
+           round(sum(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join executed on the REAL streaming path:
+    readStream events -> broadcast-join the static customer dimension
+    -> watermarked tumbling window x segment aggregate -> availableNow
+    memory sink. The stream side never shuffles for the join (the
+    dimension is broadcast); only the window agg shuffles. Because the
+    finite stream drains completely, the result equals the batch join
+    -- so this real streaming execution still has a strict oracle.
+    """
+    import uuid
+
+    from conversation_analysis_tools_spark.streaming import enrich_with_dim
+
+    dim = _catalog_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    src = _staged_stream(spark, sf_dir)
+    enriched = enrich_with_dim(src, dim)
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "total_value",
+        )
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(agg, name)
+    return spark.table(name)
+
+
+@register(
+    "streaming_dedup_first",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keep-first dedup on (user_id, event_type), executed
+    on the REAL streaming path with an append-mode memory sink.
+
+    Run with watermark=None -> global dropDuplicates (exact DISTINCT,
+    unbounded state): right for a bounded backfill like this drain,
+    and it is what gives the strict oracle. The production infinite-
+    stream variant is the same operator with a watermark
+    (dropDuplicatesWithinWatermark: state bounded to the horizon,
+    re-occurrences past it pass through again -- see
+    streaming.dedup_first).
+    """
+    import uuid
+
+    from conversation_analysis_tools_spark.streaming import dedup_first
+
+    src = _staged_stream(spark, sf_dir)
+    deduped = dedup_first(src, ["user_id", "event_type"], watermark=None)
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(deduped, name, output_mode="append")
+    return spark.table(name)

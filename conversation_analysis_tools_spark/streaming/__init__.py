@@ -7,6 +7,8 @@ from conversation_analysis_tools_spark.streaming.events import (
     sliding_counts,
     session_aggregate,
     run_to_memory_sink,
+    enrich_with_dim,
+    dedup_first,
 )
 
 __all__ = [
@@ -15,4 +17,6 @@ __all__ = [
     "sliding_counts",
     "session_aggregate",
     "run_to_memory_sink",
+    "enrich_with_dim",
+    "dedup_first",
 ]

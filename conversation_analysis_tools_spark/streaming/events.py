@@ -85,13 +85,56 @@ def session_aggregate(
     )
 
 
-def run_to_memory_sink(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> None:
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment join: the dimension side is a bounded
+    batch table, broadcast to every task, so the (unbounded) stream
+    side never shuffles for the join -- the standard pattern for
+    attaching slowly-changing reference data to an event stream. The
+    same plan serves batch inputs unchanged."""
+    return events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], "inner"
+    ).drop(on_right)
+
+
+def dedup_first(
+    events: DataFrame, keys: list[str], watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Streaming dedup: keep the first row per key.
+
+    With ``watermark`` set (the production path), uses
+    ``dropDuplicatesWithinWatermark`` so the key-state store is
+    bounded by the watermark horizon -- re-occurrences beyond the
+    horizon pass through again (at-least-once dedup, bounded state).
+    With ``watermark=None``, global ``dropDuplicates``: exact DISTINCT
+    semantics with unbounded state (fine for bounded backfills; never
+    for an infinite stream). Projects to the key columns so the result
+    is deterministic (which physical row survives is undefined)."""
+    if events.isStreaming and watermark is not None:
+        return (
+            events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys)
+            .select(*keys)
+        )
+    return events.dropDuplicates(keys).select(*keys)
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
+) -> None:
     """Execute a streaming query to completion with availableNow (all
     existing files, then stop) into an in-memory table ``name``."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
