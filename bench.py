@@ -39,6 +39,8 @@ HEADLINE = [
     "session_windows_30m",
     "asof_last_signup",
     "curation_pipeline",
+    "unigram_logprob",
+    "streaming_static_enrich",
     "pipeline_analysis_results",
 ]
 

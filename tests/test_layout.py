@@ -39,3 +39,56 @@ def test_partitioned_roundtrip_preserves_rows(spark, tmp_path):
         "overwrite"
     ).partitionBy("event_date").parquet(out)
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    from conversation_analysis_tools_spark.layout import (
+        bucketed_tables_join,
+        write_bucketed,
+    )
+
+    import uuid
+
+    ev_t, us_t = f"ev_bkt_{uuid.uuid4().hex[:8]}", f"us_bkt_{uuid.uuid4().hex[:8]}"
+    events = table(spark, "events", SF_DIR).select("event_id", "user_id", "value")
+    users = (
+        table(spark, "events", SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    write_bucketed(events, ev_t, "user_id", n_buckets=4)
+    write_bucketed(users, us_t, "user_id", n_buckets=4)
+    joined = bucketed_tables_join(spark, ev_t, us_t, "user_id")
+
+    # disable auto-broadcast so the planner takes the sort-merge path
+    # the bucketing is designed for (at 100 TB neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan  # both sides arrive pre-bucketed
+        assert joined.count() == events.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ev_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {us_t}")
+
+
+def test_salted_join_matches_plain(spark):
+    from conversation_analysis_tools_spark.layout import salted_join
+
+    events = table(spark, "events", SF_DIR).select("event_id", "user_id", "value")
+    dim = (
+        table(spark, "events", SF_DIR)
+        .groupBy("user_id")
+        .agg(F.round(F.avg("value"), 4).alias("avg_v"))
+    )
+    plain = events.join(dim, "user_id")
+    salted = salted_join(events, dim, "user_id", n_salts=4)
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.select(*plain.columns).collect()}
+    assert a == b
