@@ -120,3 +120,97 @@ def lsh_topk(
         .where(F.col("rnk") <= k)
         .select(query_id_col, id_col, "sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file index: k-means coarse quantizer + probed lists)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding"
+) -> np.ndarray:
+    """Coarse quantizer: k-means centroids (fixed seed) as a small
+    (C x dim) matrix -- the only driver-side artifact of the index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=_SEED, maxIter=20).fit(feats)
+    return np.array(model.clusterCenters())
+
+
+def _centroid_dists(vec_col, centroids: np.ndarray):
+    """List of squared-L2 distance expressions, one per centroid --
+    zip_with/aggregate stays in whole-stage codegen."""
+    out = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        diff2 = F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b))
+        out.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+    return out
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach ``centroid_id`` = argmin distance (the inverted-list
+    key). Pure expression: C distance folds + array_position of the
+    min -- no Python in the scan. At 100 TB, write the table
+    partitioned/bucketed by centroid_id so each list is a contiguous
+    scan unit."""
+    dists = F.array(*_centroid_dists(vec_col, centroids))
+    cid = F.array_position(dists, F.array_min(dists)) - 1
+    return emb.withColumn("centroid_id", cid.cast("int"))
+
+
+def ivf_topk(
+    emb_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: each query probes its ``n_probe`` nearest centroid
+    lists; candidates from those lists get the exact cosine re-rank.
+
+    The probe-set computation is also JVM-side (sort an array of
+    (dist, cid) structs, slice, explode), so the whole search is two
+    narrow stages + one equi-join on centroid_id + the top-k window.
+    Candidate fraction ~ n_probe / C; recall tunes with n_probe.
+    """
+    from conversation_analysis_tools_spark.functions.vector import cosine_expr
+
+    pairs = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(i).alias("cid"))
+            for i, d in enumerate(_centroid_dists(vec_col, centroids))
+        ]
+    )
+    probes = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qv"),
+            F.explode(F.slice(F.array_sort(pairs), 1, n_probe)).alias("p"),
+        )
+        .select(query_id_col, "_qv", F.col("p.cid").alias("centroid_id"))
+    )
+    cands = emb_assigned.join(F.broadcast(probes), "centroid_id").where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    sims = cands.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(vec_col, "_qv"), 6).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "sim", "rnk")
+    )

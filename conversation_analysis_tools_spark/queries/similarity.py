@@ -72,6 +72,27 @@ def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.lsh_topk(emb, queries, dim=EMB_DIM, k=5, n_planes=3)
 
 
+@register("ann_ivf_knn", oracle=None)
+def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: k-means coarse quantizer (C=16 lists),
+    4-list probe per query, exact cosine re-rank of candidates.
+
+    The third standard ANN shape next to brute force and LSH: probe
+    fraction n_probe/C bounds the candidate scan (~25% here); recall
+    is tested against ann_bruteforce_knn. At 100 TB the assigned
+    table is written bucketed by centroid_id so each probed list is a
+    contiguous scan, and the quantizer is trained on a sample.
+    Rows-only (k-means float iteration is engine-specific).
+    """
+    emb = _emb(spark, sf_dir)
+    cents = A.kmeans_centroids(emb, n_centroids=16)
+    assigned = A.ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return A.ivf_topk(assigned, queries, cents, k=5, n_probe=4)
+
+
 @register("kmeans_clusters", oracle=None)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N28 KMeans over embeddings (sql_search.py:32-33 declares

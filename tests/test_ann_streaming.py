@@ -29,6 +29,28 @@ def test_lsh_recall_against_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_recall_against_bruteforce(spark):
+    emb = table(spark, "embeddings", SF_DIR)
+    q = _queries(emb)
+    exact = A.brute_force_topk(emb, q, k=5).collect()
+    cents = A.kmeans_centroids(emb, n_centroids=8)
+    assigned = A.ivf_assign(emb, cents)
+    approx = A.ivf_topk(assigned, q, cents, k=5, n_probe=3).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_assignment_covers_all(spark):
+    emb = table(spark, "embeddings", SF_DIR)
+    cents = A.kmeans_centroids(emb, n_centroids=8)
+    assigned = A.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    cids = [r["centroid_id"] for r in assigned.select("centroid_id").distinct().collect()]
+    assert all(0 <= c < 8 for c in cids)
+
+
 def test_streaming_tumbling_matches_batch(spark):
     from conversation_analysis_tools_spark.streaming import (
         read_event_stream,
