@@ -91,3 +91,47 @@ def render_html(conversation_row, message_rows) -> str:
         parts.append("</div>")
     parts.append("</body></html>")
     return "".join(parts)
+
+
+def compact_parquet(
+    spark, path: str, target_file_mb: int = 128, sort_within: str | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_file_mb`` each; returns the new file count.
+
+    The perennial 100 TB operational task -- streaming/incremental
+    writers leave thousands of KB-sized files whose per-file open cost
+    dominates scans. Sizing from the actual on-disk bytes (not row
+    counts) keeps the math format-aware; ``sort_within`` optionally
+    re-sorts within partitions for better column compression and
+    min/max pruning. Rewrite-then-swap keeps readers consistent.
+    """
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    if sort_within:
+        df = df.repartition(n_files).sortWithinPartitions(sort_within)
+    else:
+        df = df.coalesce(n_files) if n_files < df.rdd.getNumPartitions() else df.repartition(n_files)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (columnar alternative; native Spark support)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)

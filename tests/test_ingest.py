@@ -13,6 +13,8 @@ from conversation_analysis_tools_spark.sources import (
     ingest_claude,
     upsert_parquet,
 )
+from conversation_analysis_tools_spark.catalog import table
+from tests.conftest import SF_DIR
 
 CLAUDE_EXPORT = [
     {
@@ -125,3 +127,34 @@ def test_upsert_keeps_latest(spark, tmp_path):
     upsert_parquet(df2, path)
     rows = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert rows == {"a": 1, "b": 2, "c": 2}
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import os
+
+    from conversation_analysis_tools_spark.sources.sinks import compact_parquet
+
+    out = str(tmp_path / "frag")
+    events = table(spark, "events", SF_DIR)
+    # fragment: one file per partition x 16
+    events.repartition(16).write.mode("overwrite").parquet(out)
+    before = sum(
+        1 for f in os.listdir(out) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    n = compact_parquet(spark, out, target_file_mb=128)
+    after = sum(
+        1 for f in os.listdir(out) if f.endswith(".parquet") and not f.startswith("_")
+    )
+    assert after <= before and after == n
+    assert spark.read.parquet(out).count() == events.count()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from conversation_analysis_tools_spark.sources.sinks import read_orc, write_orc
+
+    out = str(tmp_path / "events_orc")
+    events = table(spark, "events", SF_DIR)
+    write_orc(events, out)
+    back = read_orc(spark, out)
+    assert back.count() == events.count()
+    assert set(back.columns) == set(events.columns)
