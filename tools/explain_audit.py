@@ -31,6 +31,12 @@ AUDIT = [
     "nlp_tfidf",
     "nlp_relevance",
     "session_windows_30m",
+    "asof_last_signup",
+    "range_join_5min",
+    "curation_pipeline",
+    "dedup_minhash_lsh",
+    "unigram_logprob",
+    "token_budget_pack",
 ]
 
 
