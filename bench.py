@@ -62,10 +62,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     n_docs = None
     for name in HEADLINE:
-        # best of 2: the box is shared, a single run can absorb a
+        # best of 3: the box is shared, a single run can absorb a
         # co-tenant CPU burst; the min is the plan's real cost
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             rows = qs[name](spark, sf_dir).collect()
             dt = time.time() - t0
