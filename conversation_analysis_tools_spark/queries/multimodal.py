@@ -44,9 +44,19 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_metadata(media, fake=True)
 
 
-@register("multimodal_frame_plan", oracle=None)
+@register(
+    "multimodal_frame_plan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0, octet_length(encode(text)) % 50, 10))
+                AS INT) AS frame_idx
+    FROM documents
+    """,
+)
 def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan shape (explode of per-media frame indexes);
-    rows-only -- the real decoder is stubbed."""
+    the real decoder is stubbed but the index math is deterministic
+    (n_frames = byte_length %% 50 + 1, stride 10), so DuckDB can
+    reproduce it with generate_series over octet_length."""
     docs = _catalog_table(spark, "documents", sf_dir)
     return M.frame_sample_plan(M.docs_as_media(docs))

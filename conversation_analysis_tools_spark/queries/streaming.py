@@ -95,12 +95,23 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_aggregate(_events(spark, sf_dir), "30 minutes")
 
 
-@register("streaming_tumbling", oracle=None)
+@register(
+    "streaming_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL Structured Streaming path: readStream over the events
     parquet, watermark, tumbling window agg, availableNow trigger to a
-    memory sink. Rows-only (execution-mode check; the math is already
-    oracle-checked via window_tumbling_hourly)."""
+    memory sink. The finite stream drains completely under
+    availableNow + complete mode, so every window emits and the result
+    equals the batch tumbling agg -- strict oracle."""
     import os
     import tempfile
     import uuid
