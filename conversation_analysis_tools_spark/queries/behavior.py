@@ -1,0 +1,186 @@
+"""Behavioral analytics over the events table: retention cohorts,
+conversion funnels, event-sequence transitions.
+
+The reference has no events table, but these are the workhorse
+queries of any large-scale user-activity store and exercise operator
+shapes the rest of the registry doesn't: distinct-count matrices over
+derived keys, sequentially-dependent conditional aggregation, and
+lag-based sequence mining (reference analogue: the time-bucketed
+activity rollups in exper_sql.py:2600-2700).
+
+Scale notes (100 TB): every query here shuffles on ``user_id`` exactly
+once -- cohort/funnel/transition state is all per-user, so the single
+hash partitioning carries the whole plan; window functions and the
+follow-up groupBy reuse it without a second exchange. The final
+rollups (cohort-week matrix, 3-row funnel, 25-cell transition matrix)
+are tiny reductions with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.queries.registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _catalog_table(spark, "events", sf_dir)
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) / 7 AS INT)
+                   AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users cohorted by the week of their
+    first event; n_users = distinct users from that cohort active in
+    cohort_week + week_offset.
+
+    Plan: one shuffle on user_id computes the per-user cohort week via
+    an unbounded window min (no join back); the distinct + matrix agg
+    then reduce on the derived (cohort_week, week_offset) key with
+    map-side partials.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("cohort_week", F.date_trunc("week", F.min("ts").over(w)))
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("int"),
+        )
+        .select("user_id", F.col("cohort_week").cast("date").alias("cohort_week"), "week_offset")
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1
+    )
+    SELECT step, n_users FROM (
+        SELECT 1 AS ord, 'view' AS step,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM v WHERE t_view IS NOT NULL
+        UNION ALL
+        SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+    ) ORDER BY ord
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel: first view, then the first click AFTER
+    that view, then the first purchase AFTER that click (strict
+    event-time ordering, not mere co-occurrence).
+
+    Plan: the sequential dependency (step N's window starts at step
+    N-1's timestamp) is resolved with three stacked unbounded window
+    mins over the SAME user_id partitioning -- one exchange total,
+    no self-joins, unlike the oracle's 3-CTE join formulation. The
+    per-user triple then collapses via first() on the already-
+    partitioned column and a 3-cell global count.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'view', n_view, 'view>click', n_click, "
+            "'view>click>purchase', n_purchase) AS (step, n_users)"
+        )
+    )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence transition matrix: consecutive
+    (prev, next) event-type pairs per user, counted corpus-wide
+    (the Markov-chain view of user behavior). event_id breaks
+    timestamp ties so the sequence is deterministic.
+
+    Plan: one shuffle+sort on user_id for the lag; the 25-cell count
+    reduces with map-side partials.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
