@@ -1,0 +1,117 @@
+"""Data-quality audit and incremental-rollup queries.
+
+Pipeline-operations surface: constraint validation over the relational
+tables (orphan foreign keys, duplicate primary keys, null/empty and
+range violations) and incremental aggregate maintenance. The
+reference validates JSON structure at ingest (json_clean.py:14-231);
+at warehouse scale the same trust-but-verify step runs relationally,
+after load, as anti-joins and predicate counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.operators.rollup import (
+    build_rollup,
+    finalize_rollup,
+    merge_rollup,
+)
+from conversation_analysis_tools_spark.queries.registry import register
+
+
+@register(
+    "dq_audit",
+    oracle="""
+    SELECT 'customer_dup_pk' AS check_name, CAST(count(*) AS BIGINT) AS n_violations
+    FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'documents_empty_text', CAST(count(*) AS BIGINT)
+    FROM documents WHERE text IS NULL OR text = ''
+    UNION ALL
+    SELECT 'events_value_invalid', CAST(count(*) AS BIGINT)
+    FROM events WHERE value IS NULL OR isnan(value)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-audit summary: one row per check with its violation
+    count (0 = clean). Orphan FK checks are left_anti joins -- at
+    scale they shuffle on the join key like any equi-join and AQE
+    handles skew; PK-duplicate and predicate checks are partial-
+    aggregated scans. All five checks run in one job as a union of
+    tiny (1-row) aggregates, so the scans can share the exchange-free
+    count shape."""
+
+    def _count(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    customer = _catalog_table(spark, "customer", sf_dir)
+    orders = _catalog_table(spark, "orders", sf_dir)
+    lineitem = _catalog_table(spark, "lineitem", sf_dir)
+    documents = _catalog_table(spark, "documents", sf_dir)
+    events = _catalog_table(spark, "events", sf_dir)
+
+    checks = [
+        _count(
+            "customer_dup_pk",
+            customer.groupBy("c_custkey").count().filter(F.col("count") > 1),
+        ),
+        _count(
+            "documents_empty_text",
+            documents.filter(F.col("text").isNull() | (F.col("text") == "")),
+        ),
+        _count(
+            "events_value_invalid",
+            events.filter(F.col("value").isNull() | F.isnan("value")),
+        ),
+        _count(
+            "lineitem_orphan_orderkey",
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"),
+        ),
+        _count(
+            "orders_orphan_custkey",
+            orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "incremental_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total,
+           round(sum(value) / count(*), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, verified against full recompute:
+    build the daily rollup from the first half of the month, MERGE the
+    second half in as a delta (operators/rollup.merge_rollup), and the
+    result must equal the oracle's from-scratch GROUP BY over all
+    events -- because (count, sum) state is associative. The split
+    date plays the role of the ingest boundary; in production the
+    delta is the newly-landed partition and history is never
+    re-scanned."""
+    events = _catalog_table(spark, "events", sf_dir)
+    boundary = F.lit("2024-01-16").cast("date")
+    old = build_rollup(events.filter(F.col("ts").cast("date") < boundary), "event_type")
+    delta = build_rollup(events.filter(F.col("ts").cast("date") >= boundary), "event_type")
+    return finalize_rollup(merge_rollup(old, delta))
