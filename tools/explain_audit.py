@@ -37,6 +37,11 @@ AUDIT = [
     "dedup_minhash_lsh",
     "unigram_logprob",
     "token_budget_pack",
+    "retention_cohorts",
+    "funnel_view_click_purchase",
+    "event_transitions",
+    "dq_audit",
+    "incremental_rollup",
 ]
 
 
