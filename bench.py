@@ -24,7 +24,8 @@ from conversation_analysis_tools_spark.session import get_spark
 
 #: Representative coverage: scan+window, 3-table join, time agg,
 #: window rank, tokenize+tfidf, inverted-index similarity, LSH dedup,
-#: ANN, sessionization, full NLP pipeline.
+#: ANN, sessionization, full NLP pipeline, cohort/funnel analytics,
+#: incremental rollup maintenance.
 HEADLINE = [
     "event_response_time",
     "join_workhorse",
@@ -41,6 +42,9 @@ HEADLINE = [
     "curation_pipeline",
     "unigram_logprob",
     "streaming_static_enrich",
+    "retention_cohorts",
+    "funnel_view_click_purchase",
+    "incremental_rollup",
     "pipeline_analysis_results",
 ]
 
