@@ -20,5 +20,6 @@ from conversation_analysis_tools_spark.queries import multimodal  # noqa: F401
 from conversation_analysis_tools_spark.queries import sampling  # noqa: F401
 from conversation_analysis_tools_spark.queries import behavior  # noqa: F401
 from conversation_analysis_tools_spark.queries import audit  # noqa: F401
+from conversation_analysis_tools_spark.queries import retrieval  # noqa: F401
 
 __all__ = ["REGISTRY", "register", "Query"]
