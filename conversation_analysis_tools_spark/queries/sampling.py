@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from conversation_analysis_tools_spark.catalog import table as _catalog_table
-from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
+from conversation_analysis_tools_spark.functions.text import (
+    STOPWORDS_SQL_ARRAY,
+    raw_tokens_expr,
+)
 from conversation_analysis_tools_spark.queries.registry import register
 
 
@@ -336,4 +339,117 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_phones"),
         scrubbed.alias("scrubbed"),
+    )
+
+
+@register(
+    "temperature_mixture",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n_tokens)::DOUBLE AS tok_total,
+               sum(pow(n_tokens::DOUBLE, 0.3)) AS pow_total
+        FROM per_source
+    )
+    SELECT s.source, s.n_docs, s.n_tokens,
+           round(s.n_tokens / t.tok_total, 6) AS p_natural,
+           round(pow(s.n_tokens::DOUBLE, 0.3) / t.pow_total, 6) AS p_temp,
+           round((pow(s.n_tokens::DOUBLE, 0.3) / t.pow_total)
+                 / (s.n_tokens / t.tok_total), 4) AS boost
+    FROM per_source s CROSS JOIN tot t
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights (alpha = 0.3, the
+    multilingual-corpus rebalancing rule p_s ~ n_s^alpha): small
+    sources are up-weighted relative to their natural token share,
+    boost = p_temp / p_natural.
+
+    Plan: one partial-aggregated groupBy(source) over the BPE-estimate
+    token counts, then a broadcast 1-row total -- corpus-scan bound,
+    result is |sources| rows.
+    """
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.ceil(F.length("text") / 4.0).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("tok_total"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), 0.3)).alias("pow_total"),
+    )
+    p_nat = F.col("n_tokens") / F.col("tok_total")
+    p_temp = F.pow(F.col("n_tokens").cast("double"), 0.3) / F.col("pow_total")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p_nat, 6).alias("p_natural"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_nat, 4).alias("boost"),
+    )
+
+
+@register(
+    "quality_decile_bins",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b')) AS n_tokens,
+               round(len(list_filter(
+                         regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b'),
+                         t -> list_contains({STOPWORDS_SQL_ARRAY}, t))) * 1.0
+                     / nullif(len(regexp_extract_all(lower(text), '\\b[a-z]{{3,}}\\b')), 0),
+                     6) AS stop_ratio
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, n_tokens, stop_ratio,
+               ntile(10) OVER (ORDER BY stop_ratio, doc_id) AS decile
+        FROM feats WHERE n_tokens > 0
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(stop_ratio), 6) AS avg_stop_ratio,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM binned GROUP BY 1
+    """,
+)
+def quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: docs ntile(10)-bucketed by stopword ratio
+    (rounded, doc_id tiebreak -> identical bucket boundaries in both
+    engines), profiled per decile.
+
+    The exact global ntile is the oracle-checkable form; at 100 TB the
+    same binning uses percentile_approx cutpoints (one pass, no global
+    sort) -- documented trade-off, same downstream schema.
+    """
+    from conversation_analysis_tools_spark.functions.text import STOPWORDS
+
+    docs = _docs(spark, sf_dir)
+    raw = raw_tokens_expr("text")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = F.size(raw).cast("bigint")
+    n_stop = F.size(F.filter(raw, lambda t: F.array_contains(stop_arr, t)))
+    feats = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop * 1.0 / F.nullif(n_tokens, F.lit(0)), 6).alias("stop_ratio"),
+    ).where(F.col("n_tokens") > 0)
+    binned = feats.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy("stop_ratio", "doc_id")),
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
     )
