@@ -22,4 +22,100 @@ from conversation_analysis_tools_spark.queries import behavior  # noqa: F401
 from conversation_analysis_tools_spark.queries import audit  # noqa: F401
 from conversation_analysis_tools_spark.queries import retrieval  # noqa: F401
 
-__all__ = ["REGISTRY", "register", "Query"]
+# ---------------------------------------------------------------------------
+# Verification-priority ordering.
+#
+# The external driver records correctness rows for only the FIRST 50
+# entries of ``__spark_entry__.queries()`` per round, so registration
+# order is a scarce verification window. This list pins which queries
+# occupy that window this round; everything not listed follows in
+# module-registration order. Rotation policy: queries that already
+# have a green driver row from a prior round fall to the back; never-
+# checked and just-fixed queries come first.
+#
+# Round-2 window: the six round-1 hash/crash fixes, the flagship
+# pipeline, then the dedup / sampling / behavior / audit / retrieval /
+# text-curation / ANN / multimodal / NLP-tail families (none of which
+# received a driver row in round 1).
+# ---------------------------------------------------------------------------
+
+VERIFY_PRIORITY: list[str] = [
+    # round-1 FAIL -> fixed (oracle typing / array serialization)
+    "conditional_agg",
+    "length_stats",
+    "pivot_counts",
+    "json_metadata_agg",
+    "multi_key_sort",
+    "context_window_frame",
+    # flagship (N30) -- recursive-CTE oracle
+    "pipeline_analysis_results",
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "decontamination_check",
+    "repetition_scores",
+    # sampling / corpus-construction family
+    "hash_split",
+    "source_mixing_sample",
+    "token_budget_pack",
+    "unigram_logprob",
+    "corpus_ngram_top20",
+    "pii_scrub",
+    "temperature_mixture",
+    "quality_decile_bins",
+    # behavioral analytics
+    "retention_cohorts",
+    "funnel_view_click_purchase",
+    "event_transitions",
+    # audit / incremental rollup
+    "dq_audit",
+    "incremental_rollup",
+    # retrieval
+    "bm25_topk",
+    "hybrid_rrf",
+    # text curation (LLM-pipeline textstats tail)
+    "langid_heuristic",
+    "quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+    "fingerprint_dup_groups",
+    "curation_pipeline",
+    "stratified_cap",
+    "corpus_length_percentiles",
+    # ANN (the oracled exact baseline)
+    "ann_bruteforce_knn",
+    # multimodal plumbing
+    "multimodal_metadata",
+    "multimodal_frame_plan",
+    # NLP tail (N5-N29, untested in round 1)
+    "nlp_tfidf",
+    "nlp_relevance",
+    "nlp_relevance_topk",
+    "nlp_sentence_stats",
+    "nlp_duplicate_pairs",
+    "nlp_near_duplicates",
+    "nlp_priority",
+    "nlp_topic_search",
+    "semantic_search_topk",
+    # new this round: snippet extraction + keyword highlight
+    "snippet_highlight",
+]
+
+
+def ordered_registry() -> dict[str, Query]:
+    """REGISTRY reordered so VERIFY_PRIORITY occupies the driver's
+    correctness window; unknown/future names are skipped gracefully."""
+    out: dict[str, Query] = {}
+    for name in VERIFY_PRIORITY:
+        if name in REGISTRY:
+            out[name] = REGISTRY[name]
+    for name, q in REGISTRY.items():
+        if name not in out:
+            out[name] = q
+    return out
+
+
+__all__ = ["REGISTRY", "register", "Query", "VERIFY_PRIORITY", "ordered_registry"]

@@ -450,8 +450,9 @@ def nlp_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nlp_topic_search",
     oracle="""
     SELECT source,
-           sum(CASE WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
-                         OR lower(text) LIKE '%hash%' THEN 1 ELSE 0 END) AS relevant_docs,
+           CAST(sum(CASE WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
+                         OR lower(text) LIKE '%hash%' THEN 1 ELSE 0 END) AS BIGINT)
+               AS relevant_docs,
            count(*) AS total_docs
     FROM documents
     GROUP BY source
@@ -529,7 +530,22 @@ def embedding_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     TfidfVectorizer(max_features=5000) + npz cache,
     sql_search.py:1161-1249). Rows-only: the vector payload is
     property-tested (dimension, zero-token docs, norm) in
-    tests/test_embed_views.py."""
+    tests/test_embed_views.py.
+
+    The driver-facing surface serializes the vector (dim + L2 norm +
+    rounded CSV) -- raw array cells crash the harness canonicalizer's
+    pandas sort."""
     from conversation_analysis_tools_spark.operators.embed import tfidf_embeddings
 
-    return tfidf_embeddings(_docs(spark, sf_dir), vocab_size=5000)
+    emb = tfidf_embeddings(_docs(spark, sf_dir), vocab_size=5000)
+    vec = F.col("embedding")
+    return emb.select(
+        "doc_id",
+        F.size(vec).alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2_norm"),
+        F.array_join(
+            F.transform(vec, lambda x: F.round(x, 4).cast("string")), ","
+        ).alias("embedding_csv"),
+    )

@@ -366,8 +366,10 @@ def group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors,
            round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4)
                AS purchase_value
     FROM events
@@ -426,7 +428,7 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(length(text)), 4) AS avg_len,
            min(length(text)) AS min_len,
            max(length(text)) AS max_len,
-           sum(length(text)) AS total_len
+           CAST(sum(length(text)) AS BIGINT) AS total_len
     FROM documents
     GROUP BY lang
     """,
@@ -575,11 +577,11 @@ def group_concat_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_counts",
     oracle="""
     SELECT user_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events
     GROUP BY user_id
     """,
@@ -649,7 +651,8 @@ def stddev_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_metadata_agg",
     oracle="""
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_total,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
     FROM events
     GROUP BY event_type
@@ -822,7 +825,8 @@ def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multi_key_sort",
     oracle="""
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang, source
     ORDER BY lang, n_docs DESC, source
@@ -1259,10 +1263,11 @@ def range_join_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id, event_id,
-           list(event_id) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
-           ) AS context_ids
+           array_to_string(
+               list(event_id) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+               ), ',') AS context_ids
     FROM numbered
     """,
 )
@@ -1271,7 +1276,9 @@ def context_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     rowsBetween(-2, 2) frame (the alternate plan SURVEY §2.5 lists
     next to the self-join form in `context_window`). One window pass,
     no join; the frame order is fully deterministic (ts, event_id) so
-    the collected lists hash identically across engines."""
+    the collected lists hash identically across engines. The array is
+    serialized to a CSV string because the harness canonicalizer
+    pandas-sorts output columns and cannot hash list cells."""
     events = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -1281,5 +1288,7 @@ def context_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "user_id",
         "event_id",
-        F.collect_list("event_id").over(w).alias("context_ids"),
+        F.array_join(
+            F.collect_list("event_id").over(w).cast("array<string>"), ","
+        ).alias("context_ids"),
     )

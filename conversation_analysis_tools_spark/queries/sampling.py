@@ -89,10 +89,10 @@ MIX_ODD_HEX = "c000"  # 0.75
     oracle=f"""
     SELECT source,
            count(*) AS n_total,
-           sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                     < (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
                             THEN '{MIX_EVEN_HEX}' ELSE '{MIX_ODD_HEX}' END)
-                    THEN 1 ELSE 0 END) AS n_kept
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents
     GROUP BY source
     """,

@@ -157,17 +157,17 @@ def _topic_flag_sql(kws: list[str]) -> str:
         FROM documents
     )
     SELECT 'performance' AS topic_a, 'storage' AS topic_b,
-           sum(f_performance * f_storage) AS n_docs,
+           CAST(sum(f_performance * f_storage) AS BIGINT) AS n_docs,
            round(sum(f_performance * f_storage) * 1.0 / any_value(total), 6) AS frac
     FROM flags
     UNION ALL
     SELECT 'performance', 'relational',
-           sum(f_performance * f_relational),
+           CAST(sum(f_performance * f_relational) AS BIGINT),
            round(sum(f_performance * f_relational) * 1.0 / any_value(total), 6)
     FROM flags
     UNION ALL
     SELECT 'storage', 'relational',
-           sum(f_storage * f_relational),
+           CAST(sum(f_storage * f_relational) AS BIGINT),
            round(sum(f_storage * f_relational) * 1.0 / any_value(total), 6)
     FROM flags
     """,
@@ -225,9 +225,9 @@ def topic_cooccurrence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            count(*) AS total_docs,
-           sum({_topic_flag_sql(TOPICS['performance'])}) AS performance,
-           sum({_topic_flag_sql(TOPICS['storage'])}) AS storage,
-           sum({_topic_flag_sql(TOPICS['relational'])}) AS relational,
+           CAST(sum({_topic_flag_sql(TOPICS['performance'])}) AS BIGINT) AS performance,
+           CAST(sum({_topic_flag_sql(TOPICS['storage'])}) AS BIGINT) AS storage,
+           CAST(sum({_topic_flag_sql(TOPICS['relational'])}) AS BIGINT) AS relational,
            round(sum({_topic_flag_sql(TOPICS['performance'])}) * 100.0 / count(*), 4)
                AS performance_pct
     FROM documents
@@ -277,8 +277,8 @@ NEG_WORDS = ["slow", "big"]
         FROM documents
     )
     SELECT source,
-           sum(CASE WHEN term IN ({', '.join(repr(w) for w in POS_WORDS)}) THEN 1 ELSE 0 END) AS pos_hits,
-           sum(CASE WHEN term IN ({', '.join(repr(w) for w in NEG_WORDS)}) THEN 1 ELSE 0 END) AS neg_hits,
+           CAST(sum(CASE WHEN term IN ({', '.join(repr(w) for w in POS_WORDS)}) THEN 1 ELSE 0 END) AS BIGINT) AS pos_hits,
+           CAST(sum(CASE WHEN term IN ({', '.join(repr(w) for w in NEG_WORDS)}) THEN 1 ELSE 0 END) AS BIGINT) AS neg_hits,
            round(sum(CASE WHEN term IN ({', '.join(repr(w) for w in POS_WORDS)}) THEN 1 ELSE 0 END) * 100.0
                  / nullif(sum(CASE WHEN term IN ({', '.join(repr(w) for w in POS_WORDS + NEG_WORDS)}) THEN 1 ELSE 0 END), 0), 4)
                AS pos_pct
@@ -560,7 +560,7 @@ def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            count(*) AS kept_docs,
-           sum(n_chars) AS kept_chars
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
     FROM deduped
     WHERE rn = 1 AND quality <> 'low'
     GROUP BY lang
@@ -617,7 +617,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS kept_docs,
            any_value(total_docs) AS total_docs,
-           sum(n_chars) AS kept_chars
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars
     FROM ranked
     WHERE rn <= 30
     GROUP BY lang
