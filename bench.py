@@ -20,6 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from conversation_analysis_tools_spark.operators.cache import (
+    release_all as release_cached,
+)
 from conversation_analysis_tools_spark.session import get_spark
 
 #: Representative coverage: scan+window, 3-table join, time agg,
@@ -74,6 +77,7 @@ def main() -> None:
             rows = qs[name](spark, sf_dir).collect()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
+            release_cached()
         timings[name] = round(best, 3)
         if name == "pipeline_analysis_results":
             n_docs = len(rows)

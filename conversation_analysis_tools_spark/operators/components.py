@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from conversation_analysis_tools_spark.operators.cache import track
+
 
 #: Edge count below which the graph is collected and solved with
 #: driver-side union-find: a duplicate graph's edge list is almost
@@ -44,7 +46,7 @@ def connected_components(
     # persist first: the probe, the collect/loop, and any downstream
     # join would otherwise re-materialize the (often expensive)
     # edge-producing plan -- e.g. the all-pairs similarity join
-    edges = edges.persist()
+    edges = track(edges)
     if strategy == "auto":
         probe = edges.limit(SMALL_GRAPH_LIMIT + 1).count()
         strategy = "local" if probe <= SMALL_GRAPH_LIMIT else "distributed"

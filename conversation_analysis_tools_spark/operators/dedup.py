@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from conversation_analysis_tools_spark.operators.cache import track
+
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Repartition a narrow input up to full parallelism when the scan
@@ -222,7 +224,7 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash LSH candidates -> exact-Jaccard verified pairs."""
     # persist: the array table feeds signatures AND the verify joins
-    arrs = shingle_arrays(df, id_col, text_col).persist()
+    arrs = track(shingle_arrays(df, id_col, text_col))
     sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     cands = minhash_candidates(lsh_bands(minhash_signatures(sh, id_col), id_col), id_col, max_bucket)
     return jaccard_verify(cands, arrs, threshold, id_col)
@@ -326,7 +328,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via inverted shingle index:
     only pairs sharing a shingle are generated."""
-    arrs = shingle_arrays(df, id_col, text_col, n).persist()
+    arrs = track(shingle_arrays(df, id_col, text_col, n))
     sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     # sizes from the array stage: narrow projection, no extra groupBy
     sizes = arrs.select(F.col(id_col), F.size("sh_arr").alias("sz"))

@@ -41,8 +41,18 @@ def tf_vectors(
 #: Vocabulary size below which the dense-vector plan beats the
 #: inverted index: with v distinct terms shared by nearly all docs the
 #: term join materializes O(v * n^2) rows, while the dense plan is a
-#: broadcast nested-loop over n^2 pairs with a v-wide codegen dot.
+#: blocked matrix product over n^2 pairs with BLAS dots.
 SMALL_VOCAB_LIMIT = 256
+
+#: Corpus size above which the dense plan's n^2 FLOPs are hopeless on
+#: any cluster (10^10+ pair dots) -- force the inverted index (or the
+#: MinHash-LSH dedup variant) regardless of vocabulary size.
+DENSE_MAX_N = 100_000
+
+#: Target rows per block in the blocked dense plan. Grid parallelism
+#: is B(B+1)/2 cells for B = ceil(n / DENSE_BLOCK_ROWS); shuffle
+#: volume is n * B vector rows.
+DENSE_BLOCK_ROWS = 2_000
 
 
 def pairwise_cosine(
@@ -70,12 +80,44 @@ def pairwise_cosine(
             tf.select("term").distinct().limit(SMALL_VOCAB_LIMIT + 1).collect()
         )
         if len(probe) <= SMALL_VOCAB_LIMIT:
-            strategy, vocab = "dense", sorted(r["term"] for r in probe)
+            # second probe: even a tiny vocabulary cannot rescue the
+            # dense plan's n^2 FLOPs above DENSE_MAX_N docs
+            n_docs = tf.agg(
+                F.approx_count_distinct(id_col).alias("n")
+            ).collect()[0]["n"]
+            if n_docs <= DENSE_MAX_N:
+                strategy, vocab = "dense", sorted(r["term"] for r in probe)
+            else:
+                strategy = "inverted"
         else:
             strategy = "inverted"
     if strategy == "dense":
         return _pairwise_cosine_dense(tf, id_col, threshold, vocab)
     return _pairwise_cosine_inverted(tf, id_col, max_df)
+
+
+def _dense_doc_vectors(
+    tf: DataFrame, id_col: str, vocab: list
+) -> DataFrame:
+    """(id, term, tf) -> (_id, blk, v) with v vocab-aligned and
+    L2-normalized, entirely JVM-side (map lookup + higher-order
+    transform in codegen -- no Python touches the vectors until the
+    BLAS kernel)."""
+    ent = F.map_from_entries(F.collect_list(F.struct("term", "tf")))
+    vkeys = F.array(*[F.lit(t) for t in vocab])
+    raw_v = F.transform(
+        vkeys, lambda t: F.coalesce(F.element_at(F.col("m"), t), F.lit(0.0))
+    )
+    nrm = F.sqrt(F.aggregate(F.col("v0"), F.lit(0.0), lambda a, x: a + x * x))
+    safe = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
+    return (
+        tf.groupBy(id_col)
+        .agg(ent.alias("m"))
+        .select(F.col(id_col).alias("_id"), raw_v.alias("v0"))
+        .select(
+            "_id", F.transform(F.col("v0"), lambda x: x / safe).alias("v")
+        )
+    )
 
 
 def _pairwise_cosine_dense(
@@ -84,81 +126,80 @@ def _pairwise_cosine_dense(
     threshold: float = 0.0,
     vocab: list | None = None,
 ) -> DataFrame:
-    """Dense plan: block matrix product.
+    """Dense plan: GRID-BLOCKED matrix product, no driver-side matrix.
 
-    One row per doc with a vocab-aligned L2-normalized vector; the
-    full (n x v) matrix is tiny when v is small (n=10^6, v=256 ->
-    ~2 GB; here ~1 MB) and is broadcast; each Arrow batch of the
-    SAME relation streams through ``mapInPandas`` and computes
-    ``batch @ M.T`` with BLAS -- ~10^9 FLOPs/s/core instead of a
-    per-pair join. Only pairs >= threshold cross back out of Python,
-    so the output stays sparse. At larger n, block BOTH sides
-    (grid of batch x batch products) -- same operator, different
-    broadcast granularity.
+    Docs are hashed into B = ceil(n / DENSE_BLOCK_ROWS) row-blocks;
+    every row is replicated to the B grid cells its block belongs to
+    (cell (bi, bj), bi <= bj), and each cell independently computes a
+    block_i @ block_j^T BLAS product inside ``applyInPandas``,
+    emitting only pairs >= threshold. Exactness: an unordered pair
+    {x, y} lands in exactly one cell (min(bx,by), max(bx,by)); the
+    diagonal cell keeps the strict upper triangle.
+
+    Cost model (SURVEY §4): shuffle = n*B vector rows, FLOPs = n^2*v
+    spread over B(B+1)/2 independent tasks. n > DENSE_MAX_N never
+    reaches this function (auto-strategy forces inverted/LSH).
     """
     import numpy as np
     import pandas as pd
 
-    spark = tf.sparkSession
-
     if vocab is None:
         vocab = sorted(r["term"] for r in tf.select("term").distinct().collect())
 
-    # Vocab-aligned dense vector built JVM-side (map lookup per slot in
-    # codegen): both the driver collect and the Arrow batches then hold
-    # ready-made float arrays -- no per-cell Python dict fills.
-    ent = F.map_from_entries(F.collect_list(F.struct("term", "tf")))
-    vkeys = F.array(*[F.lit(t) for t in vocab])
-    # persist: this relation is both the broadcast-matrix source (one
-    # collect) and the streamed side (mapInPandas) -- without the
-    # persist the tokenize+groupBy lineage would run twice
-    per_doc = (
-        tf.groupBy(id_col)
-        .agg(ent.alias("m"))
-        .select(
-            F.col(id_col).alias("_id"),
-            F.transform(
-                vkeys, lambda t: F.coalesce(F.element_at(F.col("m"), t), F.lit(0.0))
-            ).alias("v"),
-        )
-        .persist()
+    from conversation_analysis_tools_spark.operators.cache import track
+
+    # persisted: consumed by the count job here AND by the grid cells;
+    # registered with the cache tracker so harness loops can release it
+    per_doc = track(_dense_doc_vectors(tf, id_col, vocab))
+    n = per_doc.count()
+    n_blocks = max(1, min(64, -(-n // DENSE_BLOCK_ROWS)))
+
+    blocked = per_doc.withColumn(
+        "blk", F.pmod(F.hash("_id"), F.lit(n_blocks)).cast("int")
+    )
+    # replicate each row to every grid cell its block participates in
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda o: F.struct(
+            F.least(F.col("blk"), o).alias("bi"),
+            F.greatest(F.col("blk"), o).alias("bj"),
+        ),
+    )
+    exploded = (
+        blocked.select("_id", "blk", "v", F.explode(F.array_distinct(cells)).alias("c"))
+        .select("_id", "blk", "v", F.col("c.bi").alias("bi"), F.col("c.bj").alias("bj"))
     )
 
-    compact = per_doc.collect()
-    ids = np.array([r["_id"] for r in compact], dtype=np.int64)
-    # explicit reshape keeps 2-D on an empty corpus / empty vocab
-    mat = np.array([r["v"] for r in compact], dtype=float).reshape(
-        len(compact), len(vocab)
-    )
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat = mat / norms[:, None]
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
     thr = threshold
 
-    def block(batches):
-        M = b_mat.value
-        all_ids = b_ids.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack(pdf["v"].to_numpy())
-            n = np.linalg.norm(V, axis=1)
-            n[n == 0] = 1.0
-            V = V / n[:, None]
-            sims = V @ M.T
-            batch_ids = pdf["_id"].to_numpy()
-            # vectorized pair extraction over the whole batch
-            mask = (sims >= thr) & (all_ids[None, :] > batch_ids[:, None])
-            ii, jj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id1": batch_ids[ii], "id2": all_ids[jj], "sim": sims[ii, jj]}
+    def cell_product(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bi, bj = key
+        if bi == bj:
+            left = right = pdf
+        else:
+            left = pdf[pdf["blk"] == bi]
+            right = pdf[pdf["blk"] == bj]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id1": [], "id2": [], "sim": []}).astype(
+                {"id1": "int64", "id2": "int64", "sim": "float64"}
             )
+        L = np.stack(left["v"].to_numpy())
+        R = np.stack(right["v"].to_numpy())
+        sims = L @ R.T
+        lid = left["_id"].to_numpy()
+        rid = right["_id"].to_numpy()
+        mask = sims >= thr
+        if bi == bj:
+            mask &= rid[None, :] > lid[:, None]
+        ii, jj = np.nonzero(mask)
+        a, b = lid[ii], rid[jj]
+        return pd.DataFrame(
+            {"id1": np.minimum(a, b), "id2": np.maximum(a, b), "sim": sims[ii, jj]}
+        )
 
-    return per_doc.mapInPandas(block, schema="id1 long, id2 long, sim double")
+    return exploded.groupBy("bi", "bj").applyInPandas(
+        cell_product, schema="id1 long, id2 long, sim double"
+    )
 
 
 def _pairwise_cosine_inverted(

@@ -68,9 +68,11 @@ def run_content_pipeline(
     # long-format table.
     from conversation_analysis_tools_spark.operators import tfidf as T
 
-    counts = T.term_counts(
+    from conversation_analysis_tools_spark.operators.cache import track
+
+    counts = track(T.term_counts(
         T.explode_tokens(docs, id_col, text_col), id_col
-    ).persist()
+    ))
 
     scored = R.score_documents(
         docs, kws, cfg["relevance_weights"], id_col, text_col, counts=counts

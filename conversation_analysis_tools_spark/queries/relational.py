@@ -334,14 +334,20 @@ def ordered_id_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserving similarity order). Spark-first: join against a small
     (id, rank) relation is the general form; here the rank relation is
     derived by window so the oracle can reproduce it exactly.
-    """
+
+    Scale: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject
+    (per-partition top-k, merged on the driver) -- the global
+    ``row_number`` window only ever sees the k survivors, never the
+    full table through one task (the bm25_topk pattern)."""
     orders = _t(spark, sf_dir, "orders")
+    top = (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        orders.select(
-            F.row_number().over(w).alias("rnk"), "o_orderkey", "o_totalprice"
-        )
-        .where(F.col("rnk") <= 25)
+    return top.select(
+        F.row_number().over(w).alias("rnk"), "o_orderkey", "o_totalprice"
     )
 
 

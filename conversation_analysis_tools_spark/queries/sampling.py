@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.operators.cache import track
 from conversation_analysis_tools_spark.functions.text import (
     STOPWORDS_SQL_ARRAY,
     raw_tokens_expr,
@@ -208,7 +209,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the real token stream, unlike the relevance pipeline's tokenizer
     tok = docs.select("doc_id", F.explode(raw_tokens_expr("text")).alias("term"))
     counts = (
-        tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt")).persist()
+        track(tok.groupBy("doc_id", "term").agg(F.count("*").alias("cnt")))
     )
     lm = counts.groupBy("term").agg(F.sum("cnt").alias("tcnt"))
     total = lm.agg(F.sum("tcnt")).first()[0]
@@ -427,10 +428,15 @@ def quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded, doc_id tiebreak -> identical bucket boundaries in both
     engines), profiled per decile.
 
-    The exact global ntile is the oracle-checkable form; at 100 TB the
-    same binning uses percentile_approx cutpoints (one pass, no global
-    sort) -- documented trade-off, same downstream schema.
-    """
+    Scale-safe exact ntile: instead of ``ntile(10) OVER (ORDER BY ...)``
+    (a global sort through ONE task), the global rank is assembled
+    distributed -- ``repartitionByRange`` on the sort key (non-
+    overlapping ranges), per-partition ``row_number`` (window keyed by
+    partition id, so every partition ranks locally in parallel), plus a
+    broadcast of per-partition row counts (#partitions values -- a
+    bounded strategy probe, not a data collect). The ntile bucket is
+    then pure arithmetic on the global rank, reproducing SQL ntile's
+    exact split (first N%k buckets get one extra row)."""
     from conversation_analysis_tools_spark.functions.text import STOPWORDS
 
     docs = _docs(spark, sf_dir)
@@ -443,13 +449,56 @@ def quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.round(n_stop * 1.0 / F.nullif(n_tokens, F.lit(0)), 6).alias("stop_ratio"),
     ).where(F.col("n_tokens") > 0)
-    binned = feats.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy("stop_ratio", "doc_id")),
+
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = feats.repartitionByRange(n_parts, "stop_ratio", "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
     )
-    return binned.groupBy("decile").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
-        F.min("n_tokens").alias("min_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
+    local = ranged.withColumn(
+        "_lrn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy("stop_ratio", "doc_id")),
     )
+    local.persist()
+    try:
+        part_counts = sorted(
+            (r["_pid"], r["cnt"])
+            for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        )
+        offsets = {}
+        acc = 0
+        for pid, cnt in part_counts:
+            offsets[pid] = acc
+            acc += cnt
+        n_total = acc
+
+        k = 10
+        r = n_total % k  # first r buckets get (small+1) rows, SQL ntile semantics
+        small = n_total // k
+        big = small + 1
+        off = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in offsets.items() for x in kv]
+                ),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        )
+        rn = (off + F.col("_lrn")).cast("bigint")
+        decile = (
+            F.when(rn <= r * big, ((rn - 1) / big).cast("bigint") + 1)
+            .otherwise(F.lit(r) + ((rn - r * big - 1) / F.lit(small)).cast("bigint") + 1)
+            .cast("int")
+        )
+        binned = local.withColumn("decile", decile)
+        out = binned.groupBy("decile").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        # Materialize before unpersist so the cached rank map is not
+        # recomputed (and the map stays deterministic).
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        local.unpersist()

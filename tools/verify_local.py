@@ -32,6 +32,7 @@ import pandas as pd
 
 import __spark_entry__ as entrymod
 from conversation_analysis_tools_spark.catalog import TABLES
+from conversation_analysis_tools_spark.operators.cache import release_all
 from conversation_analysis_tools_spark.session import get_spark
 
 
@@ -95,6 +96,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            release_all()  # free operator-internal persists per query
         if name not in oracles:
             try:
                 _canon(s_pdf)  # still catch list cells in rows-only output
