@@ -105,6 +105,80 @@ def textrank_rank(
     )
 
 
+def doc_sentences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) -> (id, sent_idx, sentence, tokens): the reference's
+    sentence split (``[.!?]+``, strip, >= 3 words,
+    summarizer.py:42-61) + its tokenizer, all JVM-side; sent_idx is
+    the document-order position among *kept* sentences (the index the
+    reference's ``sorted(ranked[:k])`` re-sort operates on)."""
+    from conversation_analysis_tools_spark.functions.text import (
+        sentences_expr,
+        tokens_expr,
+    )
+
+    return docs.select(
+        id_col, F.posexplode(sentences_expr(text_col)).alias("sent_idx", "sentence")
+    ).withColumn("tokens", tokens_expr(F.col("sentence")))
+
+
+def summarize_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Sentence-grain extractive summary per document -> (id,
+    n_sentences, summary).
+
+    Reference-exact (pipeline/summarizer.py:161-242): TextRank over
+    the within-document sentence graph; when the document has <= k
+    sentences they are all kept verbatim; otherwise the top-k by
+    ``np.argsort(scores)[::-1]`` (same default sort => same
+    tie-behavior on equal scores) are re-sorted into DOCUMENT order
+    and joined with ' ' (``summarize_to_text``, :225-242).
+
+    Grain: one group = one document's sentence graph -- tiny matrix,
+    ``applyInPandas`` after a single shuffle on the doc id. Documents
+    with zero kept sentences produce no row (callers left-join and
+    coalesce to '').
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_sentences", LongType()),
+            StructField("summary", StringType()),
+        ]
+    )
+
+    def summarize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sent_idx").reset_index(drop=True)
+        sentences = pdf["sentence"].tolist()
+        n = len(sentences)
+        if n <= k:
+            chosen = sentences
+        else:
+            sets = [set(t) if t is not None else set() for t in pdf["tokens"]]
+            scores = _textrank_scores(sets, damping)
+            top = sorted(np.argsort(scores)[::-1][:k])
+            chosen = [sentences[i] for i in top]
+        return pd.DataFrame(
+            {
+                id_col: [pdf[id_col].iloc[0]],
+                "n_sentences": [n],
+                "summary": [" ".join(chosen)],
+            }
+        )
+
+    return (
+        doc_sentences(docs, id_col, text_col)
+        .groupBy(id_col)
+        .applyInPandas(summarize_group, schema=out_schema)
+    )
+
+
 def summarize_top_k(ranked: DataFrame, k: int = 3, node_col: str = "doc_id") -> DataFrame:
     """N14: keep top-k per group, re-sorted into document order
     (reference re-sorts selected sentences by position,

@@ -101,12 +101,22 @@ def run_content_pipeline(
     dups = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col), F.lit(True).alias("is_duplicate")
     )
+    # Sentence-grain extractive summaries (summarizer.py:161-242) --
+    # the reference's analysis_results.summary column
+    # (pipeline/pipeline.py:390-400); docs with no kept sentences
+    # summarize to '' exactly like ' '.join([]).
+    summaries = TR.summarize_documents(
+        docs, id_col, text_col, cfg["summary_top_k"], cfg["textrank_damping"]
+    ).select(id_col, "summary")
     results = (
         classified.join(dups, id_col, "left")
         .withColumn("is_duplicate", F.coalesce("is_duplicate", F.lit(False)))
+        .join(summaries, id_col, "left")
+        .withColumn("summary", F.coalesce("summary", F.lit("")))
         .select(
             F.col(id_col).alias("message_id"),
             F.col("relevance").alias("relevance_score"),
+            "summary",
             F.round("priority_score", 6).alias("priority_score"),
             "priority_level",
             "is_duplicate",

@@ -173,4 +173,18 @@ def pipeline_analysis_results(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duplicate_threshold": 0.9,
         },
     )
-    return out["analysis_results"]
+    # summary (TextRank text assembly) is checked by doc_summaries +
+    # tests/test_summarizer.py; the SQL oracle covers the other five.
+    return out["analysis_results"].drop("summary")
+
+
+@register("doc_summaries", oracle=None)
+def doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N13/N14 sentence-grain summarization: per-document TextRank
+    over the sentence graph, top-3 re-sorted to document order and
+    joined with ' ' (pipeline/summarizer.py:161-242). Rows-only
+    (float power iteration); the exact ``sorted(ranked[:k])``
+    selection semantics are pinned against a pure-Python reference
+    implementation in tests/test_summarizer.py."""
+    docs = _catalog_table(spark, "documents", sf_dir)
+    return TR.summarize_documents(docs, "doc_id", "text", k=3).orderBy("doc_id")

@@ -112,6 +112,76 @@ def substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Snippet context chars either side of the match (sql_search.py:259).
+SNIPPET_CONTEXT = 60
+SNIPPET_QUERY = "spark"
+
+
+@register(
+    "snippet_highlight",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id, source, text,
+               strpos(lower(text), '{SNIPPET_QUERY}') - 1 AS pos0,
+               length(text) AS n
+        FROM documents
+        WHERE lower(text) LIKE '%{SNIPPET_QUERY}%'
+    ),
+    bounds AS (
+        SELECT doc_id, source, text, n,
+               greatest(0, pos0 - {SNIPPET_CONTEXT}) AS s0,
+               least(n, pos0 + {len(SNIPPET_QUERY)} + {SNIPPET_CONTEXT}) AS e0
+        FROM hits
+    )
+    SELECT doc_id, source,
+           (CASE WHEN s0 > 0 THEN '...' ELSE '' END)
+           || regexp_replace(substr(text, CAST(s0 + 1 AS INT), CAST(e0 - s0 AS INT)),
+                             '(?i){SNIPPET_QUERY}', '[{SNIPPET_QUERY}]', 'g')
+           || (CASE WHEN e0 < n THEN '...' ELSE '' END) AS snippet
+    FROM bounds
+    """,
+)
+def snippet_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippet extraction + keyword highlight
+    (sql_search.py:253-281): take the first case-insensitive match
+    position, cut ``SNIPPET_CONTEXT`` chars of context either side,
+    add '...' ellipses at clipped edges, and wrap every match in
+    brackets (the engine-side stand-in for the reference's ANSI color
+    escapes -- presentation chooses the wrapper).
+
+    Pure column expressions (locate / substring / regexp_replace), so
+    the whole post-process stays in whole-stage codegen right behind
+    the search filter -- no second pass over the corpus and nothing
+    leaves the JVM. Title truncation (sql_search.py:270-272) is a
+    display concern left to the markdown/HTML sinks."""
+    docs = _t(spark, sf_dir, "documents")
+    q, ctx = SNIPPET_QUERY, SNIPPET_CONTEXT
+    hits = docs.where(F.lower(F.col("text")).contains(q)).select(
+        "doc_id",
+        "source",
+        "text",
+        (F.locate(q, F.lower(F.col("text"))) - 1).alias("pos0"),
+        F.length("text").alias("n"),
+    )
+    bounds = hits.select(
+        "doc_id",
+        "source",
+        "text",
+        "n",
+        F.greatest(F.lit(0), F.col("pos0") - ctx).alias("s0"),
+        F.least(F.col("n"), F.col("pos0") + len(q) + ctx).alias("e0"),
+    )
+    core = F.substring(
+        F.col("text"), (F.col("s0") + 1).cast("int"), (F.col("e0") - F.col("s0")).cast("int")
+    )
+    snippet = F.concat(
+        F.when(F.col("s0") > 0, F.lit("...")).otherwise(F.lit("")),
+        F.regexp_replace(core, f"(?i){q}", f"[{q}]"),
+        F.when(F.col("e0") < F.col("n"), F.lit("...")).otherwise(F.lit("")),
+    )
+    return bounds.select("doc_id", "source", snippet.alias("snippet"))
+
+
 @register(
     "boolean_search",
     oracle="""
