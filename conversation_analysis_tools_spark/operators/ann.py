@@ -56,16 +56,24 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
     ``queries``: (query_id, embedding). Broadcast x scan; per-query
     top-k via window rank (TakeOrdered per partition would be better
     for one query; the window form generalizes to query batches).
+
+    ``exclude_self`` drops candidates whose id equals the query id --
+    ONLY meaningful when query ids live in the corpus id space
+    (self-search); leave False for external queries, where a synthetic
+    query id could silently shadow an unrelated corpus vector.
     """
     pairs = emb.crossJoin(F.broadcast(queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
-    ))).where(F.col(id_col) != F.col(query_id_col))
+    )))
+    if exclude_self:
+        pairs = pairs.where(F.col(id_col) != F.col(query_id_col))
     sims = pairs.select(
         query_id_col,
         id_col,
@@ -89,6 +97,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     multiprobe: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates from the query's
     bucket (plus 1-bit-flip neighbor buckets when ``multiprobe``),
@@ -108,9 +117,9 @@ def lsh_topk(
         qb = qb.withColumn("bucket", F.explode(probes))
     else:
         qb = qb.withColumn("bucket", F.col("qbucket"))
-    cands = bucketed.join(F.broadcast(qb.drop("qbucket")), "bucket").where(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    cands = bucketed.join(F.broadcast(qb.drop("qbucket")), "bucket")
+    if exclude_self:  # only valid for self-search (shared id space)
+        cands = cands.where(F.col(id_col) != F.col(query_id_col))
     sims = cands.select(
         query_id_col, id_col, F.round(cosine_expr(vec_col, "_qv"), 6).alias("sim")
     ).dropDuplicates([query_id_col, id_col])
@@ -175,6 +184,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """IVF search: each query probes its ``n_probe`` nearest centroid
     lists; candidates from those lists get the exact cosine re-rank.
@@ -200,9 +210,9 @@ def ivf_topk(
         )
         .select(query_id_col, "_qv", F.col("p.cid").alias("centroid_id"))
     )
-    cands = emb_assigned.join(F.broadcast(probes), "centroid_id").where(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    cands = emb_assigned.join(F.broadcast(probes), "centroid_id")
+    if exclude_self:  # only valid for self-search (shared id space)
+        cands = cands.where(F.col(id_col) != F.col(query_id_col))
     sims = cands.select(
         query_id_col,
         id_col,

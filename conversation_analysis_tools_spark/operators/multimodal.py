@@ -55,13 +55,76 @@ META_SCHEMA = StructType(
 )
 
 
+def png_dimensions(content: bytes) -> tuple[int, int] | None:
+    """PNG IHDR width/height (public spec: 8-byte signature, then the
+    IHDR chunk whose data starts at offset 16 -- width and height as
+    big-endian uint32)."""
+    if len(content) < 24 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if content[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(content[16:20], "big")
+    h = int.from_bytes(content[20:24], "big")
+    return w, h
+
+
+def jpeg_dimensions(content: bytes) -> tuple[int, int] | None:
+    """JPEG SOFn height/width (public spec: walk marker segments from
+    SOI; any SOF0-SOF15 except DHT/JPG/DAC carries the frame header:
+    [len u16][precision u8][height u16][width u16])."""
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(content)
+    while i + 3 < n:
+        if content[i] != 0xFF:
+            i += 1
+            continue
+        marker = content[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers, no length field
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h = int.from_bytes(content[i + 5 : i + 7], "big")
+            w = int.from_bytes(content[i + 7 : i + 9], "big")
+            return w, h
+        i += 2 + seg_len
+    return None
+
+
+def gif_dimensions(content: bytes) -> tuple[int, int] | None:
+    """GIF logical-screen width/height (public spec: 'GIF87a'/'GIF89a'
+    then little-endian uint16 pair)."""
+    if len(content) < 10 or content[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(content[6:8], "little")
+    h = int.from_bytes(content[8:10], "little")
+    return w, h
+
+
 def decode_image(content: bytes, fake: bool = False) -> tuple[int, int]:
-    """Decode image dimensions. STUB: real decoding needs an imaging
-    library not present in this container."""
+    """Image dimensions. PNG / JPEG / GIF headers are parsed for real
+    (pure-Python readers over the public container formats -- no
+    imaging library needed for dimensions). Full pixel decode of other
+    formats still needs a codec library: NotImplementedError unless
+    ``fake=True`` selects the deterministic test double."""
+    for parse in (png_dimensions, jpeg_dimensions, gif_dimensions):
+        dims = parse(content)
+        if dims is not None:
+            return dims
     if not fake:
         raise NotImplementedError(
-            "image decode requires an imaging library (e.g. PIL); "
-            "pass fake=True for the deterministic test double"
+            "pixel decode of non-PNG/JPEG/GIF payloads requires an "
+            "imaging library (e.g. PIL); pass fake=True for the "
+            "deterministic test double"
         )
     digest = hashlib.md5(content).digest()
     # deterministic pseudo-dimensions in [64, 1087]

@@ -43,12 +43,19 @@ def asof_join(
         F.col(right_time).alias("_t"),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     ).withColumn("_is_left", F.lit(0))
+    # deterministic final tiebreak: duplicate right timestamps within a
+    # key would otherwise make last(ignorenulls) pick whichever
+    # duplicate happened to sort last physically -- order by the
+    # right row's own columns so every run/partitioning agrees
+    r_tiebreak = F.xxhash64(*[F.col(f"_r_{c}") for c in right_cols])
+    l_tag = l_tag.withColumn("_tb", F.lit(0).cast("long"))
+    r_tag = r_tag.withColumn("_tb", r_tiebreak)
 
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # right rows sort before left rows at equal time => "at or before"
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_t"), F.col("_is_left"))
+        .orderBy(F.col("_t"), F.col("_is_left"), F.col("_tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in right_cols:
@@ -57,7 +64,7 @@ def asof_join(
         )
     return (
         merged.where(F.col("_is_left") == 1)
-        .drop("_t", "_is_left", *[f"_r_{c}" for c in right_cols])
+        .drop("_t", "_is_left", "_tb", *[f"_r_{c}" for c in right_cols])
     )
 
 

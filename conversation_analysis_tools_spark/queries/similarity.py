@@ -50,7 +50,7 @@ def ann_bruteforce_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return A.brute_force_topk(emb, queries, k=5)
+    return A.brute_force_topk(emb, queries, k=5, exclude_self=True)
 
 
 @register("ann_lsh_knn", oracle=None)
@@ -69,7 +69,7 @@ def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return A.lsh_topk(emb, queries, dim=EMB_DIM, k=5, n_planes=3)
+    return A.lsh_topk(emb, queries, dim=EMB_DIM, k=5, n_planes=3, exclude_self=True)
 
 
 @register("ann_ivf_knn", oracle=None)
@@ -90,7 +90,7 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return A.ivf_topk(assigned, queries, cents, k=5, n_probe=4)
+    return A.ivf_topk(assigned, queries, cents, k=5, n_probe=4, exclude_self=True)
 
 
 @register("kmeans_clusters", oracle=None)

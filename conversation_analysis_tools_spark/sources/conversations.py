@@ -255,11 +255,29 @@ def upsert_parquet(df: DataFrame, path: str, key: str = "id") -> None:
     merged.write.mode("overwrite").parquet(path)
 
 
-def read_json_with_repair(spark: SparkSession, path: str) -> DataFrame:
+def read_json_with_repair(
+    spark: SparkSession, path: str, salvage: bool = False
+) -> DataFrame:
     """S12 JSON validation: PERMISSIVE parse keeps malformed records in
-    ``_corrupt_record`` for inspection instead of failing the job
-    (json_clean.py:14-231 fixes files by hand; at scale you quarantine
-    and continue)."""
+    ``_corrupt_record`` for inspection instead of failing the job.
+
+    With ``salvage=True``, files whose array structure is broken
+    (trailing commas, truncated final object -- the cases
+    json_clean.py:105-224 rewrites) are repaired in-flight: complete
+    top-level objects are recovered per file
+    (sources/json_repair.py) and parsed with schema inference. Use the
+    plain PERMISSIVE read when corrupt rows should be quarantined
+    rather than silently recovered.
+    """
+    if salvage:
+        from conversation_analysis_tools_spark.sources.json_repair import (
+            repaired_objects,
+        )
+
+        objs = repaired_objects(spark, path)
+        # json-lines dataset of the salvaged objects; inference over
+        # the recovered rows (ingest-time edge path, file grain)
+        return spark.read.json(objs.rdd.map(lambda r: r.obj))
     return (
         spark.read.option("multiLine", "true")
         .option("mode", "PERMISSIVE")

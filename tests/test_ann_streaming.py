@@ -21,8 +21,8 @@ def _queries(emb, n=5):
 def test_lsh_recall_against_bruteforce(spark):
     emb = table(spark, "embeddings", SF_DIR)
     q = _queries(emb)
-    exact = A.brute_force_topk(emb, q, k=5).collect()
-    approx = A.lsh_topk(emb, q, dim=64, k=5, n_planes=3).collect()
+    exact = A.brute_force_topk(emb, q, k=5, exclude_self=True).collect()
+    approx = A.lsh_topk(emb, q, dim=64, k=5, n_planes=3, exclude_self=True).collect()
     exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -32,10 +32,10 @@ def test_lsh_recall_against_bruteforce(spark):
 def test_ivf_recall_against_bruteforce(spark):
     emb = table(spark, "embeddings", SF_DIR)
     q = _queries(emb)
-    exact = A.brute_force_topk(emb, q, k=5).collect()
+    exact = A.brute_force_topk(emb, q, k=5, exclude_self=True).collect()
     cents = A.kmeans_centroids(emb, n_centroids=8)
     assigned = A.ivf_assign(emb, cents)
-    approx = A.ivf_topk(assigned, q, cents, k=5, n_probe=3).collect()
+    approx = A.ivf_topk(assigned, q, cents, k=5, n_probe=3, exclude_self=True).collect()
     exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
@@ -76,6 +76,43 @@ def test_streaming_tumbling_matches_batch(spark):
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"bytes", fake=False)
+
+
+def _minimal_png(w: int, h: int) -> bytes:
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big")
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"  # crc placeholder: header parse only
+    )
+
+
+def _minimal_jpeg(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0_payload = b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x11\x00"
+    sof0 = b"\xff\xc0" + (2 + len(sof0_payload)).to_bytes(2, "big") + sof0_payload
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def test_image_header_parsers_real_dimensions():
+    assert M.decode_image(_minimal_png(640, 480)) == (640, 480)
+    assert M.decode_image(_minimal_jpeg(1024, 768)) == (1024, 768)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert M.decode_image(gif) == (320, 200)
+    assert M.png_dimensions(b"\x89PNG\r\n\x1a\n") is None  # truncated
+
+
+def test_metadata_extraction_with_real_headers(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(_minimal_png(12, 34)), "image/png"),
+         (2, bytearray(_minimal_jpeg(56, 78)), "image/jpeg")],
+        schema=M.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in M.extract_metadata(media, fake=False).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (12, 34)
+    assert (rows[2]["width"], rows[2]["height"]) == (56, 78)
 
 
 def test_multimodal_metadata_deterministic(spark, sample_docs):
