@@ -103,16 +103,18 @@ def run_content_pipeline(
     )
     # Sentence-grain extractive summaries (summarizer.py:161-242) --
     # the reference's analysis_results.summary column
-    # (pipeline/pipeline.py:390-400); docs with no kept sentences
-    # summarize to '' exactly like ' '.join([]).
-    summaries = TR.summarize_documents(
-        docs, id_col, text_col, cfg["summary_top_k"], cfg["textrank_damping"]
-    ).select(id_col, "summary")
+    # (pipeline/pipeline.py:390-400). A map-only column on the
+    # classified relation (which still carries the text): no join, no
+    # shuffle; '' when no sentence survives, like ' '.join([]).
     results = (
         classified.join(dups, id_col, "left")
         .withColumn("is_duplicate", F.coalesce("is_duplicate", F.lit(False)))
-        .join(summaries, id_col, "left")
-        .withColumn("summary", F.coalesce("summary", F.lit("")))
+        .withColumn(
+            "summary",
+            TR.summary_column(
+                text_col, cfg["summary_top_k"], cfg["textrank_damping"]
+            )["summary"],
+        )
         .select(
             F.col(id_col).alias("message_id"),
             F.col("relevance").alias("relevance_score"),

@@ -23,6 +23,7 @@ def test_pipeline_shapes_and_dup_flag(spark, sample_docs):
     assert set(res[0].asDict()) == {
         "message_id",
         "relevance_score",
+        "summary",
         "priority_score",
         "priority_level",
         "is_duplicate",

@@ -118,9 +118,10 @@ def test_fast_path_all_sentences(summaries):
     assert summaries[3]["summary"] == "Only one real sentence here"
 
 
-def test_no_kept_sentences_absent(summaries):
-    # zero kept sentences -> no row (pipeline coalesces to '')
-    assert 4 not in summaries
+def test_no_kept_sentences_empty_summary(summaries):
+    # zero kept sentences -> '' (reference: ' '.join([]))
+    assert summaries[4]["summary"] == ""
+    assert summaries[4]["n_sentences"] == 0
 
 
 def test_tie_behavior_matches_reference(summaries):

@@ -42,6 +42,13 @@ AUDIT = [
     "event_transitions",
     "dq_audit",
     "incremental_rollup",
+    # round-2 scale fixes: these plans must show TakeOrderedAndProject /
+    # no global unpartitioned window / no driver-collected matrix
+    "ordered_id_join",
+    "quality_decile_bins",
+    "nlp_duplicate_pairs",
+    "snippet_highlight",
+    "pipeline_analysis_results",
 ]
 
 
