@@ -372,26 +372,36 @@ def embedding_dup_pairs(
 
     ``block_col`` bounds the pair space (at scale the block is an LSH
     bucket from ann.hyperplane_buckets; here the given label). Cosine
-    is a zip_with/aggregate expression -- JVM-side, no UDF.
+    is a zip_with/aggregate expression -- JVM-side, no UDF. Without a
+    blocking key the pair scan routes through the grid-blocked BLAS
+    plan (operators/similarity.grid_blocked_pairs) instead of a
+    crossJoin: same exact result, bounded per-task memory, no
+    nested-loop join.
     """
     from conversation_analysis_tools_spark.functions.vector import cosine_expr
 
+    if block_col is None:
+        from conversation_analysis_tools_spark.operators.similarity import (
+            blocked_cosine_pairs,
+        )
+
+        return blocked_cosine_pairs(emb, id_col, vec_col, threshold)
+
     a = emb.select(
-        *( [F.col(block_col)] if block_col else [] ),
+        F.col(block_col),
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("v1"),
     )
     b = emb.select(
-        *( [F.col(block_col)] if block_col else [] ),
+        F.col(block_col),
         F.col(id_col).alias("id2"),
         F.col(vec_col).alias("v2"),
     )
-    on = [block_col] if block_col else []
-    pairs = a.join(b, on) if on else a.crossJoin(b)
     return (
-        pairs.where(F.col("id1") < F.col("id2"))
+        a.join(b, [block_col])
+        .where(F.col("id1") < F.col("id2"))
         .select(
-            *( [F.col(block_col)] if block_col else [] ),
+            F.col(block_col),
             "id1",
             "id2",
             cosine_expr("v1", "v2").alias("sim"),

@@ -151,6 +151,19 @@ def _pairwise_cosine_dense(
     # persisted: consumed by the count job here AND by the grid cells;
     # registered with the cache tracker so harness loops can release it
     per_doc = track(_dense_doc_vectors(tf, id_col, vocab))
+    return grid_blocked_pairs(per_doc, threshold)
+
+
+def grid_blocked_pairs(per_doc: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine over L2-normalized vectors (_id, v) with the
+    grid-block plan: rows hash into B = ceil(n / DENSE_BLOCK_ROWS)
+    blocks, replicate to their B grid cells, and each cell (bi <= bj)
+    computes one block_i @ block_j^T BLAS product in
+    ``applyInPandas``, emitting pairs >= threshold. Shuffle n*B rows;
+    B(B+1)/2 independent tasks; no driver-side matrix."""
+    import numpy as np
+    import pandas as pd
+
     n = per_doc.count()
     n_blocks = max(1, min(64, -(-n // DENSE_BLOCK_ROWS)))
 
@@ -200,6 +213,28 @@ def _pairwise_cosine_dense(
     return exploded.groupBy("bi", "bj").applyInPandas(
         cell_product, schema="id1 long, id2 long, sim double"
     )
+
+
+def blocked_cosine_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """All-pairs cosine >= threshold over a dense-vector column,
+    grid-blocked (see :func:`grid_blocked_pairs`) -- the scale-safe
+    replacement for an unblocked crossJoin pair scan."""
+    from conversation_analysis_tools_spark.operators.cache import track
+
+    nrm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+    safe = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
+    per_doc = track(
+        vecs.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x / safe).alias("v"),
+        )
+    )
+    return grid_blocked_pairs(per_doc, threshold)
 
 
 def _pairwise_cosine_inverted(
