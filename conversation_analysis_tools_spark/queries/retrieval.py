@@ -130,7 +130,8 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.where(F.col("vec_id") == 0).select(
         F.lit(0).cast("long").alias("query_id"), "embedding"
     )
-    cos = A.brute_force_topk(emb, qv, k=60).select(
+    # query-by-example with a corpus vector: self-exclusion applies
+    cos = A.brute_force_topk(emb, qv, k=60, exclude_self=True).select(
         F.col("vec_id").alias("doc_id"), F.col("rnk").alias("r_cos")
     )
 
