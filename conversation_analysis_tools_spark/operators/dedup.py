@@ -408,3 +408,71 @@ def embedding_dup_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def substring_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Per-document exact substring-span duplication: for each doc, how
+    many of its width-`width` token windows also appear verbatim in at
+    least one OTHER document (the span-level exact-dedup signal from
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 -- their suffix-array match re-expressed as a rolling
+    window hash-join, the shape that distributes).
+
+    Reference has no span-grain dedup (its duplicate detector is
+    whole-document cosine, pipeline/duplicate_detector.py); this is a
+    beyond-reference training-data operator.
+
+    Plan: map-only window expansion (one row per token position via
+    transform+explode -- no self-join), md5 span hash, ONE shuffle on
+    span_hash to count distinct docs per span, then a second shuffle
+    back on doc_id for per-doc totals. At 100 TB both shuffles carry
+    only (doc_id, 16-byte hash) pairs; partial aggregation combines
+    map-side. Production width is ~50 tokens; the synthetic corpus's
+    short docs use a smaller window.
+
+    Docs with fewer than `width` tokens have no spans and are absent
+    (same contract as unigram_logprob for empty docs).
+    """
+    from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
+
+    toks = df.select(F.col(id_col), raw_tokens_expr(text_col).alias("_toks"))
+    arr = F.col("_toks")
+    span_hashes = F.when(
+        F.size(arr) >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - F.lit(width)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i + 1, width)).cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = toks.select(F.col(id_col), F.explode(span_hashes).alias("span_hash"))
+
+    # distinct (doc, span) first so a span repeated WITHIN one doc
+    # counts that doc once; count(*) over the distinct set == distinct
+    # doc count without an expensive count-distinct state per key
+    hash_ndocs = (
+        spans.select(id_col, "span_hash")
+        .distinct()
+        .groupBy("span_hash")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    per_doc = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    dup_per_doc = (
+        spans.join(hash_ndocs.where(F.col("n_docs") >= 2), "span_hash")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint")
+    return (
+        per_doc.join(dup_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+            F.round(n_dup * 1.0 / F.col("n_spans"), 6).alias("dup_fraction"),
+        )
+    )

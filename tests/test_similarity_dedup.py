@@ -92,3 +92,44 @@ def test_cc_strategies_agree(spark):
     comp = dict(local)
     assert comp[5] == comp[9] == comp[2] == comp[3] == comp[4] == 2
     assert comp[11] == comp[12] == 11
+
+
+def test_substring_span_stats_pinned(spark):
+    # doc 1 and doc 2 share one exact 4-token span; doc 3 shares none;
+    # doc 4 is too short for any span
+    from conversation_analysis_tools_spark.operators.dedup import substring_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo"),
+            (2, "zulu alpha bravo charlie delta"),
+            (3, "golf hotel india juliet kilo"),
+            (4, "lima mike november"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in substring_span_stats(docs, width=4).collect()
+    }
+    # 5 tokens, width 4 -> 2 spans per full doc
+    assert rows[1]["n_spans"] == 2 and rows[2]["n_spans"] == 2
+    # "alpha bravo charlie delta" is the one shared span
+    assert rows[1]["n_dup_spans"] == 1 and rows[2]["n_dup_spans"] == 1
+    assert rows[1]["dup_fraction"] == 0.5
+    assert rows[3]["n_dup_spans"] == 0
+    assert 4 not in rows  # 3 tokens < width: no spans, absent
+
+
+def test_substring_span_within_doc_repeat_counts_once(spark):
+    # a span repeated twice WITHIN one doc but in no other doc is not
+    # cross-document duplication
+    from conversation_analysis_tools_spark.operators.dedup import substring_span_stats
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo alpha bravo alpha bravo")],
+        "doc_id long, text string",
+    )
+    rows = substring_span_stats(docs, width=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_dup_spans"] == 0
