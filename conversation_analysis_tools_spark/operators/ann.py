@@ -27,14 +27,22 @@ DEFAULT_N_PLANES = 8
 _SEED = 42
 
 
-def _hyperplanes(dim: int, n_planes: int = DEFAULT_N_PLANES) -> np.ndarray:
-    rng = np.random.RandomState(_SEED)
+def _hyperplanes(
+    dim: int, n_planes: int = DEFAULT_N_PLANES, table_id: int = 0
+) -> np.ndarray:
+    rng = np.random.RandomState(_SEED + 1000 * table_id)
     return rng.standard_normal((n_planes, dim))
 
 
-def hyperplane_bucket_expr(vec_col: str, dim: int, n_planes: int = DEFAULT_N_PLANES):
-    """Bucket id column: sum_i (dot(v, h_i) > 0) << i."""
-    planes = _hyperplanes(dim, n_planes)
+def hyperplane_bucket_expr(
+    vec_col: str,
+    dim: int,
+    n_planes: int = DEFAULT_N_PLANES,
+    table_id: int = 0,
+):
+    """Bucket id column: sum_i (dot(v, h_i) > 0) << i. ``table_id``
+    seeds an independent plane set per LSH table."""
+    planes = _hyperplanes(dim, n_planes, table_id)
     bucket = F.lit(0)
     for i in range(n_planes):
         h = F.array(*[F.lit(float(x)) for x in planes[i]])
@@ -98,13 +106,41 @@ def lsh_topk(
     query_id_col: str = "query_id",
     multiprobe: bool = True,
     exclude_self: bool = False,
+    n_tables: int = 1,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates from the query's
     bucket (plus 1-bit-flip neighbor buckets when ``multiprobe``),
-    exact cosine re-rank within candidates."""
-    bucketed = with_buckets(emb, dim, vec_col, n_planes)
-    qb = with_buckets(queries, dim, vec_col, n_planes).select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv"), F.col("bucket").alias("qbucket")
+    exact cosine re-rank within candidates.
+
+    ``n_tables`` independent plane sets (the classic recall lever: a
+    true neighbor is missed only if it splits from the query in EVERY
+    table, so miss probability decays exponentially in L). One corpus
+    scan computes all table buckets as an array -> posexplode; rows
+    scale by L but the join stays a bucket equi-join on
+    (table, bucket) -- still linear, never all-pairs.
+    """
+    table_buckets = F.array(
+        *[
+            hyperplane_bucket_expr(vec_col, dim, n_planes, t)
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(table_buckets).alias("_tab", "bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        F.posexplode(
+            F.array(
+                *[
+                    hyperplane_bucket_expr(vec_col, dim, n_planes, t)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_tab", "qbucket"),
     )
     if multiprobe:
         probes = F.array(
@@ -117,7 +153,7 @@ def lsh_topk(
         qb = qb.withColumn("bucket", F.explode(probes))
     else:
         qb = qb.withColumn("bucket", F.col("qbucket"))
-    cands = bucketed.join(F.broadcast(qb.drop("qbucket")), "bucket")
+    cands = bucketed.join(F.broadcast(qb.drop("qbucket")), ["_tab", "bucket"])
     if exclude_self:  # only valid for self-search (shared id space)
         cands = cands.where(F.col(id_col) != F.col(query_id_col))
     sims = cands.select(
