@@ -245,3 +245,67 @@ def streaming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     run_to_memory_sink(deduped, name, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           count(*) AS n_pairs,
+           round(avg(epoch(c.ts) - epoch(v.ts)), 4) AS avg_lag_sec
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    GROUP BY v.user_id
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join on the REAL streaming path: two
+    independent readStreams (views, clicks), each watermarked, joined
+    on user_id with a 2-hour event-time band -- Spark buffers both
+    sides in state and emits matches as they arrive (the attribution-
+    join shape: click within 2h of a view).
+
+    The watermark (35 days) exceeds the bounded corpus's whole span,
+    so no state is purged and no late row is dropped during the
+    availableNow drain => the appended pair set equals the batch
+    interval join exactly, giving a strict oracle. Production tunes
+    the watermark to the real lateness bound; state size is
+    O(events within horizon). The per-user aggregate runs batch-side
+    on the sink table (chaining a second stateful op onto a stream-
+    stream join is the one shape to avoid).
+    """
+    import uuid
+
+    views = (
+        _staged_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "35 days")
+    )
+    clicks = (
+        _staged_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "35 days")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(joined, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.avg(F.unix_micros(F.col("c_ts")) / 1e6 - F.unix_micros(F.col("v_ts")) / 1e6),
+                4,
+            ).alias("avg_lag_sec"),
+        )
+    )
