@@ -49,6 +49,10 @@ AUDIT = [
     "nlp_duplicate_pairs",
     "snippet_highlight",
     "pipeline_analysis_results",
+    # round-2 additions: span-grain dedup (two narrow-payload shuffles),
+    # multi-table LSH (posexplode index, (table,bucket) equi-join)
+    "dedup_substring_spans",
+    "ann_lsh_knn",
 ]
 
 
