@@ -673,3 +673,107 @@ def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
         F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, public heuristics)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=rf"""
+    WITH feats AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '\S+') AS words,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               round(list_sum(list_transform(words, w -> len(w))) * 1.0
+                     / len(words), 4) AS mean_word_len,
+               round(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+                     * 1.0 / len(words), 4) AS alpha_frac,
+               len(list_intersect(list_transform(words, w -> lower(w)),
+                   {_GOPHER_STOPS!r})) AS n_stops,
+               round(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*]')))
+                     * 1.0 / len(lines), 4) AS bullet_frac,
+               round(len(list_filter(lines, l -> l LIKE '%...'))
+                     * 1.0 / len(lines), 4) AS ellipsis_frac
+        FROM feats
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+           alpha_frac, CAST(n_stops AS BIGINT) AS n_stops,
+           (n_words BETWEEN 50 AND 100000) AND
+           (mean_word_len BETWEEN 3 AND 10) AND
+           (alpha_frac >= 0.8) AND (n_stops >= 2) AND
+           (bullet_frac <= 0.9) AND (ellipsis_frac <= 0.3)
+               AS passes_gopher
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality gate (Rae et al. 2021 heuristics:
+    word count 50..100k, mean word length 3..10, >=80% alphabetic
+    words, >=2 distinct stop words, <=90% bullet lines, <=30%
+    ellipsis lines). Map-only column expressions -- zero shuffle, the
+    always-first 100 TB curation filter. Whitespace words here, not
+    the [a-z]{3,} analysis tokenizer: the rules gate raw surface text.
+    """
+    docs = _docs(spark, sf_dir)
+    words = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    lines = F.split(F.col("text"), "\n")
+    feats = docs.select("doc_id", words.alias("words"), lines.alias("lines"))
+    n_words = F.size("words")
+    n_lines = F.size("lines")
+    mean_len = F.round(
+        F.aggregate(
+            F.transform("words", lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        )
+        * 1.0
+        / n_words,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("words", lambda w: w.rlike("[a-zA-Z]"))) * 1.0 / n_words, 4
+    )
+    n_stops = F.size(
+        F.array_intersect(
+            F.transform("words", lambda w: F.lower(w)),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    )
+    bullet_frac = F.round(
+        F.size(F.filter("lines", lambda l: l.rlike(r"^\s*[-*]"))) * 1.0 / n_lines, 4
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter("lines", lambda l: l.like("%..."))) * 1.0 / n_lines, 4
+    )
+    m = feats.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stops.cast("bigint").alias("n_stops"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "n_stops",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_frac") >= 0.8)
+            & (F.col("n_stops") >= 2)
+            & (F.col("bullet_frac") <= 0.9)
+            & (F.col("ellipsis_frac") <= 0.3)
+        ).alias("passes_gopher"),
+    )
