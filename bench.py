@@ -49,6 +49,12 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "incremental_rollup",
     "pipeline_analysis_results",
+    # round-2 additions: span-grain dedup, multi-table LSH ANN,
+    # stream-stream interval join, Gopher quality gate
+    "dedup_substring_spans",
+    "ann_lsh_knn",
+    "streaming_stream_join",
+    "gopher_quality_flags",
 ]
 
 
