@@ -1,0 +1,66 @@
+"""Anchors for the round-2 curation additions: Gopher quality rules
+(pinned on constructed docs with known rule outcomes) and near-dup
+canonical selection (quality-argmax semantics). Strict value parity
+lives in the DuckDB oracle gate; these pin the rule logic itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _flags(spark, sf_dir):
+    from conversation_analysis_tools_spark.queries.textstats import (
+        gopher_quality_flags,
+    )
+
+    return gopher_quality_flags(spark, sf_dir)
+
+
+def test_gopher_rules_pinned(spark, tmp_path):
+    # build a parquet 'documents' table with one doc per rule outcome
+    good = "the quick brown fox jumps over that lazy dog and we have " + (
+        "word " * 45
+    )
+    rows = [
+        (1, good),                           # passes everything
+        (2, "short of the and that"),        # < 50 words
+        (3, ("supercalifragilistic " * 60) + "the of and that be"),  # mean len > 10
+        (4, " ".join(["123"] * 60) + " the of"),  # alpha frac < 0.8
+        (5, "word " * 60),                   # < 2 distinct stop words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in _flags(spark, str(tmp_path)).collect()}
+    assert out[1]["passes_gopher"] is True
+    assert out[2]["passes_gopher"] is False and out[2]["n_words"] < 50
+    assert out[3]["passes_gopher"] is False and out[3]["mean_word_len"] > 10
+    assert out[4]["passes_gopher"] is False and out[4]["alpha_frac"] < 0.8
+    assert out[5]["passes_gopher"] is False and out[5]["n_stops"] < 2
+
+
+def test_canonical_is_longest_then_lowest_id(spark):
+    # two clusters with known longest members; component = min id
+    from conversation_analysis_tools_spark.operators import components as C
+    from pyspark.sql.window import Window
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (7, 50), (8, 90)],
+        "id long, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id1 long, id2 long")
+    comp = C.connected_components(pairs)
+    members = comp.join(docs, "id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("id"))
+    out = {
+        r["id"]: (r["component"], r["canon"])
+        for r in members.withColumn(
+            "canon", F.row_number().over(w) == 1
+        ).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 300 chars -> lower id 2 wins
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, False)
+    # cluster {7,8}: 8 is longer
+    assert out[8] == (7, True) and out[7] == (7, False)
