@@ -777,3 +777,77 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ellipsis_frac") <= 0.3)
         ).alias("passes_gopher"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020 heuristics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c4_line_clean",
+    oracle=r"""
+    WITH pages AS (
+        SELECT doc_id,
+               substr(text, 1, 60) || ' more words here.' || chr(10) ||
+               'short line' || chr(10) ||
+               '{ "code": ' || CAST(doc_id AS VARCHAR) || ' }' || chr(10) ||
+               'the lorem ipsum filler line number ' ||
+                   CAST(doc_id AS VARCHAR) || ' is dropped.' || chr(10) ||
+               'this closing sentence has enough words to survive number ' ||
+                   CAST(doc_id % 100 AS VARCHAR) || '.' AS page
+        FROM documents
+    ),
+    split_lines AS (
+        SELECT doc_id, string_split(page, chr(10)) AS lines FROM pages
+    ),
+    cleaned AS (
+        SELECT doc_id, len(lines) AS n_lines,
+               list_filter(lines, l ->
+                   regexp_matches(l, '[.!?"]$')
+                   AND len(string_split(l, ' ')) >= 5
+                   AND NOT contains(lower(l), 'lorem ipsum')
+                   AND NOT contains(l, '{')) AS kept
+        FROM split_lines
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, chr(10)) AS cleaned
+    FROM cleaned
+    """,
+)
+def c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020): keep lines that end
+    in terminal punctuation, have >= 5 words, and contain neither
+    'lorem ipsum' nor a curly brace.
+
+    The synthetic corpus is single-line, so (pii_scrub precedent) the
+    query plants a deterministic 5-line page per doc from its own
+    columns, then exercises the REAL operator -- line split, predicate
+    filter, re-join -- as pure column expressions: map-only, zero
+    shuffle, the line-grain sibling of the doc-grain Gopher gate.
+    """
+    docs = _docs(spark, sf_dir)
+    page = F.concat(
+        F.substring("text", 1, 60), F.lit(" more words here.\n"),
+        F.lit("short line\n"),
+        F.lit('{ "code": '), F.col("doc_id").cast("string"), F.lit(" }\n"),
+        F.lit("the lorem ipsum filler line number "),
+        F.col("doc_id").cast("string"), F.lit(" is dropped.\n"),
+        F.lit("this closing sentence has enough words to survive number "),
+        (F.col("doc_id") % 100).cast("string"), F.lit("."),
+    )
+    lines = F.split(page, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(l, " ")) >= 5)
+        & ~F.contains(F.lower(l), F.lit("lorem ipsum"))
+        & ~F.contains(l, F.lit("{")),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )
