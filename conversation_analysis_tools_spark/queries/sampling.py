@@ -502,3 +502,99 @@ def quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         local.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM document scoring (interpolated smoothing)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LAMBDA = 0.7
+
+
+@register(
+    "bigram_logprob",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\b[a-z]{{3,}}\b') AS toks
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(0, len(toks) - 1),
+                                          i -> {{'w1': toks[i+1], 'w2': toks[i+2]}})
+                      ELSE [] END, recursive := true) 
+        FROM toks
+    ),
+    uni AS (
+        SELECT term, count(*) AS ucnt
+        FROM (SELECT unnest(toks) AS term FROM toks)
+        GROUP BY term
+    ),
+    tot AS (SELECT sum(ucnt) AS mass FROM uni),
+    bi AS (SELECT w1, w2, count(*) AS bcnt FROM big GROUP BY w1, w2)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln({_BIGRAM_LAMBDA} * b.bcnt * 1.0 / u1.ucnt
+                        + {1.0 - _BIGRAM_LAMBDA} * u2.ucnt * 1.0 / t.mass)), 6)
+               AS avg_logprob
+    FROM big d
+    JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+    JOIN uni u1 ON d.w1 = u1.term
+    JOIN uni u2 ON d.w2 = u2.term
+    CROSS JOIN tot t
+    GROUP BY d.doc_id
+    """,
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average bigram log-probability under the corpus's own
+    interpolated bigram LM: log(0.7*P(w2|w1) + 0.3*P(w2)) -- one step
+    up the perplexity-proxy ladder from unigram_logprob (catches
+    scrambled word salad that unigram stats cannot).
+
+    Plan: one map-only bigram expansion, two aggregates over it (the
+    bigram LM and, via a second pass on tokens, the unigram LM), then
+    the doc bigrams re-join the LM tables on their own keys --
+    shuffle joins on (w1,w2)/term, partial-aggregated, broadcast-
+    eligible under AQE when the vocabulary is small. Docs with < 2
+    tokens have no bigrams and are absent (unigram_logprob contract).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", raw_tokens_expr("text").alias("_toks"))
+    arr = F.col("_toks")
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - F.lit(2)),
+            lambda i: F.struct(
+                F.element_at(arr, i + 1).alias("w1"),
+                F.element_at(arr, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = track(
+        toks.select("doc_id", F.explode(bigrams).alias("b")).select(
+            "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        )
+    )
+    uni = track(
+        toks.select(F.explode(arr).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("ucnt"))
+    )
+    mass = float(uni.agg(F.sum("ucnt")).first()[0])
+    bi = big.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    lam = _BIGRAM_LAMBDA
+    p = lam * F.col("bcnt") / F.col("u1cnt") + (1.0 - lam) * F.col("u2cnt") / F.lit(mass)
+    return (
+        big.join(bi, ["w1", "w2"])
+        .join(uni.select(F.col("term"), F.col("ucnt").alias("u1cnt")), F.col("w1") == F.col("term"))
+        .drop("term")
+        .join(uni.select(F.col("term"), F.col("ucnt").alias("u2cnt")), F.col("w2") == F.col("term"))
+        .drop("term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+        )
+    )
