@@ -260,3 +260,79 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select(query_id_col, id_col, "sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the 4x storage path)
+# ---------------------------------------------------------------------------
+
+
+def quantize_vectors(
+    emb: DataFrame, vec_col: str = "embedding", q_col: str = "q", scale_col: str = "qscale"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = round(x_i/scale) in [-127, 127] stored as tinyint -- 4x
+    smaller than float32 (16x vs float64), the standard first
+    compression rung before PQ. At 100 TB the index table ships 1/4
+    the shuffle/scan bytes; COSINE over quantized vectors needs no
+    dequantization at all (the per-vector scales cancel in the
+    ratio), so search is integer dot products."""
+    mx = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    out = emb.withColumn(scale_col, F.greatest(mx / F.lit(127.0), F.lit(1e-12)))
+    return out.withColumn(
+        q_col,
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x / F.col(scale_col)).cast("tinyint")
+        ),
+    )
+
+
+def _int_cosine(a, b):
+    num = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    def nrm(v):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return num / (nrm(a) * nrm(b))
+
+
+def int8_brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: quantize both
+    sides, rank by integer-arithmetic cosine. Same plan shape as
+    brute_force_topk (broadcast queries x one scan) at 1/4 the scan
+    bytes; recall loss is the quantization error only (tests measure
+    >= 0.8 vs exact on the synthetic corpus)."""
+    qemb = quantize_vectors(emb, vec_col).select(
+        F.col(id_col), F.col("q").alias("_cv")
+    )
+    qq = quantize_vectors(queries, vec_col).select(
+        F.col(query_id_col), F.col("q").alias("_qv")
+    )
+    pairs = qemb.crossJoin(F.broadcast(qq))
+    if exclude_self:
+        pairs = pairs.where(F.col(id_col) != F.col(query_id_col))
+    sims = pairs.select(
+        query_id_col, id_col, F.round(_int_cosine(F.col("_cv"), F.col("_qv")), 6).alias("sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "sim", "rnk")
+    )

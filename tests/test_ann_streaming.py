@@ -179,3 +179,29 @@ def test_stateful_sessionize_streaming_mode(spark):
     assert streamed and all(
         (r["user_id"], r["session_start"]) in batch_keys for r in streamed
     )
+
+
+def test_int8_quantized_recall_and_range(spark):
+    emb = table(spark, "embeddings", SF_DIR)
+    q = _queries(emb)
+    exact = A.brute_force_topk(emb, q, k=5, exclude_self=True).collect()
+    quant = A.int8_brute_force_topk(emb, q, k=5, exclude_self=True).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    quant_set = {(r["query_id"], r["vec_id"]) for r in quant}
+    recall = len(exact_set & quant_set) / len(exact_set)
+    assert recall >= 0.8, f"int8 recall too low: {recall}"
+    # sims stay true cosines (|sim| <= 1) and close to the exact ones
+    exact_sim = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact}
+    for r in quant:
+        assert abs(r["sim"]) <= 1.0 + 1e-9
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_sim:
+            assert abs(r["sim"] - exact_sim[key]) < 0.02, key
+
+
+def test_quantize_vectors_bounds(spark):
+    emb = table(spark, "embeddings", SF_DIR).limit(50)
+    qdf = A.quantize_vectors(emb).select("q", "qscale").collect()
+    for r in qdf:
+        assert all(-127 <= v <= 127 for v in r["q"])
+        assert r["qscale"] > 0
