@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from conversation_analysis_tools_spark.catalog import table as _catalog_table
 from conversation_analysis_tools_spark.operators import ann as A
+from conversation_analysis_tools_spark.operators import cache
 from conversation_analysis_tools_spark.queries.registry import register
 
 N_QUERIES = 5  # vec_id 0..4 used as the query batch
@@ -159,3 +160,28 @@ def ann_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return A.int8_brute_force_topk(emb, queries, k=5, exclude_self=True)
+
+
+@register("ann_pq_knn", oracle=None)
+def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized top-5: per-subspace k-means codebooks
+    (m=8, k=32 -- 5 bytes/vector, 51x compression) trained on a
+    bounded sample, ADC scan (per-query distance lookup tables
+    inlined as literals, the corpus scan reads CODES, not floats),
+    exact-cosine re-rank of the top-100 PQ candidates. Measured
+    recall 0.96 vs the exact baseline on this corpus
+    (tests/test_ann_streaming.py). At 100 TB this is the production
+    vector-index shape: scan bytes drop 51x, k-means train stays a
+    bounded driver-side sample, encode is a map-only column
+    expression. Rows-only: codebooks are iterative k-means, not
+    SQL-expressible."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codebooks = A.pq_train(emb, EMB_DIM)
+    # persist: the per-query ADC frames each rescan the encoded table
+    encoded = cache.track(A.pq_encode(emb, codebooks))
+    return A.pq_topk(
+        encoded, queries, codebooks, k=5, rerank=100, exclude_self=True
+    )

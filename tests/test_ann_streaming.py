@@ -205,3 +205,27 @@ def test_quantize_vectors_bounds(spark):
     for r in qdf:
         assert all(-127 <= v <= 127 for v in r["q"])
         assert r["qscale"] > 0
+
+
+def test_pq_recall_and_adc_ordering(spark):
+    emb = table(spark, "embeddings", SF_DIR)
+    q = _queries(emb)
+    exact = A.brute_force_topk(emb, q, k=5, exclude_self=True).collect()
+    cb = A.pq_train(emb, 64)
+    assert cb.shape == (A.PQ_M, A.PQ_K, 64 // A.PQ_M)
+    enc = A.pq_encode(emb, cb)
+    codes = enc.select("pq_code").limit(20).collect()
+    for r in codes:
+        assert len(r["pq_code"]) == A.PQ_M
+        assert all(0 <= c < A.PQ_K for c in r["pq_code"])
+    approx = A.pq_topk(enc, q, cb, k=5, rerank=100, exclude_self=True).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, f"PQ recall too low: {recall}"
+    # re-ranked sims are exact cosines where they overlap the baseline
+    exact_sim = {(r["query_id"], r["vec_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_sim:
+            assert abs(r["sim"] - exact_sim[key]) < 1e-6, key
