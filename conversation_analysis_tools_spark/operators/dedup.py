@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from conversation_analysis_tools_spark.operators.cache import track
 
@@ -475,4 +476,89 @@ def substring_span_stats(
             n_dup.alias("n_dup_spans"),
             F.round(n_dup * 1.0 / F.col("n_spans"), 6).alias("dup_fraction"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-bucketed semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    centroids,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means the
+    embedding space, search for near-duplicate pairs only WITHIN each
+    cluster, and keep one representative per near-dup group -- the
+    member FARTHEST from its cluster centroid (the paper's
+    keep-low-centroid-similarity rule; it retains the least-redundant
+    exemplar), ties broken by min id.
+
+    Scale shape: the O(n^2) pair space is bounded per-cluster --
+    pairs shuffle on ``centroid_id`` only, never globally. At 100 TB:
+    train the quantizer on a sample, write the assigned table bucketed
+    by centroid_id, and recursively split any cluster whose size
+    exceeds a per-task pair budget (skew cap); the within-cluster join
+    is then embarrassingly parallel. Mirrors the reference's dedup
+    intent (pipeline/duplicate_detector.py) at embedding grain.
+
+    Returns (id, centroid_id, centroid_dist, component, keep).
+    """
+    from conversation_analysis_tools_spark.functions.vector import cosine_expr
+    from conversation_analysis_tools_spark.operators.ann import _centroid_dists
+    from conversation_analysis_tools_spark.operators.components import (
+        connected_components,
+    )
+
+    # one pass over the C distance expressions serves both the argmin
+    # assignment and the distance-to-own-centroid (vs. calling
+    # ivf_assign then recomputing the array: half the codegen width)
+    dists = F.array(*_centroid_dists(vec_col, centroids))
+    assigned = track(
+        emb.withColumn("_d", dists)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.array_position("_d", F.array_min("_d")) - 1)
+            .cast("int")
+            .alias("centroid_id"),
+            F.sqrt(F.array_min("_d")).alias("centroid_dist"),
+        )
+    )
+
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+    )
+    edges = (
+        a.join(b, ["centroid_id"])
+        .where(F.col("id1") < F.col("id2"))
+        .where(cosine_expr("v1", "v2") >= threshold)
+        .select("id1", "id2")
+    )
+    comps = connected_components(edges)
+
+    out = assigned.drop(vec_col).join(
+        comps.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    # singletons (no near-dup edge) form their own component and are kept
+    out = out.withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col)).cast("bigint")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("centroid_dist"), F.asc(id_col)
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        F.round("centroid_dist", 6).alias("centroid_dist"),
+        "component",
+        (F.row_number().over(w) == 1).alias("keep"),
     )

@@ -133,3 +133,44 @@ def test_substring_span_within_doc_repeat_counts_once(spark):
     rows = substring_span_stats(docs, width=2).collect()
     assert len(rows) == 1
     assert rows[0]["n_dup_spans"] == 0
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    # Two well-separated clusters around (10,0) and (0,10); centroids
+    # passed explicitly so the test pins the prune semantics, not
+    # k-means. Within cluster 0: vectors 0/1 are near-identical
+    # directions (cosine ~1), vector 2 is orthogonal-ish (kept alone).
+    import numpy as np
+
+    emb = spark.createDataFrame(
+        [
+            (0, [10.0, 0.0, 0.1]),   # cluster 0, near-dup with 1
+            (1, [9.0, 0.0, 0.05]),   # closer to centroid -> dropped
+            (2, [0.1, 0.2, 9.0]),    # cluster-0-assigned? no: near z-axis
+            (10, [0.0, 10.0, 0.0]),  # cluster 1 singleton
+            (11, [0.0, 9.5, 0.01]),  # cluster 1, near-dup with 10
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]])
+    out = {
+        r["vec_id"]: r
+        for r in D.semdedup_prune(emb, cents, threshold=0.95).collect()
+    }
+    assert len(out) == 5
+    # near-dup pair (0,1): one survivor, the farther-from-centroid one
+    assert out[0]["component"] == 0 and out[1]["component"] == 0
+    assert out[0]["keep"] != out[1]["keep"]
+    d0, d1 = out[0]["centroid_dist"], out[1]["centroid_dist"]
+    survivor = 0 if d0 > d1 else 1
+    assert out[survivor]["keep"]
+    # pair (10,11): exactly one survivor
+    assert out[10]["keep"] != out[11]["keep"]
+    # orthogonal vector 2: its own cluster, singleton, kept
+    assert out[2]["keep"] and out[2]["centroid_id"] == 2
+    # every component keeps exactly one member
+    by_comp = {}
+    for r in out.values():
+        by_comp.setdefault((r["centroid_id"], r["component"]), []).append(r["keep"])
+    for keeps in by_comp.values():
+        assert sum(keeps) == 1
