@@ -231,6 +231,57 @@ def minhash_dedup_pairs(
     return jaccard_verify(cands, arrs, threshold, id_col)
 
 
+def cross_corpus_minhash_pairs(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-vs-train contamination at MinHash grain: LSH band join
+    strictly ACROSS the two corpora (never within either side), then
+    exact-Jaccard verify. Complements the exact shared-shingle check
+    (decontamination n-gram join) with the sketch-grain variant that
+    survives token insertions/deletions.
+
+    Scale shape: benchmark/eval corpora are tiny next to a 100 TB
+    train corpus, so the eval band table is broadcast -- the train
+    side is scanned once to build signatures and the candidate join
+    is map-side, no train-side shuffle beyond the signature groupBy.
+    Returns (eval_id, train_id, jaccard).
+    """
+    e_arrs = track(shingle_arrays(eval_df, id_col, text_col))
+    t_arrs = track(shingle_arrays(train_df, id_col, text_col))
+    e_sh = e_arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    t_sh = t_arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    e_bands = lsh_bands(minhash_signatures(e_sh, id_col), id_col).select(
+        F.col(id_col).alias("eval_id"), "band", "key"
+    )
+    t_bands = lsh_bands(minhash_signatures(t_sh, id_col), id_col).select(
+        F.col(id_col).alias("train_id"), "band", "key"
+    )
+    cands = (
+        t_bands.join(F.broadcast(e_bands), ["band", "key"])
+        .select("eval_id", "train_id")
+        .distinct()
+    )
+    a1 = e_arrs.select(F.col(id_col).alias("eval_id"), F.col("sh_arr").alias("a1"))
+    a2 = t_arrs.select(F.col(id_col).alias("train_id"), F.col("sh_arr").alias("a2"))
+    inter = F.size(F.array_intersect("a1", "a2"))
+    return (
+        cands.join(F.broadcast(a1), "eval_id")
+        .join(a2, "train_id")
+        .select(
+            "eval_id",
+            "train_id",
+            (inter.cast("double") / (F.size("a1") + F.size("a2") - inter)).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

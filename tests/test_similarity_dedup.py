@@ -174,3 +174,20 @@ def test_semdedup_keeps_farthest_from_centroid(spark):
         by_comp.setdefault((r["centroid_id"], r["component"]), []).append(r["keep"])
     for keeps in by_comp.values():
         assert sum(keeps) == 1
+
+
+def test_cross_corpus_minhash_only_cross_pairs(spark):
+    text_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    text_b = "completely different content about spark distributed query processing engines"
+    eval_df = spark.createDataFrame(
+        [(100, text_a)], "doc_id long, text string"
+    )
+    train_df = spark.createDataFrame(
+        [(1, text_a), (2, text_a), (3, text_b)], "doc_id long, text string"
+    )
+    pairs = D.cross_corpus_minhash_pairs(eval_df, train_df, threshold=0.5).collect()
+    got = {(r["eval_id"], r["train_id"]) for r in pairs}
+    # contaminated train docs 1 and 2 both flagged against eval 100
+    assert got == {(100, 1), (100, 2)}
+    # jaccard of identical shingle sets is exactly 1
+    assert all(abs(r["jaccard"] - 1.0) < 1e-9 for r in pairs)
