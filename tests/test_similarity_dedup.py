@@ -191,3 +191,25 @@ def test_cross_corpus_minhash_only_cross_pairs(spark):
     assert got == {(100, 1), (100, 2)}
     # jaccard of identical shingle sets is exactly 1
     assert all(abs(r["jaccard"] - 1.0) < 1e-9 for r in pairs)
+
+
+def test_edit_distance_exact_dup_sim_one(spark, sample_docs):
+    # identical docs (0,5): levenshtein 0 -> edit_sim exactly 1.0
+    pairs = D.edit_distance_pairs(sample_docs, threshold=0.5).collect()
+    hit = [r for r in pairs if r["id1"] == 0 and r["id2"] == 5]
+    assert hit and abs(hit[0]["edit_sim"] - 1.0) < 1e-12
+
+
+def test_edit_distance_truncation_bounds_cost(spark):
+    # two docs identical in the first max_chars but divergent after:
+    # the capped comparison reports sim 1.0 (documented truncation).
+    # Base has many distinct shingles so the short divergent tails keep
+    # shingle-Jaccard high enough for LSH candidacy.
+    words = ["".join(chr(ord("a") + d) for d in (i // 26 // 26, i // 26 % 26, i % 26)) for i in range(80)]
+    base = " ".join(words) + " "
+    df = spark.createDataFrame(
+        [(1, base + "tail one"), (2, base + "completely different ending")],
+        "doc_id long, text string",
+    )
+    pairs = D.edit_distance_pairs(df, threshold=0.9, max_chars=len(base)).collect()
+    assert len(pairs) == 1 and abs(pairs[0]["edit_sim"] - 1.0) < 1e-12
