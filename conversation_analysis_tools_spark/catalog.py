@@ -43,21 +43,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """Read the events table, tolerating parquet TIMESTAMP(NANOS).
+    """Read the events table, normalizing ``ts`` to TIMESTAMP_LTZ.
 
-    The synthetic ``events.ts`` column is INT64 TIMESTAMP(NANOS,false),
-    which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). We read nanos
-    as a long (runtime conf) and rebuild a microsecond timestamp with
-    exact integer division -- same truncation DuckDB applies when it
-    narrows ns -> us, so the oracle comparison stays exact.
+    The synthetic ``events.ts`` physical type has varied across data
+    generations: INT64 TIMESTAMP(NANOS,false) (vanilla Spark rejects
+    it -- read nanos as long and rebuild micros, the same truncation
+    DuckDB applies narrowing ns -> us) or TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (Spark reads TIMESTAMP_NTZ, which
+    ``unix_micros``/watermarks refuse). The session timezone is pinned
+    to UTC, so the NTZ -> LTZ cast is wall-clock-identity and matches
+    DuckDB's naive-timestamp oracle reads either way.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -29,19 +29,29 @@ def read_event_stream(
 ) -> DataFrame:
     """File-source stream over an events parquet directory.
 
-    (The synthetic single-file table is read with nanos-as-long the
-    same way catalog.py does for batch.)
+    The parquet ``ts`` physical type varies across generators --
+    TIMESTAMP(NANOS) (vanilla Spark reads it as long under
+    ``nanosAsLong``) vs TIMESTAMP(MICROS) (reads as timestamp).
+    ``readStream`` needs an explicit schema, so probe it with a batch
+    read of the same directory, exactly like catalog._read_events.
     """
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(path_dir)
+    ts_is_nanos_long = isinstance(probed.schema["ts"].dataType, LongType)
+    ts_decl = "ts bigint" if ts_is_nanos_long else "ts timestamp"
     df = (
         spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            f"event_id bigint, {ts_decl}, user_id bigint, event_type string, "
             "value double, props string"
         )
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path_dir)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos_long:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
