@@ -598,3 +598,151 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (training-sequence / RAG window construction)
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 200
+_CHUNK_STRIDE = 150
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST((gs.start - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(gs.start AS BIGINT) AS chunk_start,
+           substr(d.text, CAST(gs.start AS INT), {_CHUNK_LEN}) AS chunk_text,
+           CAST(length(substr(d.text, CAST(gs.start AS INT), {_CHUNK_LEN}))
+                AS BIGINT) AS chunk_len
+    FROM documents d,
+         unnest(generate_series(1, CAST(greatest(length(d.text), 1) AS BIGINT),
+                                {_CHUNK_STRIDE})) AS gs(start)
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks (len 200, stride 150)
+    per document -- the window construction every training-sequence /
+    RAG pipeline runs before tokenization.
+
+    Map-only: ``sequence`` + ``posexplode`` + ``substring`` are all
+    whole-stage-codegen expressions; no shuffle at any scale, output
+    partitioning inherits the scan. Empty docs still yield one (empty)
+    chunk so every doc_id survives -- the greatest(len,1) guard on
+    both sides. Reference has no chunker (its unit is the whole
+    conversation); this is the beyond-reference LLM-pipeline tier.
+    """
+    docs = _docs(spark, sf_dir)
+    starts = F.sequence(
+        F.lit(1).cast("bigint"),
+        F.greatest(F.length("text"), F.lit(1)).cast("bigint"),
+        F.lit(_CHUNK_STRIDE).cast("bigint"),
+    )
+    chunk = F.expr(f"substring(text, CAST(chunk_start AS INT), {_CHUNK_LEN})")
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            ((F.col("chunk_start") - 1) / F.lit(_CHUNK_STRIDE))
+            .cast("bigint")
+            .alias("chunk_idx"),
+            "chunk_start",
+            chunk.alias("chunk_text"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-feature importance weights (domain selection)
+# ---------------------------------------------------------------------------
+
+#: Target domain for the importance ratio (the "high-quality" slice).
+_DSIR_TARGET_SOURCE = "src0"
+
+
+@register(
+    "dsir_importance",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(text), '\b[a-z]{{3,}}\b')) AS term
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, substr(md5(term), 1, 2) AS b, count(*) AS cnt
+        FROM tok GROUP BY 1, 2
+    ),
+    raw AS (SELECT b, sum(cnt) AS rc FROM feat GROUP BY b),
+    tgt AS (
+        SELECT substr(md5(term), 1, 2) AS b, count(*) AS tc
+        FROM tok WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY 1
+    ),
+    tot AS (SELECT (SELECT sum(rc) FROM raw) AS rtot,
+                   (SELECT coalesce(sum(tc), 0) FROM tgt) AS ttot),
+    lm AS (
+        SELECT r.b,
+               ln((coalesce(t.tc, 0) + 1.0) / (tot.ttot + 256.0))
+             - ln((r.rc + 1.0) / (tot.rtot + 256.0)) AS llr
+        FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot
+    )
+    SELECT f.doc_id,
+           CAST(sum(f.cnt) AS BIGINT) AS n_tokens,
+           round(sum(f.cnt * lm.llr) / sum(f.cnt), 6) AS dsir_logratio
+    FROM feat f JOIN lm ON f.b = lm.b
+    GROUP BY f.doc_id
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight per document: mean log-likelihood
+    ratio of a target-domain hashed-feature LM over the raw-corpus LM
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"). Docs whose token distribution looks like
+    the target domain score high; resampling by these weights tilts a
+    100 TB crawl toward the target mix.
+
+    Hashed features = md5(term) 2-hex-char prefix (256 buckets) --
+    engine-portable, fixed-width state regardless of vocabulary, the
+    same trick DSIR uses to make the LM O(buckets) not O(vocab).
+    Plan: one tokenize+count shuffle to doc-grain features; the two
+    bucket LMs are 256-row aggregates broadcast back; final per-doc
+    agg reuses the feature shuffle's partitioning. Zero-token docs are
+    absent (perplexity-filter contract shared with unigram_logprob).
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.explode(raw_tokens_expr("text")).alias("term")
+    ).withColumn("b", F.substring(F.md5(F.col("term").cast("binary")), 1, 2))
+    feat = track(tok.groupBy("doc_id", "b").agg(F.count("*").alias("cnt")))
+    raw = feat.groupBy("b").agg(F.sum("cnt").alias("rc"))
+    tgt = (
+        tok.where(F.col("source") == _DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    rtot, ttot = (
+        raw.agg(F.sum("rc")).first()[0],
+        tgt.agg(F.sum("tc")).first()[0] or 0,
+    )
+    lm = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / F.lit(float(ttot) + 256.0))
+                - F.log((F.col("rc") + 1.0) / F.lit(float(rtot) + 256.0))
+            ).alias("llr"),
+        )
+    )
+    return (
+        feat.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("llr")) / F.sum("cnt"), 6
+            ).alias("dsir_logratio"),
+        )
+    )
