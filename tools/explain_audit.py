@@ -53,6 +53,10 @@ AUDIT = [
     # multi-table LSH (posexplode index, (table,bucket) equi-join)
     "dedup_substring_spans",
     "ann_lsh_knn",
+    # chunking is map-only (no Exchange anywhere); DSIR's two 256-row
+    # LMs must broadcast back onto the feature shuffle
+    "doc_chunks",
+    "dsir_importance",
 ]
 
 
