@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from conversation_analysis_tools_spark.catalog import table as _catalog_table
 from conversation_analysis_tools_spark.operators import ann as A
 from conversation_analysis_tools_spark.operators import cache
-from conversation_analysis_tools_spark.queries.registry import register
+from conversation_analysis_tools_spark.queries.registry import REGISTRY, register
 
 N_QUERIES = 5  # vec_id 0..4 used as the query batch
 EMB_DIM = 64
@@ -184,4 +184,34 @@ def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = cache.track(A.pq_encode(emb, codebooks))
     return A.pq_topk(
         encoded, queries, codebooks, k=5, rerank=100, exclude_self=True
+    )
+
+
+@register("ann_recall_eval", oracle=None)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of every approximate ANN path against the exact
+    brute-force baseline, as one 4-row DataFrame (method, hits,
+    possible, recall_at_5).
+
+    The evaluation harness an ANN deployment runs before trusting an
+    index: ground truth = exact cosine top-5; an approximate method
+    scores a hit per (query, neighbor) it retains. All joins are on
+    (query_id, vec_id) pairs of the tiny top-k frames -- broadcast,
+    nothing rescans the corpus beyond what each method already does.
+    Rows-only (the approximate paths are not SQL-expressible); the
+    floor is pinned by tests (LSH >= 0.8, IVF tested per-run, int8/PQ
+    0.96 on this corpus).
+    """
+    exact = (
+        REGISTRY["ann_bruteforce_knn"].fn(spark, sf_dir)
+        .select("query_id", "vec_id")
+    )
+    n_truth = exact.count()
+    rows = []
+    for method in ("ann_lsh_knn", "ann_ivf_knn", "ann_int8_knn", "ann_pq_knn"):
+        approx = REGISTRY[method].fn(spark, sf_dir).select("query_id", "vec_id")
+        hits = approx.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
+        rows.append((method, hits, n_truth, round(hits / n_truth, 4)))
+    return spark.createDataFrame(
+        rows, "method string, hits bigint, possible bigint, recall_at_5 double"
     )
