@@ -55,6 +55,9 @@ HEADLINE = [
     "ann_lsh_knn",
     "streaming_stream_join",
     "gopher_quality_flags",
+    # round-2 tail: map-only chunking, hashed-feature DSIR selection
+    "doc_chunks",
+    "dsir_importance",
 ]
 
 

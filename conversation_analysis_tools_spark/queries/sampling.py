@@ -715,26 +715,25 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "source", F.explode(raw_tokens_expr("text")).alias("term")
     ).withColumn("b", F.substring(F.md5(F.col("term").cast("binary")), 1, 2))
-    feat = track(tok.groupBy("doc_id", "b").agg(F.count("*").alias("cnt")))
-    raw = feat.groupBy("b").agg(F.sum("cnt").alias("rc"))
-    tgt = (
-        tok.where(F.col("source") == _DSIR_TARGET_SOURCE)
-        .groupBy("b")
-        .agg(F.count("*").alias("tc"))
+    # one tokenize+count shuffle feeds everything; keeping source in
+    # the key (doc -> source is functional, grain unchanged) lets the
+    # target-domain LM read the SAME cached frame instead of
+    # re-tokenizing the corpus
+    feat = track(
+        tok.groupBy("doc_id", "source", "b").agg(F.count("*").alias("cnt"))
     )
-    rtot, ttot = (
-        raw.agg(F.sum("rc")).first()[0],
-        tgt.agg(F.sum("tc")).first()[0] or 0,
+    is_tgt = F.col("source") == _DSIR_TARGET_SOURCE
+    bucket = feat.groupBy("b").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(F.when(is_tgt, F.col("cnt")).otherwise(F.lit(0))).alias("tc"),
     )
-    lm = (
-        raw.join(tgt, "b", "left")
-        .select(
-            "b",
-            (
-                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / F.lit(float(ttot) + 256.0))
-                - F.log((F.col("rc") + 1.0) / F.lit(float(rtot) + 256.0))
-            ).alias("llr"),
-        )
+    rtot, ttot = bucket.agg(F.sum("rc"), F.sum("tc")).first()  # 256-row frame
+    lm = bucket.select(
+        "b",
+        (
+            F.log((F.col("tc") + 1.0) / F.lit(float(ttot) + 256.0))
+            - F.log((F.col("rc") + 1.0) / F.lit(float(rtot) + 256.0))
+        ).alias("llr"),
     )
     return (
         feat.join(F.broadcast(lm), "b")
