@@ -5,6 +5,7 @@ oracle gate; these pin the invariants on sf0.001."""
 
 from __future__ import annotations
 
+from conversation_analysis_tools_spark.queries import REGISTRY
 from conversation_analysis_tools_spark.queries.sampling import (
     SEQ_BUDGET,
     corpus_ngram_top20,
@@ -74,3 +75,47 @@ def test_pii_scrub_masks_everything(spark):
         assert r["n_emails"] >= 1 and r["n_phones"] >= 1
         assert "@" not in r["scrubbed"]
         assert "<EMAIL>" in r["scrubbed"] and "<PHONE>" in r["scrubbed"]
+
+
+def test_doc_chunks_reassemble_and_stride(spark):
+    """Chunks cover the full text: stride-prefix concatenation of all
+    chunks except the last, plus the last chunk, reassembles the doc;
+    every doc (even empty) yields a chunk 0."""
+    from conversation_analysis_tools_spark.catalog import table
+
+    chunks = REGISTRY["doc_chunks"].fn(spark, SF_DIR)
+    docs = {r["doc_id"]: r["text"] for r in table(spark, "documents", SF_DIR).collect()}
+    by_doc = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        text = docs[doc_id]
+        rebuilt = "".join(r["chunk_text"][:150] for r in rows[:-1]) + rows[-1]["chunk_text"]
+        assert rebuilt == text
+        for r in rows:
+            assert r["chunk_len"] == len(r["chunk_text"]) <= 200
+
+
+def test_dsir_importance_separates_target_domain(spark):
+    """The importance log-ratio must rank target-source docs above the
+    rest on average -- the whole point of the DSIR signal."""
+    from pyspark.sql import functions as F
+
+    from conversation_analysis_tools_spark.catalog import table
+    from conversation_analysis_tools_spark.queries.sampling import (
+        _DSIR_TARGET_SOURCE,
+    )
+
+    w = REGISTRY["dsir_importance"].fn(spark, SF_DIR)
+    docs = table(spark, "documents", SF_DIR).select("doc_id", "source")
+    m = (
+        w.join(docs, "doc_id")
+        .groupBy(F.col("source") == _DSIR_TARGET_SOURCE)
+        .agg(F.avg("dsir_logratio").alias("mean_lr"))
+        .collect()
+    )
+    means = {r[0]: r["mean_lr"] for r in m}
+    assert means[True] > means[False], means
