@@ -20,14 +20,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from conversation_analysis_tools_spark.functions.numeric import avg4
+
 
 def build_rollup(events: DataFrame, *keys: str) -> DataFrame:
-    """Mergeable daily rollup state: (count, unrounded sum) per key.
-    The sum stays unrounded in state -- rounding is a read-time
-    presentation concern (registry float discipline)."""
+    """Mergeable daily rollup state: (count, exact integer-cent sum)
+    per key. Integer state makes merge == recompute bit-exact in ANY
+    fold order (double sums are order-dependent in the last ulp, which
+    flips rounded read-time values on knife-edge groups); rounding and
+    the /100 descale are read-time presentation concerns."""
+    cents = F.round(F.col("value") * 100).cast("long")
     return events.groupBy(
         F.col("ts").cast("date").alias("d"), *[F.col(k) for k in keys]
-    ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    ).agg(F.count("*").alias("n"), F.sum(cents).alias("total"))
 
 
 def merge_rollup(old: DataFrame, delta: DataFrame) -> DataFrame:
@@ -43,10 +48,10 @@ def merge_rollup(old: DataFrame, delta: DataFrame) -> DataFrame:
 
 
 def finalize_rollup(state: DataFrame, decimals: int = 4) -> DataFrame:
-    """Read-time projection of the state: round the float sum, derive
-    the average from (sum, count) instead of storing it."""
+    """Read-time projection of the state: descale the integer-cent
+    sum, derive the average from (sum, count) instead of storing it."""
     return state.select(
         *[c for c in state.columns if c not in ("total",)],
-        F.round("total", decimals).alias("total"),
-        F.round(F.col("total") / F.col("n"), decimals).alias("avg_value"),
+        F.round(F.col("total") / 100.0, decimals).alias("total"),
+        avg4(F.col("total") * 100, F.col("n")).alias("avg_value"),
     )

@@ -96,8 +96,9 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(ts AS DATE) AS d, event_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 4) AS total,
-           round(sum(value) / count(*), 4) AS avg_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS total,
+           CAST(floor(CAST(2 * (sum(CAST(round((value) * 100) AS BIGINT)) * 100) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE)
+               AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )

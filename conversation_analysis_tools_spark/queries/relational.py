@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from conversation_analysis_tools_spark.functions.numeric import avg4, cents
 from conversation_analysis_tools_spark.functions.timeutil import (
     gap_seconds,
     hour_bucket,
@@ -50,7 +51,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n_pairs,
-           round(avg((epoch_us(next_ts) - epoch_us(ts)) / 1000000.0), 4) AS avg_gap_sec
+           CAST(floor(CAST(2 * (sum(epoch_us(next_ts) - epoch_us(ts))) + (100 * count(*)) AS DOUBLE) / CAST(2 * (100 * count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE)
+               AS avg_gap_sec
     FROM nxt
     WHERE next_ts IS NOT NULL
     GROUP BY event_type
@@ -79,7 +81,13 @@ def event_response_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.avg(gap_seconds("ts", "next_ts")), 4).alias("avg_gap_sec"),
+            # exact integer-microsecond sum + integer half-up rounding
+            # (functions/numeric.py): bit-identical to the oracle at
+            # any summation order, including .00005 boundaries
+            avg4(
+                F.sum(F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))),
+                F.count("*") * 100,
+            ).alias("avg_gap_sec"),
         )
     )
 
@@ -283,7 +291,7 @@ def topic_cooccurrence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT quantile_cont(value, 0.95) AS p95 FROM events)
     SELECT e.event_type,
            count(*) AS n_outliers,
-           round(avg(e.value), 4) AS avg_outlier_value
+           CAST(floor(CAST(2 * (sum(CAST(round((e.value) * 100) AS BIGINT)) * 100) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_outlier_value
     FROM events e, q
     WHERE e.value > q.p95
     GROUP BY e.event_type
@@ -306,7 +314,7 @@ def quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_outliers"),
-            F.round(F.avg("value"), 4).alias("avg_outlier_value"),
+            avg4(F.sum(cents("value")) * 100, F.count("*")).alias("avg_outlier_value"),
         )
     )
 
@@ -501,7 +509,7 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(length(text)), 4) AS avg_len,
+           CAST(floor(CAST(2 * (CAST(sum(length(text)) AS BIGINT) * 10000) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_len,
            min(length(text)) AS min_len,
            max(length(text)) AS max_len,
            CAST(sum(length(text)) AS BIGINT) AS total_len
@@ -516,7 +524,7 @@ def length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln = F.length("text")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg(ln), 4).alias("avg_len"),
+        avg4(F.sum(ln) * 10000, F.count("*")).alias("avg_len"),
         F.min(ln).alias("min_len"),
         F.max(ln).alias("max_len"),
         F.sum(ln).alias("total_len"),
@@ -527,8 +535,8 @@ def length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ratio_of_aggregates",
     oracle="""
     SELECT l_returnflag,
-           round(avg(l_extendedprice) / avg(l_quantity), 4) AS price_per_qty,
-           round(CAST(count(*) AS DOUBLE) / count(DISTINCT l_orderkey), 4)
+           CAST(floor(CAST(2 * (sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100) + (CAST(sum(l_quantity) AS BIGINT)) AS DOUBLE) / CAST(2 * (CAST(sum(l_quantity) AS BIGINT)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE) AS price_per_qty,
+           CAST(floor(CAST(2 * (count(*) * 10000) + (count(DISTINCT l_orderkey)) AS DOUBLE) / CAST(2 * (count(DISTINCT l_orderkey)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE)
                AS lines_per_order
     FROM lineitem
     GROUP BY l_returnflag
@@ -539,12 +547,13 @@ def ratio_of_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     access_db.py:53-65 CAST AS FLOAT avg-messages-per-conversation)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.avg("l_extendedprice") / F.avg("l_quantity"), 4).alias(
-            "price_per_qty"
+        avg4(
+            F.sum(cents("l_extendedprice")) * 100,
+            F.sum("l_quantity").cast("long"),
+        ).alias("price_per_qty"),
+        avg4(F.count("*") * 10000, F.countDistinct("l_orderkey")).alias(
+            "lines_per_order"
         ),
-        F.round(
-            F.count("*").cast("double") / F.countDistinct("l_orderkey"), 4
-        ).alias("lines_per_order"),
     )
 
 
@@ -607,7 +616,7 @@ def time_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE '200+'
            END AS bucket,
            count(*) AS n,
-           round(avg(value), 4) AS avg_value
+           CAST(floor(CAST(2 * (sum(CAST(round((value) * 100) AS BIGINT)) * 100) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -626,7 +635,10 @@ def histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.select(bucket.alias("bucket"), "value")
         .groupBy("bucket")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            avg4(F.sum(cents("value")) * 100, F.count("*")).alias("avg_value"),
+        )
     )
 
 
@@ -705,7 +717,7 @@ def top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            round(stddev_samp(value), 4) AS value_stddev,
-           round(avg(value), 4) AS value_avg
+           CAST(floor(CAST(2 * (sum(CAST(round((value) * 100) AS BIGINT)) * 100) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE) AS value_avg
     FROM events
     GROUP BY event_type
     """,
@@ -718,7 +730,7 @@ def stddev_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
-            F.round(F.avg("value"), 4).alias("value_avg"),
+            avg4(F.sum(cents("value")) * 100, F.count("*")).alias("value_avg"),
         )
     )
 
@@ -729,7 +741,7 @@ def stddev_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
                AS k_total,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
+           CAST(floor(CAST(2 * (CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) * 10000) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE) AS k_avg
     FROM events
     GROUP BY event_type
     """,
@@ -741,7 +753,7 @@ def json_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return events.groupBy("event_type").agg(
-        F.sum(k).alias("k_total"), F.round(F.avg(k), 4).alias("k_avg")
+        F.sum(k).alias("k_total"), avg4(F.sum(k) * 10000, F.count("*")).alias("k_avg")
     )
 
 
@@ -961,7 +973,8 @@ def length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.user_id,
            count(*) AS n_pairs,
-           round(avg(a.value - b.value), 4) AS avg_value_diff
+           CAST(floor(CAST(2 * (sum(CAST(round(a.value * 100) AS BIGINT)
+                     - CAST(round(b.value * 100) AS BIGINT)) * 100) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_value_diff
     FROM events a
     JOIN events b ON a.user_id = b.user_id
     WHERE a.event_type = 'purchase' AND b.event_type = 'error'
@@ -977,18 +990,22 @@ def pair_join_unconstrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE skew-join splits any hot user.
     """
     events = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
     a = events.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("value").alias("va")
+        "user_id", cents.alias("va")
     )
     b = events.where(F.col("event_type") == "error").select(
-        "user_id", F.col("value").alias("vb")
+        "user_id", cents.alias("vb")
     )
     return (
         a.join(b, "user_id")
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.avg(F.col("va") - F.col("vb")), 4).alias("avg_value_diff"),
+            # exact cents + integer half-up rounding (functions/numeric.py)
+            avg4(
+                F.sum(F.col("va") - F.col("vb")) * 100, F.count("*")
+            ).alias("avg_value_diff"),
         )
     )
 
@@ -1161,7 +1178,8 @@ def cube_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n,
            count(DISTINCT user_id) AS users,
-           round(avg(value), 4) AS avg_value
+           CAST(floor(CAST(2 * (sum(CAST(round((value) * 100) AS BIGINT)) * 100) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE)
+               AS avg_value
     FROM events
     WHERE value > 50
     GROUP BY event_type
@@ -1179,7 +1197,8 @@ def sql_endpoint_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                count(*) AS n,
                count(DISTINCT user_id) AS users,
-               round(avg(value), 4) AS avg_value
+               CAST(floor(CAST(2 * (sum(CAST(round((value) * 100) AS BIGINT)) * 100) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE)
+                   AS avg_value
         FROM events
         WHERE value > 50
         GROUP BY event_type
@@ -1225,7 +1244,7 @@ def join_enrich_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_summary",
     oracle="""
     SELECT count(*) AS n_events,
-           round(avg(value), 4) AS avg_value,
+           CAST(floor(CAST(2 * (sum(CAST(round((value) * 100) AS BIGINT)) * 100) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE) AS avg_value,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value,
            round(stddev_samp(value), 4) AS std_value,
@@ -1241,7 +1260,7 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return events.agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        avg4(F.sum(cents("value")) * 100, F.count("*")).alias("avg_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
         F.round(F.stddev_samp("value"), 4).alias("std_value"),

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.functions.numeric import avg4
 from conversation_analysis_tools_spark.queries.registry import register
 from conversation_analysis_tools_spark.streaming import (
     read_event_stream,
@@ -34,7 +35,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           round(avg(value), 4) AS avg_value
+           CAST(floor(CAST(2 * (sum(CAST(round((value) * 100) AS BIGINT)) * 100) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE)
+               AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -83,7 +85,7 @@ def window_sliding_2h1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT min(ts) AS session_start, user_id,
            count(*) AS n_events,
-           round(sum(value), 4) AS session_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS session_value
     FROM numbered
     GROUP BY user_id, session_id
     """,
@@ -101,7 +103,8 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           round(avg(value), 4) AS avg_value
+           CAST(floor(CAST(2 * (sum(CAST(round((value) * 100) AS BIGINT)) * 100) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE)
+               AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -148,7 +151,7 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,
-           round(sum(value), 4) AS total_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
     FROM numbered
     GROUP BY user_id, session_id
     """,
@@ -181,7 +184,7 @@ def _staged_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', e.ts) AS window_start,
            c.c_mktsegment AS segment,
            count(*) AS n,
-           round(sum(e.value), 4) AS total_value
+           round(sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 4) AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2
     """,
@@ -207,7 +210,12 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         enriched.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 4
+            ).alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("c_mktsegment").alias("segment"),
@@ -252,7 +260,8 @@ def streaming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT v.user_id,
            count(*) AS n_pairs,
-           round(avg(epoch(c.ts) - epoch(v.ts)), 4) AS avg_lag_sec
+           CAST(floor(CAST(2 * (sum(epoch_us(c.ts) - epoch_us(v.ts))) + (100 * count(*)) AS DOUBLE) / CAST(2 * (100 * count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE)
+               AS avg_lag_sec
     FROM events v JOIN events c
       ON v.user_id = c.user_id
      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
@@ -303,9 +312,11 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("v_user").alias("user_id"))
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(
-                F.avg(F.unix_micros(F.col("c_ts")) / 1e6 - F.unix_micros(F.col("v_ts")) / 1e6),
-                4,
+            # exact integer-microsecond sum + integer half-up rounding
+            # (functions/numeric.py)
+            avg4(
+                F.sum(F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))),
+                F.count("*") * 100,
             ).alias("avg_lag_sec"),
         )
     )

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from conversation_analysis_tools_spark.functions.numeric import avg4, cents
+
 EVENT_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
@@ -56,11 +58,20 @@ def read_event_stream(
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling event-time windows; watermark bounds late data and
-    state size when the input is a stream."""
+    state size when the input is a stream.
+
+    avg(value) is computed as an exact integer-cent sum divided once:
+    the input values are 2-decimal currency, and summing doubles in
+    engine-dependent order flips the 4th rounded decimal on knife-edge
+    groups at sf0.1+ (observed vs the DuckDB oracle). Integer sums are
+    order-independent, so the oracle holds at every scale."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            avg4(F.sum(cents("value")) * 100, F.count("*")).alias("avg_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "avg_value")
     )
 
@@ -85,7 +96,10 @@ def session_aggregate(
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(cents("value")) / 100.0, 4).alias("session_value"),
+        )
         .select(
             F.col("w.start").alias("session_start"),
             "user_id",
@@ -203,17 +217,18 @@ def sessionize_with_state(
         rows = []
         start = end = None
         n = 0
-        tot = 0.0
+        tot = 0  # exact integer cents (value is 2-decimal currency)
         for ts, v in zip(pdf["ts"], pdf["value"]):
+            c = int(round(float(v) * 100))
             if start is None:
-                start, end, n, tot = ts, ts, 1, float(v)
+                start, end, n, tot = ts, ts, 1, c
             elif ts - end > gap:
-                rows.append((start, end, n, round(tot, 4)))
-                start, end, n, tot = ts, ts, 1, float(v)
+                rows.append((start, end, n, round(tot / 100.0, 4)))
+                start, end, n, tot = ts, ts, 1, c
             else:
-                end, n, tot = ts, n + 1, tot + float(v)
+                end, n, tot = ts, n + 1, tot + c
         if start is not None:
-            rows.append((start, end, n, round(tot, 4)))
+            rows.append((start, end, n, round(tot / 100.0, 4)))
         uid = pdf["user_id"].iloc[0]
         return pd.DataFrame(
             [(uid, s, e, c, t) for (s, e, c, t) in rows],
