@@ -38,6 +38,15 @@ def tf_vectors(
     return T.tf_sum(counts, id_col)
 
 
+#: Threshold comparisons subtract this epsilon on BOTH the engine and
+#: every oracle: small-integer count vectors produce cosines that are
+#: EXACT rationals (e.g. exactly 0.9), and the two engines' float
+#: pipelines land on opposite sides of ``>= thr`` by one ulp (observed
+#: at sf0.1: rowcount 2627 vs 2626). Shifting the cut to thr - 1e-9 --
+#: far above fp noise (~1e-15), far below the gap to the next distinct
+#: rational -- makes both engines agree on every pair.
+THRESHOLD_EPS = 1e-9
+
 #: Vocabulary size below which the dense-vector plan beats the
 #: inverted index: with v distinct terms shared by nearly all docs the
 #: term join materializes O(v * n^2) rows, while the dense plan is a
@@ -201,7 +210,7 @@ def grid_blocked_pairs(per_doc: DataFrame, threshold: float) -> DataFrame:
         sims = L @ R.T
         lid = left["_id"].to_numpy()
         rid = right["_id"].to_numpy()
-        mask = sims >= thr
+        mask = sims >= thr - THRESHOLD_EPS
         if bi == bj:
             mask &= rid[None, :] > lid[:, None]
         ii, jj = np.nonzero(mask)
@@ -297,7 +306,7 @@ def duplicate_pairs(
     sims = pairwise_cosine(
         tf_vectors(docs, id_col, text_col, counts), id_col, max_df, strategy, threshold
     )
-    return sims.where(F.col("sim") >= threshold)
+    return sims.where(F.col("sim") >= threshold - THRESHOLD_EPS)
 
 
 def near_duplicates_of(
@@ -336,5 +345,5 @@ def near_duplicates_of(
             F.col(id_col).alias("dup_id"),
             (F.col("dot") / (F.col("norm") * F.col("norm_t"))).alias("sim"),
         )
-        .where(F.col("sim") >= threshold)
+        .where(F.col("sim") >= threshold - THRESHOLD_EPS)
     )

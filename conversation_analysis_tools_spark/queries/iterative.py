@@ -31,7 +31,7 @@ _CC_ORACLE_CTE = f"""
     pairs AS (
         SELECT id1, id2
         FROM dots JOIN norms x ON id1 = x.doc_id JOIN norms y ON id2 = y.doc_id
-        WHERE dot / (x.nrm * y.nrm) >= 0.9
+        WHERE dot / (x.nrm * y.nrm) >= 0.9 - 1e-9  -- THRESHOLD_EPS, similarity.py
     ),
     edges AS (
         SELECT id1 AS a, id2 AS b FROM pairs

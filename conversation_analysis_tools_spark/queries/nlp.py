@@ -329,7 +329,7 @@ _TF_SUM_CTE = f"""
     )
     SELECT id1, id2, round(dot / (x.nrm * y.nrm), 6) AS sim
     FROM dots JOIN norms x ON id1 = x.doc_id JOIN norms y ON id2 = y.doc_id
-    WHERE dot / (x.nrm * y.nrm) >= 0.9
+    WHERE dot / (x.nrm * y.nrm) >= 0.9 - 1e-9  -- THRESHOLD_EPS, similarity.py
     """,
 )
 def nlp_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,7 +359,7 @@ def nlp_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id AS dup_id,
            round(d.dot / (n.nrm * (SELECT nrm FROM norms WHERE doc_id = 0)), 6) AS sim
     FROM dots d JOIN norms n ON d.doc_id = n.doc_id
-    WHERE d.dot / (n.nrm * (SELECT nrm FROM norms WHERE doc_id = 0)) >= 0.5
+    WHERE d.dot / (n.nrm * (SELECT nrm FROM norms WHERE doc_id = 0)) >= 0.5 - 1e-9  -- THRESHOLD_EPS
     """,
 )
 def nlp_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,7 +496,7 @@ def nlp_topic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label, sim
     FROM sims
-    WHERE sim >= 0.3
+    WHERE sim >= 0.3 - 1e-9  -- THRESHOLD_EPS
     ORDER BY sim DESC, vec_id
     LIMIT 20
     """,
@@ -520,7 +520,11 @@ def semantic_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_expr(F.col("embedding"), q), 6).alias("sim"),
         )
     )
-    return sims.where(F.col("sim") >= 0.3).orderBy(F.desc("sim"), F.asc("vec_id")).limit(20)
+    return (
+        sims.where(F.col("sim") >= 0.3 - 1e-9)  # THRESHOLD_EPS, similarity.py
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(20)
+    )
 
 
 @register("embedding_generation", oracle=None)

@@ -9,7 +9,13 @@ Float discipline: aggregate/computed float columns are rounded to a
 fixed number of decimals on BOTH sides (``round(x, 4)`` in Spark and in
 the oracle SQL) so that summation-order differences between engines
 (last-ulp noise) cannot flip the value hash. Raw column passthroughs
-are never rounded.
+are never rounded. For averages/ratios of EXACT quantities (cents,
+microseconds, counts), ``round()`` itself is unsafe -- integer ratios
+land exactly on .00005 boundaries where Spark and DuckDB round
+differently -- so those use ``functions/numeric.avg4``/``avg4_sql``:
+integer half-up rounding via ``floor((2s+d)/(2d))``, bit-identical on
+both engines at any summation order. Transcendental results (logs,
+cosines) stay on plain ``round``: their boundary set has measure zero.
 """
 
 from __future__ import annotations

@@ -60,11 +60,9 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "
     """Tumbling event-time windows; watermark bounds late data and
     state size when the input is a stream.
 
-    avg(value) is computed as an exact integer-cent sum divided once:
-    the input values are 2-decimal currency, and summing doubles in
-    engine-dependent order flips the 4th rounded decimal on knife-edge
-    groups at sf0.1+ (observed vs the DuckDB oracle). Integer sums are
-    order-independent, so the oracle holds at every scale."""
+    avg(value) uses the exact-integer path (functions/numeric.avg4):
+    cent sums are order-independent and the half-up rounding happens
+    in integer space, so the oracle holds at every scale."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", width).alias("w"), "event_type")
