@@ -297,3 +297,70 @@ def sessionize_with_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_maintain_rollup(
+    spark: SparkSession,
+    path_dir: str,
+    rollup_path: str,
+    *keys: str,
+    state_partitions: int | None = 8,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Continuous incremental-rollup maintenance via ``foreachBatch``:
+    each micro-batch of the event stream is folded into the persistent
+    daily rollup with operators/rollup.merge_rollup -- the production
+    marriage of the streaming source and the mergeable-state pattern
+    (a streaming materialized view).
+
+    ``foreachBatch`` is the right sink here because the update is an
+    arbitrary batch transaction (read current state, merge, overwrite),
+    not an append the built-in sinks can express. Each batch shuffles
+    only |batch rollup| + |current rollup| rows on the group key --
+    history is never re-read; with the rollup written bucketed by key
+    the old side is exchange-free (layout.write_bucketed).
+
+    Because rollup state is exact integer cents (build_rollup), the
+    maintained table is bit-identical to a from-scratch GROUP BY over
+    all events regardless of how the stream was micro-batched --
+    pinned by tests/test_ann_streaming.py. Returns the final state.
+    """
+    import os
+
+    from conversation_analysis_tools_spark.operators.rollup import (
+        build_rollup,
+        merge_rollup,
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = build_rollup(batch_df, *keys)
+        if os.path.exists(rollup_path):
+            merged = merge_rollup(spark.read.parquet(rollup_path), delta)
+        else:
+            merged = delta
+        # overwrite transactionally via a staged write (parquet has no
+        # in-place MERGE; a table format -- Delta/Iceberg -- would make
+        # this a real MERGE INTO at scale)
+        tmp = rollup_path + "._staged"
+        merged.write.mode("overwrite").parquet(tmp)
+        fresh = spark.read.parquet(tmp)
+        fresh.write.mode("overwrite").parquet(rollup_path)
+
+    src = read_event_stream(spark, path_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            src.writeStream.foreachBatch(fold_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", rollup_path + "._ckpt")
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(rollup_path)

@@ -229,3 +229,30 @@ def test_pq_recall_and_adc_ordering(spark):
         key = (r["query_id"], r["vec_id"])
         if key in exact_sim:
             assert abs(r["sim"] - exact_sim[key]) < 1e-6, key
+
+
+def test_stream_maintain_rollup_equals_batch(spark, tmp_path):
+    """foreachBatch rollup maintenance: folding the stream's
+    micro-batches into the persistent rollup must equal a from-scratch
+    rollup over all events, bit-exact (integer-cent state), regardless
+    of how the stream was batched."""
+    from conversation_analysis_tools_spark.catalog import table
+    from conversation_analysis_tools_spark.operators.rollup import build_rollup
+    from conversation_analysis_tools_spark.streaming.events import (
+        stream_maintain_rollup,
+    )
+
+    events = table(spark, "events", SF_DIR)
+    # stage as 3 files -> 3 micro-batches (maxFilesPerTrigger=1), so
+    # the merge path actually folds state across batches
+    src_dir = str(tmp_path / "events_staged")
+    events.repartitionByRange(3, "event_id").write.parquet(src_dir)
+    rollup_path = str(tmp_path / "rollup")
+
+    final = stream_maintain_rollup(spark, src_dir, rollup_path, "event_type")
+    got = {(r["d"], r["event_type"]): (r["n"], r["total"]) for r in final.collect()}
+    want = {
+        (r["d"], r["event_type"]): (r["n"], r["total"])
+        for r in build_rollup(events, "event_type").collect()
+    }
+    assert got == want
