@@ -320,3 +320,39 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_lag_sec"),
         )
     )
+
+
+@register(
+    "streaming_rollup_maintenance",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS total,
+           CAST(floor(CAST(2 * (sum(CAST(round((value) * 100) AS BIGINT)) * 100) + (count(*)) AS DOUBLE) / CAST(2 * (count(*)) AS DOUBLE)) AS BIGINT) / CAST(10000 AS DOUBLE)
+               AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous incremental-rollup maintenance on the REAL streaming
+    path: the event stream (staged as 3 files -> 3 micro-batches)
+    folds into a persistent daily rollup via foreachBatch +
+    merge_rollup -- a streaming materialized view. Because rollup
+    state is exact integer cents, the maintained table is bit-exact
+    against the oracle's from-scratch GROUP BY no matter how the
+    stream was micro-batched: a REAL streaming execution with a
+    STRICT oracle (same oracle as incremental_rollup, which is the
+    point -- batch recompute, delta merge, and continuous maintenance
+    all agree)."""
+    import tempfile
+
+    from conversation_analysis_tools_spark.operators.rollup import finalize_rollup
+    from conversation_analysis_tools_spark.streaming.events import (
+        stream_maintain_rollup,
+    )
+
+    d = tempfile.mkdtemp(prefix="stream_rollup_")
+    src = f"{d}/src"
+    _events(spark, sf_dir).repartitionByRange(3, "event_id").write.parquet(src)
+    state = stream_maintain_rollup(spark, src, f"{d}/rollup", "event_type")
+    return finalize_rollup(state)
