@@ -95,8 +95,12 @@ VERIFY_PRIORITY: list[str] = [
     "doc_fingerprints",
     "fingerprint_dup_groups",
     "curation_pipeline",
-    "stratified_cap",
-    "corpus_length_percentiles",
+    # streaming family (VERDICT item 1 named it; real readStream
+    # executions with strict oracles -- the hardest-to-fake evidence)
+    "streaming_tumbling",
+    "stateful_sessionize",
+    "streaming_stream_join",
+    "streaming_static_enrich",
     # ANN (the oracled exact baseline)
     "ann_bruteforce_knn",
     # multimodal plumbing
@@ -106,11 +110,9 @@ VERIFY_PRIORITY: list[str] = [
     "nlp_tfidf",
     "nlp_relevance",
     "nlp_relevance_topk",
-    "nlp_sentence_stats",
     "nlp_duplicate_pairs",
     "nlp_near_duplicates",
     "nlp_priority",
-    "nlp_topic_search",
     "semantic_search_topk",
     # new this round: snippet extraction + keyword highlight
     "snippet_highlight",
