@@ -24,6 +24,7 @@ def tfidf_embeddings(
     vocab_size: int = 5000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dtype: str = "float",
 ) -> DataFrame:
     """(id, text) -> (id, embedding array<float>) dense TF-IDF vectors.
 
@@ -48,9 +49,11 @@ def tfidf_embeddings(
 
     ent = F.map_from_entries(F.collect_list(F.struct("term", "tfidf")))
     per_doc = w.groupBy(id_col).agg(ent.alias("m"))
+    # float32 mimics the reference's npz cache; dtype="double" keeps
+    # full precision for oracle-checked serializations
     vec = F.array(
         *[
-            F.coalesce(F.element_at("m", F.lit(t)), F.lit(0.0)).cast("float")
+            F.coalesce(F.element_at("m", F.lit(t)), F.lit(0.0)).cast(dtype)
             for t in vocab
         ]
     )

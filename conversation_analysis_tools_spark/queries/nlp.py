@@ -527,21 +527,55 @@ def semantic_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_generation", oracle=None)
+@register(
+    "embedding_generation",
+    oracle=f"""
+    WITH {TOK_CTE}, {_COUNTS_CTE},
+    tf AS (
+        SELECT doc_id, term, cnt / max(cnt) OVER (PARTITION BY doc_id) AS tf
+        FROM counts
+    ),
+    idf AS (
+        SELECT term, ln((SELECT count(*) FROM documents) / (1 + count(DISTINCT doc_id))) AS idf
+        FROM tok GROUP BY term
+    ),
+    w AS (
+        SELECT t.doc_id, t.term, t.tf * i.idf AS tfidf
+        FROM tf t JOIN idf i ON t.term = i.term
+    ),
+    vocab AS (SELECT DISTINCT term FROM tok),
+    cells AS (
+        SELECT d.doc_id, v.term, coalesce(w.tfidf, 0.0) AS x
+        FROM documents d
+        CROSS JOIN vocab v
+        LEFT JOIN w ON w.doc_id = d.doc_id AND w.term = v.term
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS dim,
+           round(sqrt(sum(x * x)), 4) AS l2_norm,
+           string_agg(CAST(CAST(round(x * 10000) AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY term) AS embedding_csv
+    FROM cells GROUP BY doc_id
+    """,
+)
 def embedding_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N26 embedding generation: reference-exact TF-IDF pivoted into a
-    dense vocab-aligned array<float> column (replaces
+    dense vocab-aligned vector column (replaces
     TfidfVectorizer(max_features=5000) + npz cache,
-    sql_search.py:1161-1249). Rows-only: the vector payload is
-    property-tested (dimension, zero-token docs, norm) in
-    tests/test_embed_views.py.
+    sql_search.py:1161-1249).
 
-    The driver-facing surface serializes the vector (dim + L2 norm +
-    rounded CSV) -- raw array cells crash the harness canonicalizer's
-    pandas sort."""
+    STRICT oracle: the synthetic vocabulary (< max_features) makes the
+    whole vector SQL-expressible -- doc x vocab cells from the same
+    tf*idf CTEs as nlp_tfidf, serialized as 1e-4-scaled INTEGER CSV
+    (engine-portable: float->string formatting differs between engines
+    for values like 1e-4, integers never do; raw array cells crash the
+    harness canonicalizer). The engine side serializes from the
+    double-typed vector (dtype="double") so both engines round the
+    same values; the float32 npz-faithful variant remains the operator
+    default and is property-tested in tests/test_embed_views.py."""
     from conversation_analysis_tools_spark.operators.embed import tfidf_embeddings
 
-    emb = tfidf_embeddings(_docs(spark, sf_dir), vocab_size=5000)
+    emb = tfidf_embeddings(_docs(spark, sf_dir), vocab_size=5000, dtype="double")
     vec = F.col("embedding")
     return emb.select(
         "doc_id",
@@ -550,6 +584,9 @@ def embedding_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)), 4
         ).alias("l2_norm"),
         F.array_join(
-            F.transform(vec, lambda x: F.round(x, 4).cast("string")), ","
+            F.transform(
+                vec, lambda x: F.round(x * 10000).cast("long").cast("string")
+            ),
+            ",",
         ).alias("embedding_csv"),
     )
