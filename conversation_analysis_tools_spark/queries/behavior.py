@@ -184,3 +184,66 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prev_type"), F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "anomaly_daily_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    trail AS (
+        SELECT day, n,
+               sum(n)  OVER w AS s7,
+               sum(n * n) OVER w AS ss7,
+               count(n) OVER w AS c7
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, CAST(n AS BIGINT) AS n,
+           round((n - s7 * 1.0 / c7)
+                 / sqrt((ss7 - s7 * 1.0 * s7 / c7) / (c7 - 1)), 4) AS zscore
+    FROM trail
+    WHERE c7 >= 3 AND (ss7 - s7 * 1.0 * s7 / c7) > 0
+    """,
+)
+def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike/drop detection on the daily event series: each day's count
+    scored as a z-score against its OWN trailing 7-day window (current
+    day excluded, so a spike can't suppress itself). The standard ops
+    alert primitive (beyond-reference, companion to rolling_avg_daily).
+
+    Exact-int discipline: the window sums (s7, ss7, c7) are integer and
+    order-independent; mean/variance/z are then single expression
+    chains evaluated identically by both engines, and the z-score is
+    irrational in all but degenerate cases (plain round is safe --
+    registry float discipline). Days with under 3 trailing points or
+    zero variance are unscored. Plan: one date-grain aggregate, then a
+    30-row window -- at 100 TB the daily rollup is tiny regardless of
+    event volume; maintain it incrementally (incremental_rollup) and
+    score the tail."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    trail = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("s7"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss7"),
+        F.count("n").over(w).alias("c7"),
+    )
+    mean = F.col("s7") * 1.0 / F.col("c7")
+    var = (F.col("ss7") - F.col("s7") * 1.0 * F.col("s7") / F.col("c7")) / (
+        F.col("c7") - 1
+    )
+    return (
+        trail.where((F.col("c7") >= 3) & (F.col("ss7") - F.col("s7") * 1.0 * F.col("s7") / F.col("c7") > 0))
+        .select(
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            F.round((F.col("n") - mean) / F.sqrt(var), 4).alias("zscore"),
+        )
+    )
