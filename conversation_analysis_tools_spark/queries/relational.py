@@ -1387,3 +1387,35 @@ def context_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list("event_id").over(w).cast("array<string>"), ","
         ).alias("context_ids"),
     )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact ⋈ dim join via layout.salted_join: the dim
+    side replicates into 8 salt shards and each fact row hashes to
+    exactly one shard, so one hot key spreads over 8 reducers instead
+    of stalling one task (the manual fallback when AQE's skew split
+    can't fire). Salting is correctness-neutral -- the oracle is the
+    PLAIN join, which is the point: same rows, different physical
+    distribution. At 100 TB this is the shape for joining a
+    power-law-keyed event stream against a broadcast-ineligible
+    dimension."""
+    from conversation_analysis_tools_spark.layout import salted_join
+
+    events = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(events, dim, "user_id", n_salts=8)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
