@@ -57,6 +57,12 @@ AUDIT = [
     # LMs must broadcast back onto the feature shuffle
     "doc_chunks",
     "dsir_importance",
+    # physical-layout evidence: PartitionFilters directory pruning;
+    # salted join spreads one hot key over 8 reducers
+    "partition_pruned_scan",
+    "salted_skew_join",
+    # trailing-window anomaly score: date-grain rollup then a tiny window
+    "anomaly_daily_zscore",
 ]
 
 
