@@ -39,16 +39,19 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # text-curation / ANN / multimodal / NLP-tail families (none of which
 # received a driver row in round 1).
 #
-# Round-3 rotation candidates (never driver-checked through round 2):
-# doc_chunks, dsir_importance, dedup_substring_spans,
-# near_dup_canonicalize, dedup_edit_distance, decontamination_minhash,
-# gopher_quality_flags, c4_line_clean, bigram_logprob,
-# streaming_stream_join, word_frequency_top5, vocab_common_terms,
+# Round-3 rotation candidates (never driver-checked through round 2;
+# all locally green at sf0.01 AND sf0.1): doc_chunks, dsir_importance,
+# embedding_generation (now strict), streaming_rollup_maintenance,
+# anomaly_daily_zscore, salted_skew_join, partition_pruned_scan,
+# dedup_substring_spans, near_dup_canonicalize, dedup_edit_distance,
+# decontamination_minhash, gopher_quality_flags, c4_line_clean,
+# bigram_logprob, word_frequency_top5, vocab_common_terms,
 # topic_cooccurrence_matrix, topic_case_agg, sentiment_wordcount,
 # complexity_stats, nlp_connected_components, nlp_unique_docs,
-# window_sliding_2h1h, session_windows_30m, stateful_sessionize,
-# streaming_static_enrich, streaming_dedup_first, asof_last_signup,
-# range_join_5min — swap them in for round-2-green entries.
+# nlp_sentence_stats, nlp_topic_search, nlp_priority_distribution,
+# window_sliding_2h1h, session_windows_30m, streaming_dedup_first,
+# asof_last_signup, range_join_5min, stratified_cap,
+# corpus_length_percentiles — swap them in for round-2-green entries.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
