@@ -246,6 +246,20 @@ def blocked_cosine_pairs(
     return grid_blocked_pairs(per_doc, threshold)
 
 
+def _l2_normalize(tf: DataFrame, id_col: str) -> DataFrame:
+    """Divide each doc's tf values by its L2 norm, via a window over
+    ``id_col`` -- ONE shuffle on id, no join, and crucially no
+    O(n_docs) broadcast (a per-doc norms table broadcast is a driver
+    OOM at corpus scale). After this, a pairwise dot product over
+    shared terms IS the cosine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col)
+    nrm = F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w))
+    safe = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
+    return tf.withColumn("tf", F.col("tf") / safe)
+
+
 def _pairwise_cosine_inverted(
     tf: DataFrame,
     id_col: str = "doc_id",
@@ -253,9 +267,14 @@ def _pairwise_cosine_inverted(
 ) -> DataFrame:
     """Inverted-index plan: self-join on term -> groupBy pair.
 
-    ``tf`` is (id, term, tf). Norms are per-doc aggregates; the dot
-    product groups the term-join by pair. Only pairs sharing a term
-    appear (exact w.r.t. any threshold > 0).
+    ``tf`` is (id, term, tf). Vectors are L2-normalized FIRST (window
+    over id), so the grouped term-join dot product is already the
+    cosine -- dividing inputs by norms up front is algebraically
+    identical to the reference's divide-at-the-end
+    (pipeline/duplicate_detector.py:74-107) and removes two per-doc
+    norm joins (previously O(n_docs) broadcasts -- an at-scale
+    killer). Only pairs sharing a term appear (exact w.r.t. any
+    threshold > 0).
     """
     if max_df is not None:
         doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -263,32 +282,18 @@ def _pairwise_cosine_inverted(
             F.broadcast(doc_freq.where(F.col("df") <= max_df)), "term", "left_semi"
         )
 
-    norms = tf.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("norm")
-    )
-
-    a = tf.select(
+    unit = _l2_normalize(tf, id_col)
+    a = unit.select(
         F.col(id_col).alias("id1"), F.col("term"), F.col("tf").alias("tf1")
     )
-    b = tf.select(
+    b = unit.select(
         F.col(id_col).alias("id2"), F.col("term"), F.col("tf").alias("tf2")
     )
-    dots = (
+    return (
         a.join(b, "term")
         .where(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
-        .agg(F.sum(F.col("tf1") * F.col("tf2")).alias("dot"))
-    )
-    n1 = norms.select(F.col(id_col).alias("id1"), F.col("norm").alias("norm1"))
-    n2 = norms.select(F.col(id_col).alias("id2"), F.col("norm").alias("norm2"))
-    return (
-        dots.join(F.broadcast(n1), "id1")
-        .join(F.broadcast(n2), "id2")
-        .select(
-            "id1",
-            "id2",
-            (F.col("dot") / (F.col("norm1") * F.col("norm2"))).alias("sim"),
-        )
+        .agg(F.sum(F.col("tf1") * F.col("tf2")).alias("sim"))
     )
 
 
@@ -320,30 +325,19 @@ def near_duplicates_of(
 
     The target's TF vector is a handful of rows -> broadcast; the scan
     side never shuffles on pairs, only the per-candidate dot-product
-    aggregation runs.
+    aggregation runs. All vectors are L2-normalized up front (window
+    over id -- no O(n_docs) norms broadcast), so the grouped dot IS
+    the cosine.
     """
-    tf = tf_vectors(docs, id_col, text_col)
-    target = tf.where(F.col(id_col) == target_id).select(
+    unit = _l2_normalize(tf_vectors(docs, id_col, text_col), id_col)
+    target = unit.where(F.col(id_col) == target_id).select(
         F.col("term"), F.col("tf").alias("tf_t")
     )
-    t_norm = tf.where(F.col(id_col) == target_id).agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("norm_t")
-    )
-    norms = tf.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("norm")
-    )
-    dots = (
-        tf.where(F.col(id_col) != target_id)
+    return (
+        unit.where(F.col(id_col) != target_id)
         .join(F.broadcast(target), "term")
         .groupBy(id_col)
-        .agg(F.sum(F.col("tf") * F.col("tf_t")).alias("dot"))
-    )
-    return (
-        dots.join(F.broadcast(norms), id_col)
-        .crossJoin(F.broadcast(t_norm))
-        .select(
-            F.col(id_col).alias("dup_id"),
-            (F.col("dot") / (F.col("norm") * F.col("norm_t"))).alias("sim"),
-        )
+        .agg(F.sum(F.col("tf") * F.col("tf_t")).alias("sim"))
+        .select(F.col(id_col).alias("dup_id"), "sim")
         .where(F.col("sim") >= threshold - THRESHOLD_EPS)
     )

@@ -34,91 +34,89 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # have a green driver row from a prior round fall to the back; never-
 # checked and just-fixed queries come first.
 #
-# Round-2 window: the six round-1 hash/crash fixes, the flagship
-# pipeline, then the dedup / sampling / behavior / audit / retrieval /
-# text-curation / ANN / multimodal / NLP-tail families (none of which
-# received a driver row in round 1).
+# Rotation cadence rule (VERDICT r2 item 9): every oracled query must
+# have a driver row at most 2 rounds old. Each round: (a) promote every
+# never-checked oracled query, (b) then the queries fixed/changed this
+# round, (c) backfill with the OLDEST-green queries so nothing ages
+# past 2 rounds. Queries green in the immediately-preceding round go to
+# the back.
 #
-# Round-3 rotation candidates (never driver-checked through round 2;
-# all locally green at sf0.01 AND sf0.1): doc_chunks, dsir_importance,
-# embedding_generation (now strict), streaming_rollup_maintenance,
-# anomaly_daily_zscore, salted_skew_join, partition_pruned_scan,
-# dedup_substring_spans, near_dup_canonicalize, dedup_edit_distance,
-# decontamination_minhash, gopher_quality_flags, c4_line_clean,
-# bigram_logprob, word_frequency_top5, vocab_common_terms,
-# topic_cooccurrence_matrix, topic_case_agg, sentiment_wordcount,
-# complexity_stats, nlp_connected_components, nlp_unique_docs,
-# nlp_sentence_stats, nlp_topic_search, nlp_priority_distribution,
-# window_sliding_2h1h, session_windows_30m, streaming_dedup_first,
-# asof_last_signup, range_join_5min, stratified_cap,
-# corpus_length_percentiles — swap them in for round-2-green entries.
+# Round-3 window: the 33 oracled queries that had never had a driver
+# row through round 2 (verified locally green at sf0.01 AND sf0.1
+# against this round's regenerated testdata), then this round's
+# fixed/new queries (norms-broadcast fix re-verification, hash-based
+# samplers, ANN recall certificate, strict TextRank), then the six
+# round-1-fixed + flagship for regression cover.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
-    # round-1 FAIL -> fixed (oracle typing / array serialization)
+    # --- never driver-checked through round 2 (33) ---
+    # text analytics A15-A20
+    "word_frequency_top5",
+    "vocab_common_terms",
+    "topic_cooccurrence_matrix",
+    "topic_case_agg",
+    "sentiment_wordcount",
+    "complexity_stats",
+    # NLP tail N11, N19-N20, N25-N26, N29
+    "nlp_sentence_stats",
+    "nlp_connected_components",
+    "nlp_unique_docs",
+    "nlp_priority_distribution",
+    "nlp_topic_search",
+    "embedding_generation",
+    # corpus-construction tail
+    "bigram_logprob",
+    "doc_chunks",
+    "dsir_importance",
+    "stratified_cap",
+    "corpus_length_percentiles",
+    # dedup tail
+    "dedup_substring_spans",
+    "near_dup_canonicalize",
+    "dedup_edit_distance",
+    "decontamination_minhash",
+    # quality gates
+    "gopher_quality_flags",
+    "c4_line_clean",
+    # streaming tail
+    "window_tumbling_hourly",
+    "window_sliding_2h1h",
+    "session_windows_30m",
+    "streaming_dedup_first",
+    "streaming_rollup_maintenance",
+    # behavior + layout
+    "anomaly_daily_zscore",
+    "salted_skew_join",
+    "partition_pruned_scan",
+    "asof_last_signup",
+    "range_join_5min",
+    # --- changed/new this round ---
+    # norms-broadcast fix re-verification (operators/similarity.py)
+    "nlp_duplicate_pairs",
+    "nlp_near_duplicates",
+    # samplers made oracle-able via deterministic hash sampling
+    "random_sample",
+    "limit_sample",
+    "approx_stats",
+    # ANN approximate-index recall certificate
+    "ann_recall_eval",
+    # strict-oracle TextRank (N13/N14)
+    "textrank_scores",
+    "doc_summaries",
+    # event_response_time perf-regression chase: keep correctness pinned
+    "event_response_time",
+    # --- regression cover: round-1 fixes + flagship ---
     "conditional_agg",
     "length_stats",
     "pivot_counts",
     "json_metadata_agg",
     "multi_key_sort",
     "context_window_frame",
-    # flagship (N30) -- recursive-CTE oracle
     "pipeline_analysis_results",
-    # dedup family
+    # spare slots age-rotate from round-1 greens
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "decontamination_check",
-    "repetition_scores",
-    # sampling / corpus-construction family
     "hash_split",
-    "source_mixing_sample",
-    "token_budget_pack",
-    "unigram_logprob",
-    "corpus_ngram_top20",
-    "pii_scrub",
-    "temperature_mixture",
-    "quality_decile_bins",
-    # behavioral analytics
-    "retention_cohorts",
-    "funnel_view_click_purchase",
-    "event_transitions",
-    # audit / incremental rollup
-    "dq_audit",
-    "incremental_rollup",
-    # retrieval
-    "bm25_topk",
-    "hybrid_rrf",
-    # text curation (LLM-pipeline textstats tail)
-    "langid_heuristic",
-    "quality_scores",
-    "token_counts",
-    "doc_fingerprints",
-    "fingerprint_dup_groups",
-    "curation_pipeline",
-    # streaming family (VERDICT item 1 named it; real readStream
-    # executions with strict oracles -- the hardest-to-fake evidence)
-    "streaming_tumbling",
-    "stateful_sessionize",
-    "streaming_stream_join",
-    "streaming_static_enrich",
-    # ANN (the oracled exact baseline)
-    "ann_bruteforce_knn",
-    # multimodal plumbing
-    "multimodal_metadata",
-    "multimodal_frame_plan",
-    # NLP tail (N5-N29, untested in round 1)
-    "nlp_tfidf",
-    "nlp_relevance",
-    "nlp_relevance_topk",
-    "nlp_duplicate_pairs",
-    "nlp_near_duplicates",
-    "nlp_priority",
-    "semantic_search_topk",
-    # new this round: snippet extraction + keyword highlight
-    "snippet_highlight",
 ]
 
 

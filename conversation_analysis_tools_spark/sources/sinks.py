@@ -22,13 +22,19 @@ def write_csv(df: DataFrame, path: str) -> None:
 def write_json_nested(messages: DataFrame, conversations: DataFrame, path: str) -> None:
     """S8 nested conversation+messages JSON export
     (sql_search.py:1832-1841): one JSON doc per conversation with its
-    messages collected in order."""
+    messages collected in order.
+
+    Ordering: ``collect_list`` after a shuffle gives NO order
+    guarantee, so sort AFTER collecting -- ``array_sort`` over structs
+    compares field-by-field, so ``order_index`` leads the struct. Same
+    idiom as ``json_group_export`` (queries/relational.py)."""
     nested = (
-        messages.orderBy("order_index")
-        .groupBy("conversation_id")
+        messages.groupBy("conversation_id")
         .agg(
-            F.collect_list(
-                F.struct("id", "sender", "content", "created_at", "order_index")
+            F.array_sort(
+                F.collect_list(
+                    F.struct("order_index", "id", "sender", "content", "created_at")
+                )
             ).alias("messages")
         )
         .join(conversations, conversations.id == F.col("conversation_id"))

@@ -47,6 +47,30 @@ def test_json_nested_export(spark, tmp_path):
     assert [m["order_index"] for m in doc["messages"]] == [0, 1]
 
 
+def test_json_nested_order_survives_shuffle(spark, tmp_path):
+    """Message order must come from order_index, not from any
+    accidental pre-groupBy ordering: feed rows reversed across 3
+    partitions and assert the export is still in order."""
+    conversations = spark.createDataFrame(
+        [("c1", "T", "claude", "2024-01-01 00:00:00")],
+        ["id", "title", "platform", "created_at"],
+    )
+    rows = [
+        (f"m{i}", "c1", "human", f"msg {i}", "2024-01-01 00:00:00", i)
+        for i in range(11, -1, -1)  # reversed insert order
+    ]
+    messages = spark.createDataFrame(
+        rows, ["id", "conversation_id", "sender", "content", "created_at", "order_index"]
+    ).repartition(3)
+    p = str(tmp_path / "json_shuffled")
+    SK.write_json_nested(messages, conversations, p)
+    files = [f for f in os.listdir(p) if f.endswith(".json")]
+    docs = [json.loads(line) for f in files for line in open(os.path.join(p, f))]
+    assert len(docs) == 1
+    assert [m["order_index"] for m in docs[0]["messages"]] == list(range(12))
+    assert [m["content"] for m in docs[0]["messages"]] == [f"msg {i}" for i in range(12)]
+
+
 def test_markdown_render(spark):
     conversations, messages = _conv(spark)
     conv = conversations.collect()[0]
