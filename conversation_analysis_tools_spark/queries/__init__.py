@@ -103,7 +103,7 @@ VERIFY_PRIORITY: list[str] = [
     "ann_recall_eval",
     # strict-oracle TextRank (N13/N14)
     "textrank_scores",
-    "doc_summaries",
+    "doc_summaries_fixed",
     # event_response_time perf-regression chase: keep correctness pinned
     "event_response_time",
     # --- regression cover: round-1 fixes + flagship ---

@@ -178,6 +178,145 @@ def pipeline_analysis_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["analysis_results"].drop("summary")
 
 
+# ---------------------------------------------------------------------------
+# N13/N14 strict-oracle certificates (VERDICT r2 item 8).
+#
+# TextRank is a float power iteration -- not SQL-expressible -- so the
+# driver-checkable evidence is a FIXED inline corpus (immune to
+# testdata regeneration) pushed through the REAL distributed operators
+# (doc_sentences -> applyInPandas textrank_rank; map-only pandas-UDF
+# summary), with literal-VALUES oracles pinned from the reference
+# power iteration (summarizer.py:122-159). tests/test_summarizer.py
+# cross-checks the pinned literals against the pure-Python reference
+# implementation, so a numpy/arrow drift fails pytest before it fails
+# the driver.
+# ---------------------------------------------------------------------------
+
+#: (doc_id, text) -- two docs, 6 + 5 kept sentences, overlapping
+#: vocabularies so the similarity graph is connected with distinct
+#: stationary scores.
+TEXTRANK_FIXED_CORPUS: list[tuple[int, str]] = [
+    (
+        0,
+        "Spark engines shuffle data across many workers. "
+        "Shuffle cost dominates large distributed joins. "
+        "Broadcast joins avoid the shuffle entirely. "
+        "Partition pruning skips reading cold files. "
+        "Query planners choose join strategies using statistics. "
+        "Tiny dimension tables broadcast cheaply.",
+    ),
+    (
+        1,
+        "Duplicate documents waste training compute. "
+        "Minhash signatures bucket similar documents together. "
+        "Similar documents share many shingles. "
+        "Exact hashes catch identical documents quickly. "
+        "Training corpora need careful deduplication.",
+    ),
+]
+
+#: Pinned expectations: (doc_id, sent_idx, score_x1e6, rank) from the
+#: reference formula on TEXTRANK_FIXED_CORPUS (damping .85, init 1/n,
+#: atol 1e-6, <=100 iters). Sentences 3/4 of doc 0 share no tokens
+#: with the rest, pinning the zero-degree path: score exactly
+#: (1-d)/n = 25000, tie broken by sent_idx. tests/test_summarizer.py
+#: recomputes these from the pure-Python reference formula.
+TEXTRANK_FIXED_EXPECTED: list[tuple[int, int, int, int]] = [
+    (0, 0, 124767, 3),
+    (0, 1, 188380, 2),
+    (0, 2, 266753, 1),
+    (0, 3, 25000, 5),
+    (0, 4, 25000, 6),
+    (0, 5, 86766, 4),
+    (1, 0, 261908, 1),
+    (1, 1, 230589, 3),
+    (1, 2, 240540, 2),
+    (1, 3, 178771, 4),
+    (1, 4, 88191, 5),
+]
+
+#: Pinned summaries: (doc_id, n_sentences, summary) -- top-3 sentences
+#: re-sorted to document order, '.' separators consumed by the split.
+SUMMARY_FIXED_EXPECTED: list[tuple[int, int, str]] = [
+    (
+        0,
+        6,
+        "Spark engines shuffle data across many workers "
+        "Shuffle cost dominates large distributed joins "
+        "Broadcast joins avoid the shuffle entirely",
+    ),
+    (
+        1,
+        5,
+        "Duplicate documents waste training compute "
+        "Minhash signatures bucket similar documents together "
+        "Similar documents share many shingles",
+    ),
+]
+
+
+def _fixed_docs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(TEXTRANK_FIXED_CORPUS, "doc_id long, text string")
+
+
+def _values_oracle(rows, cols: str) -> str:
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    vals = ",\n        ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES\n        {vals}\n    ) AS t({cols})"
+
+
+@register(
+    "textrank_scores",
+    oracle=_values_oracle(
+        TEXTRANK_FIXED_EXPECTED, "doc_id, sent_idx, score_x1e6, rnk"
+    ),
+)
+def textrank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N13 TextRank sentence scores on the fixed corpus, via the real
+    distributed path (JVM sentence split/tokenize -> one shuffle on
+    doc -> per-group power iteration in applyInPandas). Scores
+    serialized as 1e-6-scaled ints (the embedding_generation
+    playbook); sf_dir is unused by design -- the certificate must not
+    depend on regenerated testdata."""
+    sents = TR.doc_sentences(_fixed_docs(spark)).select(
+        F.col("doc_id").cast("string").alias("doc"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "tokens",
+    )
+    ranked = TR.textrank_rank(sents, "doc", "sent_idx", "tokens")
+    return ranked.select(
+        F.col("doc").cast("int").alias("doc_id"),
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        F.round(F.col("score") * 1_000_000)
+        .cast("bigint")
+        .alias("score_x1e6"),
+        F.col("rank").cast("int").alias("rnk"),
+    )
+
+
+@register(
+    "doc_summaries_fixed",
+    oracle=_values_oracle(
+        SUMMARY_FIXED_EXPECTED, "doc_id, n_sentences, summary"
+    ),
+)
+def doc_summaries_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N14 extractive summaries on the fixed corpus via the map-only
+    pandas-UDF column (top-3 by score, re-sorted to document order,
+    joined with ' ' -- summarizer.py:161-242). Literal oracle pins the
+    exact summary STRINGS, certifying selection AND assembly."""
+    out = TR.summarize_documents(_fixed_docs(spark), "doc_id", "text", k=3)
+    return out.select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        "summary",
+    )
+
+
 @register("doc_summaries", oracle=None)
 def doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N13/N14 sentence-grain summarization: per-document TextRank

@@ -1053,26 +1053,48 @@ def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purch.distinct().exceptAll(errs.distinct())
 
 
-@register("random_sample", oracle=None)
+@register(
+    "random_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR))
+    LIMIT 50
+    """,
+)
 def random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10 ORDER BY RANDOM() LIMIT n sampling corpus pull
-    (sql_search.py:1194-1203). Seeded rand() for reproducibility
-    within an engine; rows-only check (nondeterministic across
-    engines by nature)."""
+    (sql_search.py:1194-1203), as DETERMINISTIC hash sampling:
+    ordering by md5(id) is uniform-pseudorandom yet identical in every
+    engine, which is also the correct 100 TB idiom -- a reproducible
+    sample that re-runs identically across retries/engines, planned as
+    TakeOrderedAndProject (per-partition top-k + merge, no global
+    sort, no rand() re-evaluation hazard under task retry)."""
+    docs = _t(spark, sf_dir, "documents")
     return (
-        _t(spark, sf_dir, "documents")
-        .orderBy(F.rand(42))
+        docs.orderBy(F.md5(F.col("doc_id").cast("string")))
         .limit(50)
         .select("doc_id", "lang", "source")
     )
 
 
-@register("limit_sample", oracle=None)
+@register(
+    "limit_sample",
+    oracle="""
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100
+    """,
+)
 def limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O6 LIMIT-only sampling (exper_sql.py:626,737) -- no defined
-    order, rows-only count check. CollectLimit short-circuits the
-    scan (reads one partition if it suffices)."""
-    return _t(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    """O6 LIMIT sampling (exper_sql.py:626,737), made rank-stable:
+    the reference's bare LIMIT has no defined order (scan order there,
+    partition race here), so pin it to the primary key -- same rows on
+    every engine, planned as TakeOrderedAndProject top-k."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(100)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1268,16 +1290,46 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_stats", oracle=None)
+@register(
+    "approx_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           TRUE AS approx_users_ok, TRUE AS approx_median_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB forms of A3/A21: approx_count_distinct (HLL) and
     percentile_approx (quantile sketch) -- single-pass, mergeable,
-    no sort/expand. Rows-only (sketches are engine-specific)."""
+    no sort/expand.
+
+    Sketch values are engine-specific, so the checkable output is a
+    CERTIFICATE, not the raw sketch: Spark computes sketch AND exact
+    in one aggregate and emits error-bound booleans (HLL default rsd
+    0.05 -> 3-sigma bound 15%; quantile sketch accuracy 10000 ->
+    approx median must land within the exact p45-p55 value band). The
+    oracle asserts both bounds hold (TRUE) plus the exact group
+    counts -- a real cross-engine check that fails if either sketch
+    degrades."""
     events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.round(F.percentile_approx("value", 0.5, 10000), 4).alias("approx_median"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.percentile("value", F.lit(0.45)).alias("p45"),
+        F.percentile("value", F.lit(0.55)).alias("p55"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("approx_users_ok"),
+        F.col("approx_median").between(F.col("p45"), F.col("p55")).alias(
+            "approx_median_ok"
+        ),
     )
 
 

@@ -136,3 +136,46 @@ def test_pipeline_summary_column(spark):
     rows = {r["message_id"]: r for r in out["analysis_results"].collect()}
     assert rows[1]["summary"] == _ref_summary(DOCS[0][1], k=3)
     assert rows[4]["summary"] == ""  # no kept sentences -> ''
+
+
+def test_fixed_corpus_pinned_literals():
+    """The driver-facing literal oracles (queries/iterative.py) must
+    equal the pure-Python reference power iteration -- guards the
+    pinned constants against numpy/tokenizer drift."""
+    import math
+    import re
+
+    from conversation_analysis_tools_spark.functions.text import STOPWORDS
+    from conversation_analysis_tools_spark.operators.textrank import (
+        _textrank_scores,
+        summarize_text,
+    )
+    from conversation_analysis_tools_spark.queries.iterative import (
+        SUMMARY_FIXED_EXPECTED,
+        TEXTRANK_FIXED_CORPUS,
+        TEXTRANK_FIXED_EXPECTED,
+    )
+
+    stop = frozenset(STOPWORDS)
+    expected = []
+    for doc_id, text in TEXTRANK_FIXED_CORPUS:
+        parts = [s.strip() for s in re.split(r"[.!?]+", text) if s.strip()]
+        sentences = [s for s in parts if len(s.split()) >= 3]
+        sets = [
+            {w for w in re.findall(r"\b[a-z]{3,}\b", s.lower()) if w not in stop}
+            for s in sentences
+        ]
+        scores = _textrank_scores(sets, 0.85)
+        order = sorted(
+            range(len(scores)), key=lambda i: (-scores[i], i)
+        )
+        ranks = {i: r + 1 for r, i in enumerate(order)}
+        for i, sc in enumerate(scores):
+            expected.append((doc_id, i, int(math.floor(sc * 1_000_000 + 0.5)), ranks[i]))
+    assert expected == TEXTRANK_FIXED_EXPECTED
+
+    summ_expected = []
+    for doc_id, text in TEXTRANK_FIXED_CORPUS:
+        n, s = summarize_text(text, stop, 3, 0.85)
+        summ_expected.append((doc_id, n, s))
+    assert summ_expected == SUMMARY_FIXED_EXPECTED
