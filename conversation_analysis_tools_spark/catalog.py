@@ -98,6 +98,22 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
     return _read_events(spark, path) if name == "events" else spark.read.parquet(path)
 
 
+def staging_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(kind, sf_dir) scratch directory.
+
+    Queries that materialize a derived physical layout (partitioned
+    copy, streaming source staging) must NOT mkdtemp() per invocation
+    -- repeated bench/verify loops would accumulate unbounded temp
+    disk. A deterministic path + overwrite semantics bounds usage to
+    one copy per layout kind."""
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    d = os.path.join("/tmp", "cats_staging", f"{kind}_{key}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def write_partitioned_layout(
     spark: SparkSession, sf_dir: str, out_dir: str, buckets: int = 64
 ) -> None:

@@ -575,7 +575,23 @@ def embedding_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     default and is property-tested in tests/test_embed_views.py."""
     from conversation_analysis_tools_spark.operators.embed import tfidf_embeddings
 
-    emb = tfidf_embeddings(_docs(spark, sf_dir), vocab_size=5000, dtype="double")
+    docs = _docs(spark, sf_dir)
+    # The oracle enumerates ALL distinct terms while the engine keeps
+    # the top-vocab_size by df: equal only while the corpus vocabulary
+    # fits. Fail loudly if regenerated testdata ever outgrows it
+    # (silent divergence would show up as a baffling hash mismatch).
+    from conversation_analysis_tools_spark.operators import tfidf as _T
+
+    n_vocab = (
+        _T.explode_tokens(docs, "doc_id", "text").select("term").distinct().count()
+    )
+    assert n_vocab < 5000, (
+        f"corpus vocabulary {n_vocab} >= vocab_size 5000: the "
+        "embedding_generation oracle (all-terms CTE) no longer matches "
+        "the engine's top-df truncation; raise vocab_size or add the "
+        "top-df cut to the oracle"
+    )
+    emb = tfidf_embeddings(docs, vocab_size=5000, dtype="double")
     vec = F.col("embedding")
     return emb.select(
         "doc_id",

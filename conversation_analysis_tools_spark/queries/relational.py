@@ -1492,9 +1492,11 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartitionFilters on the scan). Oracle: the same aggregate off the
     raw unpartitioned table -- layout changes bytes read, never
     results."""
-    import tempfile
+    from conversation_analysis_tools_spark.catalog import staging_dir
 
-    d = tempfile.mkdtemp(prefix="events_part_")
+    # deterministic staging path + overwrite: repeated verify/bench
+    # loops reuse one copy instead of leaking a mkdtemp per run
+    d = staging_dir("events_part", sf_dir)
     ev = _t(spark, sf_dir, "events")
     ev.withColumn("event_date", F.to_date("ts")).write.mode("overwrite").partitionBy(
         "event_date"

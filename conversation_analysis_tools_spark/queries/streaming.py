@@ -115,19 +115,13 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink. The finite stream drains completely under
     availableNow + complete mode, so every window emits and the result
     equals the batch tumbling agg -- strict oracle."""
-    import os
-    import tempfile
     import uuid
 
     name = f"stream_sink_{uuid.uuid4().hex[:8]}"
-    # The file stream source requires a *directory*; stage the single
-    # parquet file into one via symlink (zero copy).
-    d = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
-    src = read_event_stream(spark, d)
+    src = _staged_stream(spark, sf_dir)
     agg = tumbling_counts(src, "1 hour")
     run_to_memory_sink(agg, name)
-    return spark.table(name)
+    return src.sparkSession.table(name)
 
 
 @register(
@@ -167,14 +161,32 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_with_state(_events(spark, sf_dir), gap_minutes=30.0)
 
 
-def _staged_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_stream(
+    spark: SparkSession, sf_dir: str, scope: bool = True
+) -> DataFrame:
     """readStream over the events parquet (file source needs a
-    directory; stage the single file via symlink, zero copy)."""
-    import os
-    import tempfile
+    directory; stage the single file via symlink into a deterministic
+    per-sf_dir dir -- zero copy, zero temp-dir accumulation).
 
-    d = tempfile.mkdtemp(prefix="stream_events_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{d}/events.parquet")
+    By default the stream is built on a :func:`scoped_session` clone,
+    so per-stream shuffle tuning never leaks into the shared session;
+    pass ``scope=False`` with an already-scoped session when two
+    streams must share one session (stream-stream join). Read the
+    memory-sink table back via ``df.sparkSession``."""
+    import os
+
+    from conversation_analysis_tools_spark.catalog import staging_dir
+    from conversation_analysis_tools_spark.streaming.events import scoped_session
+
+    d = staging_dir("stream_events", sf_dir)
+    link = f"{d}/events.parquet"
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.remove(link)
+    if not os.path.exists(link):
+        os.symlink(target, link)
+    if scope:
+        spark = scoped_session(spark, 8)
     return read_event_stream(spark, d)
 
 
@@ -202,10 +214,12 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from conversation_analysis_tools_spark.streaming import enrich_with_dim
 
-    dim = _catalog_table(spark, "customer", sf_dir).select(
+    src = _staged_stream(spark, sf_dir)
+    # load the dimension on the SAME (scoped) session as the stream --
+    # mixing DataFrames across sessions is undefined
+    dim = _catalog_table(src.sparkSession, "customer", sf_dir).select(
         "c_custkey", "c_mktsegment"
     )
-    src = _staged_stream(spark, sf_dir)
     enriched = enrich_with_dim(src, dim)
     agg = (
         enriched.withWatermark("ts", "2 hours")
@@ -225,7 +239,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
     run_to_memory_sink(agg, name)
-    return spark.table(name)
+    return src.sparkSession.table(name)
 
 
 @register(
@@ -252,7 +266,7 @@ def streaming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_first(src, ["user_id", "event_type"], watermark=None)
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     run_to_memory_sink(deduped, name, output_mode="append")
-    return spark.table(name)
+    return src.sparkSession.table(name)
 
 
 @register(
@@ -287,14 +301,19 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
+    from conversation_analysis_tools_spark.streaming.events import scoped_session
+
+    # ONE scoped session for both streams: a stream-stream join must
+    # not straddle two sessions
+    s2 = scoped_session(spark, 8)
     views = (
-        _staged_stream(spark, sf_dir)
+        _staged_stream(s2, sf_dir, scope=False)
         .where(F.col("event_type") == "view")
         .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
         .withWatermark("v_ts", "35 days")
     )
     clicks = (
-        _staged_stream(spark, sf_dir)
+        _staged_stream(s2, sf_dir, scope=False)
         .where(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
         .withWatermark("c_ts", "35 days")
@@ -308,7 +327,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
     run_to_memory_sink(joined, name, output_mode="append")
     return (
-        spark.table(name)
+        s2.table(name)
         .groupBy(F.col("v_user").alias("user_id"))
         .agg(
             F.count("*").alias("n_pairs"),
@@ -344,14 +363,20 @@ def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     STRICT oracle (same oracle as incremental_rollup, which is the
     point -- batch recompute, delta merge, and continuous maintenance
     all agree)."""
-    import tempfile
+    import shutil
 
+    from conversation_analysis_tools_spark.catalog import staging_dir
     from conversation_analysis_tools_spark.operators.rollup import finalize_rollup
     from conversation_analysis_tools_spark.streaming.events import (
         stream_maintain_rollup,
     )
 
-    d = tempfile.mkdtemp(prefix="stream_rollup_")
+    # deterministic staging dir, wiped at entry: bounded temp disk
+    # across verify/bench loops, AND a fresh checkpoint every run (a
+    # reused checkpoint would skip already-seen file paths and serve a
+    # stale rollup if the testdata was regenerated in place)
+    d = staging_dir("stream_rollup", sf_dir)
+    shutil.rmtree(d, ignore_errors=True)
     src = f"{d}/src"
     _events(spark, sf_dir).repartitionByRange(3, "event_id").write.parquet(src)
     state = stream_maintain_rollup(spark, src, f"{d}/rollup", "event_type")

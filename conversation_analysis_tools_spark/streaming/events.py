@@ -153,7 +153,8 @@ def run_to_memory_sink(
     state_partitions: int | None = 8,
 ) -> None:
     """Execute a streaming query to completion with availableNow (all
-    existing files, then stop) into an in-memory table ``name``.
+    existing files, then stop) into an in-memory table ``name``
+    (session-scoped: read it back via ``stream_df.sparkSession``).
 
     ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` for
     the duration of the stream: a stateful query creates one state
@@ -164,6 +165,11 @@ def run_to_memory_sink(
     per-query layout decision: size it to state volume (local test
     corpus: 8; a 100 TB cluster: hundreds-to-thousands so each store's
     state fits executor memory), not to the batch parallelism default.
+
+    Build the stream on :func:`scoped_session` (as ``_staged_stream``
+    does) so the conf set/restore below touches a session DEDICATED to
+    this stream -- mutating the shared session would race any query
+    planned concurrently on it.
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -185,6 +191,29 @@ def run_to_memory_sink(
         # first micro-batch planning, which races .start() returning
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def scoped_session(spark: "SparkSession", shuffle_partitions: int | None) -> "SparkSession":
+    """Clone the session for one streaming query: same SparkContext
+    and cached data, separate SQLConf -- so per-stream tuning
+    (state-store partition count) never leaks into queries planned
+    concurrently on the shared session. Carries over the confs the
+    engine depends on (``newSession()`` resets runtime-set confs to
+    builder defaults)."""
+    s2 = spark.newSession()
+    for k in (
+        "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ):
+        try:
+            v = spark.conf.get(k)
+        except Exception:
+            continue
+        if v is not None:
+            s2.conf.set(k, v)
+    if shuffle_partitions is not None:
+        s2.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return s2
 
 
 def sessionize_with_state(
@@ -299,6 +328,71 @@ def sessionize_with_state(
     )
 
 
+#: Marker filename recording the last folded batch id; the leading
+#: underscore keeps parquet scans from reading it as data.
+ROLLUP_BATCH_MARKER = "_applied_batch.json"
+
+
+def rollup_applied_batch(rollup_path: str) -> int:
+    """Last batch id folded into the rollup at ``rollup_path``
+    (-1 before the first fold)."""
+    import json
+    import os
+
+    p = os.path.join(rollup_path, ROLLUP_BATCH_MARKER)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)["batch_id"]
+    return -1
+
+
+def fold_rollup_batch(
+    batch_df: "DataFrame", batch_id: int, rollup_path: str, keys: tuple
+) -> bool:
+    """Fold ONE micro-batch into the persistent rollup, exactly once.
+
+    ``foreachBatch`` is at-least-once: a failure between the sink
+    write and the checkpoint commit (or a restart with a lagging
+    checkpoint) replays a batch. The batch id is therefore committed
+    ATOMICALLY with the state it describes -- marker file written into
+    the staged directory, then directory-rename swap -- and a replay
+    (batch_id <= recorded) is skipped. Returns False for skips.
+    """
+    import json
+    import os
+    import shutil
+
+    from conversation_analysis_tools_spark.operators.rollup import (
+        build_rollup,
+        merge_rollup,
+    )
+
+    if batch_id <= rollup_applied_batch(rollup_path):
+        return False
+    sess = batch_df.sparkSession  # the scoped stream session
+    delta = build_rollup(batch_df, *keys)
+    if os.path.exists(rollup_path):
+        merged = merge_rollup(sess.read.parquet(rollup_path), delta)
+    else:
+        merged = delta
+    # stage next state + its batch marker, then swap via renames:
+    # parquet has no in-place MERGE (a table format -- Delta/Iceberg
+    # -- would make this a transactional MERGE INTO at scale), so the
+    # poor-man's transaction is a directory swap
+    staged = rollup_path + "._staged"
+    shutil.rmtree(staged, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, ROLLUP_BATCH_MARKER), "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    old = rollup_path + "._old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(rollup_path):
+        os.rename(rollup_path, old)
+    os.rename(staged, rollup_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
 def stream_maintain_rollup(
     spark: SparkSession,
     path_dir: str,
@@ -324,43 +418,29 @@ def stream_maintain_rollup(
     maintained table is bit-identical to a from-scratch GROUP BY over
     all events regardless of how the stream was micro-batched --
     pinned by tests/test_ann_streaming.py. Returns the final state.
+
+    Exactly-once fold: ``foreachBatch`` is at-least-once, so each
+    applied batch_id is recorded in a ``_applied_batch.json`` marker
+    INSIDE the rollup directory and the new state is swapped in with
+    directory renames -- the marker and the data it describes commit
+    together, and a replayed micro-batch (failure between sink write
+    and checkpoint commit, or a restart with a lagging checkpoint) is
+    detected and skipped instead of double-counted.
     """
-    import os
-
-    from conversation_analysis_tools_spark.operators.rollup import (
-        build_rollup,
-        merge_rollup,
-    )
-
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = build_rollup(batch_df, *keys)
-        if os.path.exists(rollup_path):
-            merged = merge_rollup(spark.read.parquet(rollup_path), delta)
-        else:
-            merged = delta
-        # overwrite transactionally via a staged write (parquet has no
-        # in-place MERGE; a table format -- Delta/Iceberg -- would make
-        # this a real MERGE INTO at scale)
-        tmp = rollup_path + "._staged"
-        merged.write.mode("overwrite").parquet(tmp)
-        fresh = spark.read.parquet(tmp)
-        fresh.write.mode("overwrite").parquet(rollup_path)
+        fold_rollup_batch(batch_df, batch_id, rollup_path, keys)
 
-    src = read_event_stream(spark, path_dir)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            src.writeStream.foreachBatch(fold_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", rollup_path + "._ckpt")
-            .start()
-        )
-        q.awaitTermination(timeout_sec)
-        if q.isActive:
-            q.stop()
-    finally:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # dedicated cloned session: state-store partition count is scoped
+    # to this stream instead of mutating the shared session's conf
+    stream_spark = scoped_session(spark, state_partitions)
+    src = read_event_stream(stream_spark, path_dir)
+    q = (
+        src.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", rollup_path + "._ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
     return spark.read.parquet(rollup_path)

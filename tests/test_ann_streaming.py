@@ -256,3 +256,45 @@ def test_stream_maintain_rollup_equals_batch(spark, tmp_path):
         for r in build_rollup(events, "event_type").collect()
     }
     assert got == want
+
+
+def test_fold_rollup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-folded
+    batch_id must be a no-op (no double counting), while the next
+    batch_id folds normally."""
+    from conversation_analysis_tools_spark.catalog import table
+    from conversation_analysis_tools_spark.operators.rollup import build_rollup
+    from conversation_analysis_tools_spark.streaming.events import (
+        fold_rollup_batch,
+        rollup_applied_batch,
+    )
+
+    events = table(spark, "events", SF_DIR)
+    half1 = events.where("event_id % 2 = 0")
+    half2 = events.where("event_id % 2 = 1")
+    rollup_path = str(tmp_path / "rollup")
+
+    assert fold_rollup_batch(half1, 0, rollup_path, ("event_type",))
+    snap = {
+        (r["d"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.read.parquet(rollup_path).collect()
+    }
+    # replay batch 0 -> skipped, state unchanged
+    assert not fold_rollup_batch(half1, 0, rollup_path, ("event_type",))
+    assert rollup_applied_batch(rollup_path) == 0
+    again = {
+        (r["d"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.read.parquet(rollup_path).collect()
+    }
+    assert again == snap
+    # batch 1 folds; final state equals the from-scratch rollup
+    assert fold_rollup_batch(half2, 1, rollup_path, ("event_type",))
+    got = {
+        (r["d"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.read.parquet(rollup_path).collect()
+    }
+    want = {
+        (r["d"], r["event_type"]): (r["n"], r["total"])
+        for r in build_rollup(events, "event_type").collect()
+    }
+    assert got == want
