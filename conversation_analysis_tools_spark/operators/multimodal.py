@@ -110,16 +110,37 @@ def gif_dimensions(content: bytes) -> tuple[int, int] | None:
     return w, h
 
 
+def _pil_dimensions(content: bytes) -> tuple[int, int] | None:
+    """Real-codec path, import-gated on PIL (same optional-dep pattern
+    as sources/charts.render_png): covers every format PIL knows,
+    lazy -- ``Image.open`` reads only headers, no full pixel decode.
+    Returns None when PIL is absent or cannot parse the payload."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(content)) as im:
+            return im.width, im.height
+    except Exception:
+        return None
+
+
 def decode_image(content: bytes, fake: bool = False) -> tuple[int, int]:
     """Image dimensions. PNG / JPEG / GIF headers are parsed for real
     (pure-Python readers over the public container formats -- no
-    imaging library needed for dimensions). Full pixel decode of other
-    formats still needs a codec library: NotImplementedError unless
+    imaging library needed for dimensions); other formats fall through
+    to PIL when installed. With neither: NotImplementedError unless
     ``fake=True`` selects the deterministic test double."""
     for parse in (png_dimensions, jpeg_dimensions, gif_dimensions):
         dims = parse(content)
         if dims is not None:
             return dims
+    dims = _pil_dimensions(content)
+    if dims is not None:
+        return dims
     if not fake:
         raise NotImplementedError(
             "pixel decode of non-PNG/JPEG/GIF payloads requires an "

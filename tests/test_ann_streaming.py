@@ -298,3 +298,31 @@ def test_fold_rollup_batch_replay_is_idempotent(spark, tmp_path):
         for r in build_rollup(events, "event_type").collect()
     }
     assert got == want
+
+
+def test_pil_decode_path_when_available():
+    """Real-codec rung: when PIL is installed, formats the header
+    parsers don't know (e.g. BMP) decode through it; without PIL the
+    stub contract (NotImplementedError / fake) holds."""
+    # minimal 1x1 24-bit BMP (public format: BITMAPFILEHEADER +
+    # BITMAPINFOHEADER) -- not covered by the PNG/JPEG/GIF parsers
+    import struct
+
+    pixel = b"\x00\x00\xff\x00"  # BGR + row pad
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(pixel), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixel), 0, 0, 14 + 40)
+    bmp = header + info + pixel
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if has_pil:
+        assert M.decode_image(bmp) == (3, 2)
+    else:
+        assert M._pil_dimensions(bmp) is None
+        with pytest.raises(NotImplementedError):
+            M.decode_image(bmp, fake=False)
