@@ -104,19 +104,22 @@ VERIFY_PRIORITY: list[str] = [
     # strict-oracle TextRank (N13/N14)
     "textrank_scores",
     "doc_summaries_fixed",
+    # fixed-corpus certificates for iterative/ML paths (PageRank, N28)
+    "pagerank_fixed",
+    "kmeans_fixed_clusters",
     # event_response_time perf-regression chase: keep correctness pinned
     "event_response_time",
-    # --- regression cover: round-1 fixes + flagship ---
+    # flagship regression cover -- composes duplicate_pairs, so it
+    # re-verifies the norms-broadcast fix end-to-end
+    "pipeline_analysis_results",
+    # --- regression cover: round-1 fixes (r2-green; fill remaining
+    # slots, overflow past 50 harmlessly falls out of the window) ---
     "conditional_agg",
     "length_stats",
     "pivot_counts",
     "json_metadata_agg",
     "multi_key_sort",
     "context_window_frame",
-    "pipeline_analysis_results",
-    # spare slots age-rotate from round-1 greens
-    "dedup_exact",
-    "hash_split",
 ]
 
 

@@ -147,6 +147,53 @@ def pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Three well-separated integer-mean blobs: k-means must recover them
+#: exactly for ANY init, making cluster sizes and centroids
+#: engine-deterministic despite the iterative float fit.
+KMEANS_FIXED_POINTS: list[tuple[float, float]] = [
+    (0.0, 0.0), (0.0, 3.0), (3.0, 0.0),
+    (100.0, 100.0), (100.0, 102.0), (102.0, 100.0), (102.0, 102.0),
+    (-100.0, 100.0), (-100.0, 102.0), (-102.0, 100.0), (-102.0, 102.0),
+    (-101.0, 101.0),
+]
+
+
+@register(
+    "kmeans_fixed_clusters",
+    oracle="""
+    SELECT * FROM (VALUES (3, 1, 1), (4, 101, 101), (5, -101, 101))
+        AS t(n, cx, cy)
+    """,
+)
+def kmeans_fixed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N28 KMeans driver certificate: the real Spark ML estimator
+    (k-means|| init, distributed fit) on a fixed 12-point corpus of
+    three well-separated blobs must recover blob sizes and integer
+    centroids exactly -- verified stable across init seeds 7/42/123
+    before pinning. A literal oracle then certifies the ML path the
+    testdata-grain kmeans_clusters query can only rows-check.
+    sf_dir unused by design (fixed corpus, regeneration-immune)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = spark.createDataFrame(
+        [(i, list(p)) for i, p in enumerate(KMEANS_FIXED_POINTS)],
+        "id long, xy array<double>",
+    )
+    feats = df.select("id", "xy", array_to_vector("xy").alias("features"))
+    model = KMeans(k=3, seed=42, maxIter=20).fit(feats)
+    return (
+        model.transform(feats)
+        .groupBy("prediction")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("xy")[0])).cast("int").alias("cx"),
+            F.round(F.avg(F.col("xy")[1])).cast("int").alias("cy"),
+        )
+        .drop("prediction")
+    )
+
+
 @register("ann_int8_knn", oracle=None)
 def ann_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-5 over int8-quantized embeddings (per-vector

@@ -47,3 +47,18 @@ def test_pagerank_sums_to_one(spark):
     df = spark.createDataFrame([(1, 2), (3, 4), (4, 5)], "id1 long, id2 long")
     ranks = pagerank(df, src="id1", dst="id2").collect()
     assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-9
+
+
+def test_pagerank_fixed_pinned_literals():
+    """The pagerank_fixed driver certificate's literal oracle must
+    equal the pure-Python power iteration on the same fixed graph."""
+    from conversation_analysis_tools_spark.queries.dedup import (
+        PAGERANK_FIXED_EDGES,
+        PAGERANK_FIXED_EXPECTED,
+    )
+
+    want = _py_pagerank(PAGERANK_FIXED_EDGES)
+    expected = sorted(
+        (v, int(round(r * 1_000_000))) for v, r in want.items()
+    )
+    assert expected == sorted(PAGERANK_FIXED_EXPECTED)
