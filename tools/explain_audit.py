@@ -63,6 +63,13 @@ AUDIT = [
     "salted_skew_join",
     # trailing-window anomaly score: date-grain rollup then a tiny window
     "anomaly_daily_zscore",
+    # round-3: the inverted-cosine plan must show NO BroadcastExchange
+    # of a per-doc relation (norms pre-divided via window over id);
+    # the samplers must plan as TakeOrderedAndProject, not a global sort
+    "nlp_near_duplicates",
+    "random_sample",
+    "limit_sample",
+    "approx_stats",
 ]
 
 
