@@ -104,9 +104,12 @@ VERIFY_PRIORITY: list[str] = [
     # strict-oracle TextRank (N13/N14)
     "textrank_scores",
     "doc_summaries_fixed",
-    # fixed-corpus certificates for iterative/ML paths (PageRank, N28)
+    # fixed-corpus certificates for iterative/ML paths (PageRank, N28,
+    # distilled-classifier accuracy, PCA projection)
     "pagerank_fixed",
     "kmeans_fixed_clusters",
+    "classifier_accuracy_cert",
+    "pca_fixed_projection",
     # event_response_time perf-regression chase: keep correctness pinned
     "event_response_time",
     # flagship regression cover -- composes duplicate_pairs, so it

@@ -65,6 +65,34 @@ def train_quality_model(data: DataFrame, num_features: int = 1024):
     return tf, model
 
 
+@register(
+    "classifier_accuracy_cert",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a') AS BIGINT) AS n_eval,
+           80 AS floor_x100, TRUE AS acc_ok
+    FROM documents
+    """,
+)
+def classifier_accuracy_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver certificate for the distilled quality classifier: one
+    row (n_eval, floor_x100, acc_ok) asserting held-out accuracy >=
+    0.80 on the md5 eval slice (the pytest floor; majority-class rate
+    is far lower). The oracle recomputes the eval-slice size exactly
+    (same md5-prefix split expression) and pins the accuracy bound --
+    an L-BFGS regression turning this row red is a real model
+    regression, not float noise. The raw per-doc scores stay in the
+    rows-only quality_classifier_scores."""
+    scored = REGISTRY["quality_classifier_scores"].fn(spark, sf_dir)
+    ev = scored.where(F.col("split") == "eval")
+    return ev.agg(
+        F.count("*").alias("n_eval"),
+        F.lit(80).alias("floor_x100"),
+        (
+            F.avg((F.col("pred") == F.col("weak_label")).cast("double")) >= 0.80
+        ).alias("acc_ok"),
+    )
+
+
 @register("quality_classifier_scores", oracle=None)
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distilled quality classifier scored over every document:

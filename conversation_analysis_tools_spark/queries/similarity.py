@@ -194,6 +194,36 @@ def kmeans_fixed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pca_fixed_projection",
+    oracle="""
+    SELECT * FROM (VALUES (0, 0, 0), (1, 5, 0), (2, 10, 0), (3, 15, 0), (4, 5, 0))
+        AS t(id, abs_pc1, abs_pc2)
+    """,
+)
+def pca_fixed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N28 PCA driver certificate: exactly-collinear fixed points
+    (integer multiples of direction (3,4)) make the projections exact
+    -- |pc1| is the point's distance along the line (the unit
+    direction is ±(0.6, 0.8)), |pc2| is exactly 0 -- so the
+    engine-specific eigendecomposition still yields literal-oracle
+    integers after abs+round (sign of a principal axis is arbitrary;
+    abs removes it). sf_dir unused (fixed corpus)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    pts = [(0, [0.0, 0.0]), (1, [3.0, 4.0]), (2, [6.0, 8.0]), (3, [9.0, 12.0]), (4, [-3.0, -4.0])]
+    df = spark.createDataFrame(pts, "id int, xy array<double>")
+    feats = df.select("id", array_to_vector("xy").alias("features"))
+    model = PCA(k=2, inputCol="features", outputCol="pca").fit(feats)
+    proj = model.transform(feats).select("id", vector_to_array("pca").alias("p"))
+    return proj.select(
+        "id",
+        F.round(F.abs(F.col("p")[0])).cast("int").alias("abs_pc1"),
+        F.round(F.abs(F.col("p")[1])).cast("int").alias("abs_pc2"),
+    )
+
+
 @register("ann_int8_knn", oracle=None)
 def ann_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-5 over int8-quantized embeddings (per-vector
