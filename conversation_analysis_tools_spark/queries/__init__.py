@@ -110,6 +110,7 @@ VERIFY_PRIORITY: list[str] = [
     "kmeans_fixed_clusters",
     "classifier_accuracy_cert",
     "pca_fixed_projection",
+    "semdedup_fixed",
     # event_response_time perf-regression chase: keep correctness pinned
     "event_response_time",
     # flagship regression cover -- composes duplicate_pairs, so it
