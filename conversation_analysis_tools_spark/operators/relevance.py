@@ -91,7 +91,11 @@ def score_documents(
     if abs(total - 1.0) > 1e-12:
         w = {k: v / total for k, v in w.items()}
 
-    scored = with_keyword_scores(docs, keywords, id_col, text_col)
+    # drop the token array BEFORE the join: if kw_tfidf outgrows the
+    # broadcast threshold (corpus-scale keyword lists), the scored side
+    # shuffles on id -- it must shuffle narrow score rows, not the full
+    # per-doc token arrays
+    scored = with_keyword_scores(docs, keywords, id_col, text_col).drop("_toks")
     kw_tfidf = keyword_tfidf_scores(docs, keywords, id_col, text_col, counts)
     return (
         scored.join(kw_tfidf, id_col, "left")
@@ -102,5 +106,4 @@ def score_documents(
             + F.lit(w["coverage"]) * F.col("coverage")
             + F.lit(w["tfidf"]) * F.col("tfidf_score"),
         )
-        .drop("_toks")
     )

@@ -47,6 +47,21 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # fixed/new queries (norms-broadcast fix re-verification, hash-based
 # samplers, ANN recall certificate, strict TextRank), then the six
 # round-1-fixed + flagship for regression cover.
+#
+# Round-4 must-rotate (green only in r1 => 2 rounds old after r3; the
+# cadence rule says promote ALL of these): boolean_search,
+# context_window, count_distinct, cube_rollup_counts,
+# date_range_filter, group_concat_sorted, group_counts, having_filter,
+# histogram_buckets, in_list_filter, join_enrich_pct, join_workhorse,
+# json_group_export, lag_day_over_day, left_join_keep_empty,
+# length_filter, nlp_idf, nlp_tf_max, nlp_tf_sum, nlp_token_stats,
+# ordered_id_join, pair_join_unconstrained, per_group_share,
+# quantile_filter, ratio_of_aggregates, rolling_avg_daily,
+# row_number_order, semi_join_exists, set_except_users,
+# sql_endpoint_rollup, stats_summary, stddev_agg, substring_search,
+# time_bucketed_agg, top_k_orders, top_n_per_group, top_values,
+# topic_cooccurrence_filter (38 -- fills 38 of 50 slots; backfill the
+# rest with r2-green names, oldest first).
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
