@@ -94,3 +94,50 @@ def test_idf_formula_on_random_corpus(spark):
             dfreq[t] += 1
     for t, d in dfreq.items():
         assert abs(idf[t] - math.log(n / (1 + d))) < 1e-9, t
+
+
+def test_inverted_cosine_matches_numpy_reference(spark):
+    """The pre-normalized inverted-index cosine (round-3 rewrite: no
+    per-doc norms join) must equal a direct numpy cosine over the same
+    sum-normalized TF vectors on a seeded random corpus."""
+    import numpy as np
+
+    from conversation_analysis_tools_spark.operators import similarity as S
+
+    rng = random.Random(13)
+    vocab = [f"term{i:02d}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        k = rng.randint(0, 25)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    tf = S.tf_vectors(docs)
+    got = {
+        (r["id1"], r["id2"]): r["sim"]
+        for r in S._pairwise_cosine_inverted(tf, "doc_id").collect()
+    }
+
+    # reference: sum-normalized TF dicts -> cosine
+    def ref_vec(text):
+        toks = [t for t in re.findall(r"\b[a-z]{3,}\b", text.lower())
+                if t not in STOPWORDS]
+        c = Counter(toks)
+        tot = sum(c.values())
+        return {t: n / tot for t, n in c.items()} if tot else {}
+
+    vecs = {i: ref_vec(t) for i, t in rows}
+    for (i, j), sim in got.items():
+        vi, vj = vecs[i], vecs[j]
+        dot = sum(vi[t] * vj.get(t, 0.0) for t in vi)
+        ni = math.sqrt(sum(x * x for x in vi.values()))
+        nj = math.sqrt(sum(x * x for x in vj.values()))
+        want = dot / (ni * nj)
+        assert abs(sim - want) < 1e-9, (i, j, sim, want)
+    # completeness: every overlapping pair with nonzero cosine appears
+    expected_pairs = {
+        (i, j)
+        for i in vecs for j in vecs if i < j
+        and any(t in vecs[j] for t in vecs[i])
+    }
+    assert set(got) == expected_pairs
