@@ -43,3 +43,30 @@ def test_search_result_panels(spark, sample_docs):
     # every panel renders without matplotlib
     for spec in panels.values():
         assert CH.render_ascii(spec)
+
+
+def test_render_png_import_gate(spark, tmp_path):
+    """The optional-dep path: renders a PNG when matplotlib is
+    installed, raises the documented NotImplementedError when not --
+    either way the gate itself is exercised."""
+    import pytest
+
+    from conversation_analysis_tools_spark.sources import charts as CH
+
+    df = spark.createDataFrame([("a", 1), ("b", 3)], ["k", "n"])
+    spec = CH.chart_spec(df, "bar", "k", "n", title="t")
+    out = str(tmp_path / "chart.png")
+    try:
+        import matplotlib  # noqa: F401
+
+        has_mpl = True
+    except ImportError:
+        has_mpl = False
+    if has_mpl:
+        p = CH.render_png(spec, out)
+        import os
+
+        assert os.path.getsize(p) > 0
+    else:
+        with pytest.raises(NotImplementedError):
+            CH.render_png(spec, out)
