@@ -89,15 +89,23 @@ def pairwise_cosine(
             tf.select("term").distinct().limit(SMALL_VOCAB_LIMIT + 1).collect()
         )
         if len(probe) <= SMALL_VOCAB_LIMIT:
-            # second probe: even a tiny vocabulary cannot rescue the
-            # dense plan's n^2 FLOPs above DENSE_MAX_N docs
-            n_docs = tf.agg(
-                F.approx_count_distinct(id_col).alias("n")
-            ).collect()[0]["n"]
+            # Tentatively dense: build (and persist) the vectors, and
+            # let their count -- needed for grid blocking anyway --
+            # double as the DENSE_MAX_N fence (even a tiny vocabulary
+            # cannot rescue the dense plan's n^2 FLOPs above it). The
+            # vector build is linear, so probing via it is safe, and
+            # this fuses what used to be a separate
+            # approx_count_distinct job into a count the dense path
+            # paid regardless.
+            from conversation_analysis_tools_spark.operators.cache import track
+
+            vocab = sorted(r["term"] for r in probe)
+            per_doc = track(_dense_doc_vectors(tf, id_col, vocab))
+            n_docs = per_doc.count()
             if n_docs <= DENSE_MAX_N:
-                strategy, vocab = "dense", sorted(r["term"] for r in probe)
-            else:
-                strategy = "inverted"
+                return grid_blocked_pairs(per_doc, threshold, n=n_docs)
+            per_doc.unpersist()
+            strategy = "inverted"
         else:
             strategy = "inverted"
     if strategy == "dense":
@@ -163,17 +171,21 @@ def _pairwise_cosine_dense(
     return grid_blocked_pairs(per_doc, threshold)
 
 
-def grid_blocked_pairs(per_doc: DataFrame, threshold: float) -> DataFrame:
+def grid_blocked_pairs(
+    per_doc: DataFrame, threshold: float, n: int | None = None
+) -> DataFrame:
     """All-pairs cosine over L2-normalized vectors (_id, v) with the
     grid-block plan: rows hash into B = ceil(n / DENSE_BLOCK_ROWS)
     blocks, replicate to their B grid cells, and each cell (bi <= bj)
     computes one block_i @ block_j^T BLAS product in
     ``applyInPandas``, emitting pairs >= threshold. Shuffle n*B rows;
-    B(B+1)/2 independent tasks; no driver-side matrix."""
+    B(B+1)/2 independent tasks; no driver-side matrix. Pass ``n`` if
+    the caller already counted the (persisted) vectors."""
     import numpy as np
     import pandas as pd
 
-    n = per_doc.count()
+    if n is None:
+        n = per_doc.count()
     n_blocks = max(1, min(64, -(-n // DENSE_BLOCK_ROWS)))
 
     blocked = per_doc.withColumn(
