@@ -213,3 +213,18 @@ def test_edit_distance_truncation_bounds_cost(spark):
     )
     pairs = D.edit_distance_pairs(df, threshold=0.9, max_chars=len(base)).collect()
     assert len(pairs) == 1 and abs(pairs[0]["edit_sim"] - 1.0) < 1e-12
+
+
+def test_inverted_plan_has_no_per_doc_broadcast(spark, sample_docs):
+    """Regression guard for the round-3 norms fix: the inverted-index
+    cosine plan must never force-broadcast an O(n_docs) norms
+    relation. The only acceptable BroadcastExchange is Catalyst's own
+    size-estimate choice on the term join; a forced broadcast is
+    recognizable by the norm expression (CASE WHEN sqrt(...)=0) living
+    inside a BroadcastExchange subtree that aggregates per doc id.
+    Cheapest robust check: the PRE-normalized plan carries the norm
+    division on the join INPUTS, so no 'norm1'/'norm2' columns exist
+    anywhere in the plan."""
+    tf = S.tf_vectors(sample_docs)
+    plan = S._pairwise_cosine_inverted(tf)._jdf.queryExecution().executedPlan().toString()
+    assert "norm1" not in plan and "norm2" not in plan
