@@ -84,6 +84,15 @@ def pairwise_cosine(
     """
     vocab = None
     if strategy == "auto":
+        from conversation_analysis_tools_spark.operators.cache import track
+
+        # The strategy probe and the main plan both consume ``tf``;
+        # persist it so tokenize + term-count shuffle run once (the
+        # reference's precomputed-vector optimization,
+        # pipeline/duplicate_detector.py:147-151 -- SURVEY §4). The
+        # inverted path reads it twice more (both sides of the term
+        # self-join), so the persist pays for itself three times.
+        tf = track(tf)
         # one tiny job decides the strategy AND yields the vocabulary
         probe = (
             tf.select("term").distinct().limit(SMALL_VOCAB_LIMIT + 1).collect()
