@@ -61,14 +61,11 @@ def keyword_tfidf_scores(
     """
     n_docs = docs.count()  # corpus size N; cheap metadata-only count on parquet
     if counts is None:
-        from conversation_analysis_tools_spark.operators.cache import track
-
-        # counts feeds BOTH the tf_max branch and idf_from_counts --
-        # persist so the tokenize + (id, term) count shuffle runs once
-        # (callers that pass a shared ``counts`` have already done so)
-        counts = track(
-            T.term_counts(T.explode_tokens(docs, id_col, text_col), id_col)
-        )
+        # counts feeds both the tf_max branch and idf_from_counts, but
+        # in ONE plan -- recomputing the cheap tokenize+count beats
+        # persist materialization here (callers with genuinely shared
+        # multi-job consumption pass a persisted ``counts``)
+        counts = T.term_counts(T.explode_tokens(docs, id_col, text_col), id_col)
     tf = T.tf_max(counts, id_col)
     idf_df = T.idf_from_counts(counts, n_docs, id_col)
     tfidf_df = T.tfidf(tf, idf_df, id_col)
