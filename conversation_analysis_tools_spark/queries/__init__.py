@@ -131,6 +131,8 @@ VERIFY_PRIORITY: list[str] = [
     # flagship regression cover -- composes duplicate_pairs, so it
     # re-verifies the norms-broadcast fix end-to-end
     "pipeline_analysis_results",
+    # new this round: VARIANT-typed metadata extraction
+    "variant_props_extract",
     # --- regression cover: round-1 fixes (r2-green; fill remaining
     # slots, overflow past 50 harmlessly falls out of the window) ---
     "conditional_agg",

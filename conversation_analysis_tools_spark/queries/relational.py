@@ -757,6 +757,47 @@ def json_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata via the VARIANT type (beyond-reference
+    upgrade of the JSON-in-TEXT idiom, uni_parse.py:293).
+
+    ``get_json_object`` re-parses the JSON string on EVERY path access;
+    ``parse_json`` decodes once into Spark 4's binary VARIANT encoding
+    and ``variant_get`` then navigates the binary form -- at 100 TB
+    with multi-key metadata this turns k string parses per row into
+    one. The typed extraction (``$.k`` as bigint) also feeds the
+    filter BEFORE the aggregate, so only qualifying rows shuffle."""
+    events = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.withColumn("k", k)
+        .where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows (W1-W5)
 # ---------------------------------------------------------------------------
