@@ -320,7 +320,17 @@ def edit_distance_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+#: 60 bits = 15 md5 hex digits; 4 pigeonhole blocks of 15 bits. The
+#: standard web-dedup operating point is 64-bit/k=3 (Manku et al.
+#: 2007); 60 keeps the signature and every block arithmetic inside a
+#: signed BIGINT on both engines (1 << 63 overflows). Block width sets
+#: the candidate volume: a 4-bit block has 16 possible values, so ANY
+#: corpus degenerates to ~n^2/16 candidate pairs per block (measured
+#: 25x wall at 10x rows, SCALE.md); 15-bit blocks give 32768 bucket
+#: values -> candidates ~n^2/32768 per block + true near-dup buckets.
+SIMHASH_BITS = 60
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // 4
+SIMHASH_BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
 
 
 def _hex_val(c):
@@ -329,7 +339,7 @@ def _hex_val(c):
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over token multiset, md5-derived bit projections.
+    """60-bit SimHash over token multiset, md5-derived bit projections.
 
     bit b of token = bit (3 - b%4) of hex digit b//4 of md5(token);
     simhash bit b = 1 iff sum over tokens cnt * (2*bit - 1) > 0.
@@ -360,11 +370,13 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 def simhash_pairs(
     sig: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Pairs with hamming(simhash) <= k via 4-bit block candidates.
+    """Pairs with hamming(simhash) <= k via 15-bit block candidates.
 
     Pigeonhole: hamming <= 3 over 4 blocks => >= 1 identical block.
     Candidates share a (block_idx, block_value); exact hamming filter
-    after. Never O(n^2).
+    after. Block width is the scale lever: 2^15 bucket values keep
+    random-collision candidates ~n^2/32768 per block, so candidate
+    volume tracks true near-duplicate density, not corpus size squared.
     """
     blocks = sig.select(
         F.col(id_col),
@@ -374,7 +386,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("blk"),
-                        F.shiftright("simhash", 4 * j).bitwiseAND(F.lit(15)).alias("val"),
+                        F.shiftright("simhash", SIMHASH_BLOCK_BITS * j)
+                        .bitwiseAND(F.lit(SIMHASH_BLOCK_MASK))
+                        .alias("val"),
                     )
                     for j in range(4)
                 ]

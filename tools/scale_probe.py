@@ -138,8 +138,11 @@ def main() -> None:
         for name in BIG:
             if name not in qs:
                 continue
-            t_small = best_of(lambda: qs[name](spark, SF_DIRS[2]).collect())
-            t_big = best_of(lambda: qs[name](spark, big_dir).collect())
+            # count(), not collect(): on this adversarial corpus the
+            # PAIR SET itself is GBs -- materializing it distributed is
+            # the operator's job; pulling it to the driver is not.
+            t_small = best_of(lambda: qs[name](spark, SF_DIRS[2]).count())
+            t_big = best_of(lambda: qs[name](spark, big_dir).count())
             lines.append(
                 f"| {name} | {t_small} s | {t_big} s | {round(t_big / max(t_small, 0.01), 1)}x |"
             )
