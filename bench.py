@@ -58,6 +58,9 @@ HEADLINE = [
     # round-2 tail: map-only chunking, hashed-feature DSIR selection
     "doc_chunks",
     "dsir_importance",
+    # round-3 additions: 60-bit simhash banding, VARIANT metadata path
+    "dedup_simhash",
+    "variant_props_extract",
 ]
 
 
