@@ -296,23 +296,30 @@ def edit_distance_pairs(
     notion (/root/reference/pipeline/deduplicator.py similarity
     verify) with a bucketed candidate stage instead of all pairs.
 
-    Scale shape: Levenshtein is O(L^2) per pair, so texts are capped
-    at ``max_chars`` before comparison (bounded per-pair cost); the
-    candidate set is LSH-linear, never n^2. F.levenshtein runs
-    JVM-side inside codegen -- no Python in the loop.
-    Returns (id1, id2, edit_sim).
+    Scale shape: the candidate set is LSH-linear, never n^2; texts are
+    capped at ``max_chars``; and the distance runs BANDED --
+    ``levenshtein(t1, t2, bound)`` is O(bound * L), not O(L^2), and
+    returns -1 past the bound. The bound is exact, not approximate: a
+    pair with sim >= threshold has distance <= (1-threshold) *
+    max(len) <= (1-threshold) * max_chars < bound, so no qualifying
+    pair is ever banded away; -1 rows are exactly the sim < threshold
+    rejects. F.levenshtein runs JVM-side inside codegen -- no Python
+    in the loop. Returns (id1, id2, edit_sim).
     """
     sh = shingles(df, id_col, text_col)
     cands = minhash_candidates(lsh_bands(minhash_signatures(sh, id_col), id_col), id_col)
     t = df.select(F.col(id_col), F.substring(F.col(text_col), 1, max_chars).alias("_t"))
     t1 = t.select(F.col(id_col).alias("id1"), F.col("_t").alias("t1"))
     t2 = t.select(F.col(id_col).alias("id2"), F.col("_t").alias("t2"))
-    sim = 1 - F.levenshtein("t1", "t2") / F.greatest(F.length("t1"), F.length("t2"))
+    bound = int((1 - threshold) * max_chars) + 1
+    dist = F.levenshtein("t1", "t2", bound)
+    sim = 1 - dist / F.greatest(F.length("t1"), F.length("t2"))
     return (
         cands.join(t1, "id1")
         .join(t2, "id2")
-        .select("id1", "id2", sim.alias("edit_sim"))
-        .where(F.col("edit_sim") >= threshold)
+        .select("id1", "id2", dist.alias("_d"), sim.alias("edit_sim"))
+        .where((F.col("_d") >= 0) & (F.col("edit_sim") >= threshold))
+        .drop("_d")
     )
 
 

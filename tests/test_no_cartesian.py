@@ -46,7 +46,7 @@ BNLJ_ALLOWED = {
     "quantile_filter",  # broadcast 1-row p95 scalar (relational.py:310)
     "bm25_topk",  # broadcast 1-row (N, avgdl) stats (bm25.py:46-60)
     "hybrid_rrf",  # composes bm25
-    "nlp_semantic_topk",  # broadcast single query vector
+    "semantic_search_topk",  # broadcast single query vector
     "temperature_mixture",  # broadcast 1-row totals (sampling.py:390)
     "source_mixing_sample",  # broadcast per-source quota frame
     "dsir_importance",  # broadcast hashed-bucket LM tables
