@@ -131,8 +131,11 @@ VERIFY_PRIORITY: list[str] = [
     # flagship regression cover -- composes duplicate_pairs, so it
     # re-verifies the norms-broadcast fix end-to-end
     "pipeline_analysis_results",
-    # new this round: VARIANT-typed metadata extraction
+    # new this round: VARIANT-typed metadata extraction, and the
+    # transformWithState cumulative-totals operator (batch-identical
+    # semantics; TWS path import-gated on protobuf)
     "variant_props_extract",
+    "stateful_user_totals",
     # --- regression cover: round-1 fixes (r2-green; fill remaining
     # slots, overflow past 50 harmlessly falls out of the window) ---
     "conditional_agg",

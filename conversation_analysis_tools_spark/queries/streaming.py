@@ -381,3 +381,36 @@ def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     _events(spark, sf_dir).repartitionByRange(3, "event_id").write.parquet(src)
     state = stream_maintain_rollup(spark, src, f"{d}/rollup", "event_type")
     return finalize_rollup(state)
+
+
+@register(
+    "stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4)
+               AS total_value,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative totals -- the transformWithStateInPandas
+    changelog operator (streaming/events.cumulative_user_stats,
+    Spark 4 arbitrary-state API: ValueState of (n, cents, min_us,
+    max_us), one emitted row per user per batch-with-input; the
+    latest row per user equals this batch GROUP BY no matter how the
+    input was micro-batched, because the state is integer-exact and
+    monotone).
+
+    Like stateful_sessionize, the driver row checks the
+    batch-identical semantics; the real TWS execution additionally
+    needs the protobuf proto client (absent in this container --
+    import-gated via tws_available(), exercised by
+    tests/test_tws_state.py when present)."""
+    from conversation_analysis_tools_spark.streaming.events import (
+        cumulative_user_stats,
+    )
+
+    return cumulative_user_stats(_events(spark, sf_dir))

@@ -444,3 +444,131 @@ def stream_maintain_rollup(
     if q.isActive:
         q.stop()
     return spark.read.parquet(rollup_path)
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    """Whether ``transformWithStateInPandas`` can execute here.
+
+    The TWS Python driver worker speaks protobuf to the JVM state
+    server (pyspark/sql/streaming/proto/StateMessage_pb2); without the
+    ``protobuf`` package the worker crashes during state-schema
+    discovery. Same optional-dep gating pattern as PIL image decode
+    (operators/multimodal.py) and matplotlib rendering
+    (sources/charts.py)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _cumulative_processor(gap_unused=None):
+    """Build the StatefulProcessor for :func:`cumulative_user_stats`.
+
+    Deferred into a factory so importing this module never requires
+    the streaming-proto stack."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class CumulativeUserStats(StatefulProcessor):
+        """Per-user running totals as a changelog stream.
+
+        ValueState holds (n, cents, min_us, max_us); every batch with
+        input for a user emits the user's NEW cumulative row. The
+        latest row per user therefore equals the batch aggregate
+        regardless of how the input was micro-batched -- which is what
+        makes the operator strictly verifiable (take last-per-user,
+        compare to GROUP BY). Value sums run in integer cents, so
+        emission order and batching never perturb the float result.
+        """
+
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "agg", "n BIGINT, cents BIGINT, min_us BIGINT, max_us BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._state.get()
+            n, cents, min_us, max_us = prev if prev is not None else (0, 0, None, None)
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+                us = pdf["ts"].astype("int64") // 1000
+                lo, hi = int(us.min()), int(us.max())
+                min_us = lo if min_us is None else min(min_us, lo)
+                max_us = hi if max_us is None else max(max_us, hi)
+            self._state.update((n, cents, min_us, max_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(cents / 100.0, 4)],
+                    "first_ts": [pd.Timestamp(min_us, unit="us")],
+                    "last_ts": [pd.Timestamp(max_us, unit="us")],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return CumulativeUserStats()
+
+
+TWS_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "first_ts timestamp, last_ts timestamp"
+)
+
+
+def cumulative_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user cumulative (count, exact-cents sum, first/last ts).
+
+    Streaming input -> the Spark 4 ``transformWithStateInPandas``
+    arbitrary-state operator (ValueState changelog; one emitted row
+    per user per batch-with-input, latest row == final totals). The
+    caller finishes with last-row-per-user (monotone n_events makes
+    that well-defined) -- batching-count independent by construction.
+
+    Batch input -> the semantically identical GROUP BY (what the
+    changelog's final rows are), so the operator is testable and
+    driver-checkable in environments where the TWS proto stack is
+    unavailable (:func:`tws_available`).
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("_tv"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        ).select(
+            "user_id",
+            "n_events",
+            F.round("_tv", 4).alias("total_value"),
+            "first_ts",
+            "last_ts",
+        )
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark streaming proto client); not installed here. "
+            "Batch-mode cumulative_user_stats carries the same "
+            "semantics."
+        )
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _cumulative_processor(),
+            outputStructType=TWS_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
