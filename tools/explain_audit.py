@@ -70,6 +70,12 @@ AUDIT = [
     "random_sample",
     "limit_sample",
     "approx_stats",
+    # round-3 additions: VARIANT single-parse extraction (filter before
+    # the agg shuffle); 60-bit simhash banding (block join, no
+    # cartesian); TWS batch-identical totals (one agg shuffle)
+    "variant_props_extract",
+    "dedup_simhash",
+    "stateful_user_totals",
 ]
 
 
