@@ -228,3 +228,39 @@ def test_inverted_plan_has_no_per_doc_broadcast(spark, sample_docs):
     tf = S.tf_vectors(sample_docs)
     plan = S._pairwise_cosine_inverted(tf)._jdf.queryExecution().executedPlan().toString()
     assert "norm1" not in plan and "norm2" not in plan
+
+
+def test_simhash_banding_is_exact_pigeonhole(spark):
+    """The 15-bit-block candidate stage must be EXACT for hamming<=3:
+    4 blocks, <=3 differing bits => at least one block identical, so
+    every qualifying pair must surface. Cross-checked against a
+    brute-force hamming over all signature pairs (perturbed near-dup
+    corpus: replicas of each base text with 1-2 words changed)."""
+    base = [
+        "machine learning models train on large text corpora every day",
+        "the quick brown fox jumps over the lazy dog near the river",
+        "spark executes distributed dataframe plans with catalyst",
+    ]
+    rows = []
+    i = 0
+    for b, t in enumerate(base):
+        for rep in range(4):
+            words = t.split()
+            if rep:
+                words[rep] = f"tok{b}{rep}"
+            rows.append((i, " ".join(words)))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    brute = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {
+        (r["id1"], r["id2"])
+        for r in D.simhash_pairs(D.simhash(docs), max_hamming=3).collect()
+    }
+    assert banded == brute
+    assert brute, "corpus produced no near-dup pairs; test is vacuous"
