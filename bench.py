@@ -58,9 +58,11 @@ HEADLINE = [
     # round-2 tail: map-only chunking, hashed-feature DSIR selection
     "doc_chunks",
     "dsir_importance",
-    # round-3 additions: 60-bit simhash banding, VARIANT metadata path
+    # round-3 additions: 60-bit simhash banding, VARIANT metadata
+    # path, transformWithState-shaped cumulative totals
     "dedup_simhash",
     "variant_props_extract",
+    "stateful_user_totals",
 ]
 
 
