@@ -18,9 +18,12 @@ Usage::
     obs.get("scanned")                # {'count(1)': 5000}
 
 Metrics surface after the action completes (driver-side only, tiny).
-On a streaming query the same names arrive per micro-batch in
-``StreamingQueryListener`` progress events -- the API is the batch/
-streaming-unified one, which is why it beats accumulator hacks.
+Batch only: ``Observation`` objects require a non-streaming Dataset
+(Spark raises at plan build otherwise), so :meth:`observed` rejects
+streams up front. Streaming plans use the string-name
+``df.observe("point", ...)`` form instead, whose values arrive
+per-micro-batch in ``StreamingQueryListener`` progress events -- same
+metric expressions, different retrieval channel.
 """
 
 from __future__ import annotations
@@ -38,6 +41,12 @@ class PipelineMetrics:
         """Attach an observation point; returns the SAME rows
         (observe is a transparent wrapper node -- never changes the
         result, never forces a job)."""
+        if df.isStreaming:
+            raise ValueError(
+                "Observation points are batch-only; on a stream use "
+                'df.observe("name", ...) and read the values from '
+                "StreamingQueryListener progress events"
+            )
         if name in self._obs:
             raise ValueError(f"duplicate observation point {name!r}")
         ob = Observation(name)
@@ -45,8 +54,13 @@ class PipelineMetrics:
         return df.observe(ob, *metrics)
 
     def get(self, name: str) -> dict:
-        """Metric values for a point; blocks until the observed plan
-        has been executed by some action."""
+        """Metric values for a point.
+
+        BLOCKS (indefinitely -- Observation.get has no timeout) until
+        some action executes the observed plan. Only call after the
+        action, and only for points that are part of the lineage that
+        action actually ran: a point on a pruned/unused branch never
+        produces a value."""
         return self._obs[name].get
 
     def funnel(self) -> dict[str, dict]:

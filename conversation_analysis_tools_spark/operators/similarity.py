@@ -106,8 +106,6 @@ def pairwise_cosine(
             # this fuses what used to be a separate
             # approx_count_distinct job into a count the dense path
             # paid regardless.
-            from conversation_analysis_tools_spark.operators.cache import track
-
             vocab = sorted(r["term"] for r in probe)
             per_doc = track(_dense_doc_vectors(tf, id_col, vocab))
             n_docs = per_doc.count()

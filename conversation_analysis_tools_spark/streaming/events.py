@@ -500,7 +500,15 @@ def _cumulative_processor(gap_unused=None):
                 if not len(pdf):
                     continue
                 n += len(pdf)
-                cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+                # HALF_UP (away from zero), matching F.round and the
+                # DuckDB oracle -- pandas .round() is half-to-even and
+                # would diverge on exact half-cents
+                import numpy as np
+
+                v = pdf["value"].to_numpy() * 100
+                cents += int(
+                    (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
+                )
                 us = pdf["ts"].astype("int64") // 1000
                 lo, hi = int(us.min()), int(us.max())
                 min_us = lo if min_us is None else min(min_us, lo)

@@ -65,7 +65,8 @@ def test_streaming_path_gated_or_correct(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    assert finished, "TWS availableNow drain did not finish within 300s"
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))

@@ -25,7 +25,6 @@ scaling section into SCALE.md between the marker comments).
 from __future__ import annotations
 
 import os
-import re
 import sys
 import time
 
@@ -73,9 +72,11 @@ def best_of(fn, n: int = 2) -> float:
 
 
 def build_10x(spark, sf_dir: str) -> str:
-    """Replicate documents 10x with distinct ids; perturb each replica
-    by dropping its first word so replicas are near-duplicates (the
-    hard case for dedup -- exact-hash shortcuts can't collapse them)."""
+    """Replicate documents 10x with distinct ids. Replica 0 is the
+    original; replicas 1-9 prepend a per-replica marker token
+    ("v{rep} ") and keep only the last 200 words -- near- but not
+    exact duplicates (exact-hash shortcuts can't collapse them), with
+    long docs materially shortened."""
     out = staging_dir("docs10x", sf_dir)
     marker = os.path.join(out, "_SUCCESS_10x")
     if not os.path.exists(marker):
@@ -148,8 +149,9 @@ def main() -> None:
             )
             print(lines[-1], flush=True)
 
-    block = (
-        "<!-- scale-probe:begin -->\n"
+    from tools.md_block import write_md_block
+
+    body = (
         "## Measured scaling (tools/scale_probe.py)\n"
         "\n"
         "Wall seconds, best-of-2, local[32]; every query carries\n"
@@ -160,20 +162,8 @@ def main() -> None:
         "linear-ish growth there means the candidate generation is\n"
         "bucketed/banded, not all-pairs.\n"
         + "\n".join(lines)
-        + "\n<!-- scale-probe:end -->\n"
     )
-    path = "/root/repo/SCALE.md"
-    text = open(path).read()
-    if "<!-- scale-probe:begin -->" in text:
-        text = re.sub(
-            r"<!-- scale-probe:begin -->.*?<!-- scale-probe:end -->\n",
-            block,
-            text,
-            flags=re.S,
-        )
-    else:
-        text = text.rstrip() + "\n\n" + block
-    open(path, "w").write(text)
+    write_md_block("/root/repo/SCALE.md", "scale-probe", body)
     print("SCALE.md updated")
 
 

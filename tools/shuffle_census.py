@@ -19,7 +19,6 @@ Usage: python tools/shuffle_census.py (writes SCALE.md)
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -121,8 +120,9 @@ def main() -> None:
         )
         print(lines[-1], flush=True)
 
-    block = (
-        "<!-- shuffle-census:begin -->\n"
+    from tools.md_block import write_md_block
+
+    body = (
         "## Measured shuffle census (tools/shuffle_census.py, sf0.1)\n"
         "\n"
         "Actual Exchange shuffleBytesWritten / shuffleRecordsWritten and\n"
@@ -142,20 +142,8 @@ def main() -> None:
         "sides (dims, stats rows, query sets, codebooks -- enforced by\n"
         "tests/test_no_cartesian.py's allowlist).\n"
         + "\n".join(lines)
-        + "\n<!-- shuffle-census:end -->\n"
     )
-    path = "/root/repo/SCALE.md"
-    text = open(path).read()
-    if "<!-- shuffle-census:begin -->" in text:
-        text = re.sub(
-            r"<!-- shuffle-census:begin -->.*?<!-- shuffle-census:end -->\n",
-            block,
-            text,
-            flags=re.S,
-        )
-    else:
-        text = text.rstrip() + "\n\n" + block
-    open(path, "w").write(text)
+    write_md_block("/root/repo/SCALE.md", "shuffle-census", body)
     print("SCALE.md updated")
 
 
