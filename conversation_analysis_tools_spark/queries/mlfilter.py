@@ -8,11 +8,26 @@ the Gopher heuristic gate (queries/textstats.py): hashed bag-of-words
 features -> LogisticRegression -> per-doc quality probability. The
 shape is what matters at 100 TB:
 
-* featurize = map-only (HashingTF is a stateless hash, no vocabulary
-  shuffle, fixed width regardless of corpus size),
+* featurize = map-only (``pmod(hash(tok), 1024)`` is a stateless hash,
+  no vocabulary shuffle, fixed width regardless of corpus size),
 * train = one pass over the ~90% train split per L-BFGS iteration,
   driver holds only the 1024-dim coefficient vector,
-* score = map-only model.transform broadcast to every executor.
+* score = map-only closed-form sigmoid over the collected
+  coefficients, embedded as literals -- whole-stage codegen, zero
+  shuffle, and NO ml-model UDF in the scoring plan.
+
+Featurization is deliberately our own ``F.hash`` bucketing rather than
+ml's HashingTF: (a) one definition shared bit-exactly by the training
+and scoring paths, (b) HashingTF's murmur3 variant (hashUnsafeBytes2)
+has no SQL builtin so a HashingTF-trained model could never be scored
+JVM-side, and (c) keeping ``model.transform`` out of the returned plan
+matters for session hygiene -- the transform UDF pins the model, whose
+training summary pins the training Dataset and thus the SparkSession;
+caching such a plan serializes that chain and dies on any
+non-serializable session state (observed live: a registered
+``Observation`` makes ObservationManager unserializable, failing
+``scored.cache().count()`` with Task-not-serializable; pinned by
+tests/test_metrics.py::test_observation_then_cached_ml_plan).
 
 Rows-only for the driver (iterative L-BFGS floats are not
 SQL-expressible); tests/test_mlfilter.py pins held-out accuracy well
@@ -21,7 +36,7 @@ above the majority-class rate and train/score determinism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from conversation_analysis_tools_spark.catalog import table as _catalog_table
@@ -31,14 +46,43 @@ from conversation_analysis_tools_spark.queries.registry import REGISTRY, registe
 #: md5-prefix eval split, same family as sampling.hash_split ('1a' ~ 10%).
 _EVAL_HEX = "1a"
 
+#: Fixed hashed-feature width. 1024 floats collect to the driver and
+#: re-broadcast as plan literals regardless of corpus size.
+NUM_FEATURES = 1024
+
+
+def _bucket(tok: Column) -> Column:
+    """Hashed-feature bucket of one token: murmur3 (SQL ``hash``,
+    seed 42) mod the fixed width. The single featurization definition
+    shared by training and scoring."""
+    return F.pmod(F.hash(tok), F.lit(NUM_FEATURES))
+
 
 def _labeled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, toks, label (Gopher gate), split -- the training frame."""
+    """doc_id, toks, label, split -- the training frame.
+
+    Teacher label = Gopher-rule COUNT >= corpus median (the
+    FineWeb-Edu shape: a continuous teacher score thresholded into a
+    binary label), not the raw all-rules gate. The gate conjunction is
+    brittle as a training signal: one corpus-wide-false rule (e.g. a
+    corpus with no English stop words, like the synthetic testdata)
+    makes every label identical and L-BFGS degenerates to the base
+    rate. The rule-count median split stays ~balanced whenever ANY
+    rule has variance, on any corpus. The median is one driver-side
+    scalar (exact percentile over the bounded flags frame).
+    """
     docs = _catalog_table(spark, "documents", sf_dir)
-    flags = (
-        REGISTRY["gopher_quality_flags"]
-        .fn(spark, sf_dir)
-        .select("doc_id", F.col("passes_gopher").cast("double").alias("label"))
+    g = REGISTRY["gopher_quality_flags"].fn(spark, sf_dir)
+    score = (
+        F.col("n_words").between(50, 100000).cast("int")
+        + F.col("mean_word_len").between(3, 10).cast("int")
+        + (F.col("alpha_frac") >= 0.8).cast("int")
+        + (F.col("n_stops") >= 2).cast("int")
+    )
+    scores = g.select("doc_id", score.alias("score"))
+    med = scores.agg(F.expr("percentile(score, 0.5)")).first()[0]
+    flags = scores.select(
+        "doc_id", (F.col("score") >= F.lit(med)).cast("double").alias("label")
     )
     toks = docs.select("doc_id", raw_tokens_expr("text").alias("toks"))
     split = F.when(
@@ -49,20 +93,48 @@ def _labeled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.join(flags, "doc_id").withColumn("split", split)
 
 
-def train_quality_model(data: DataFrame, num_features: int = 1024):
-    """Fit HashingTF + LogisticRegression on the train split; returns
-    (hashing_tf, model). Deterministic: L-BFGS from a zero init on a
-    fixed dataset has no RNG."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF
+def _dense_features(data: DataFrame) -> DataFrame:
+    """Attach a NUM_FEATURES-dim dense count vector per doc (training
+    only -- the scoring path never materializes vectors).
 
-    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=num_features)
-    feat = tf.transform(data)
+    Linear: explode -> (doc,bucket) count -> per-doc bucket map ->
+    dense array via a sequence/map-lookup transform. Two bounded
+    shuffles on the train split, not the corpus hot path.
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    ex = data.select("doc_id", F.explode("toks").alias("tok"))
+    bc = ex.groupBy("doc_id", _bucket(F.col("tok")).alias("bucket")).agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    bmap = bc.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "cnt"))).alias("bmap")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_FEATURES - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("bmap"), i), F.lit(0.0)),
+    )
+    return (
+        data.join(bmap, "doc_id", "left")  # keep token-less docs (zero vector)
+        .withColumn("features", array_to_vector(dense))
+        .drop("bmap")
+    )
+
+
+def train_quality_model(data: DataFrame):
+    """Fit LogisticRegression on the train split over the hashed
+    bucket counts; returns (coefficients list[float], intercept).
+    Deterministic: L-BFGS from a zero init on a fixed dataset has no
+    RNG. Only the 1024+1 floats leave the JVM -- the model object (and
+    its summary, which pins the training Dataset) never escapes."""
+    from pyspark.ml.classification import LogisticRegression
+
+    feat = _dense_features(data)
     lr = LogisticRegression(
         maxIter=25, regParam=0.01, labelCol="label", featuresCol="features"
     )
     model = lr.fit(feat.where(F.col("split") == "train"))
-    return tf, model
+    return [float(w) for w in model.coefficients], float(model.intercept)
 
 
 @register(
@@ -99,18 +171,25 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, split, weak label, p_good, pred.
 
     Train on the ~90% md5 split, score all docs (the held-out rows are
-    the accuracy evidence). Output is flat scalars only -- the
-    probability vector is unpacked before the driver surface.
+    the accuracy evidence). Scoring is closed-form: the 1024 L-BFGS
+    coefficients become an array literal and the margin is a map-only
+    ``F.aggregate`` over the token buckets -- no shuffle, no UDF, no
+    model object in the plan.
     """
-    from pyspark.ml.functions import vector_to_array
-
     data = _labeled_features(spark, sf_dir)
-    tf, model = train_quality_model(data)
-    scored = model.transform(tf.transform(data))
-    return scored.select(
+    coef, intercept = train_quality_model(data)
+
+    weights = F.array(*[F.lit(w) for w in coef])
+    margin = F.aggregate(
+        F.transform("toks", _bucket),
+        F.lit(intercept),
+        lambda acc, b: acc + F.element_at(weights, b + F.lit(1)),
+    )
+    p_good = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return data.select(
         "doc_id",
         "split",
         F.col("label").cast("bigint").alias("weak_label"),
-        F.round(vector_to_array("probability")[1], 4).alias("p_good"),
-        F.col("prediction").cast("bigint").alias("pred"),
+        F.round(p_good, 4).alias("p_good"),
+        (p_good > 0.5).cast("bigint").alias("pred"),
     )

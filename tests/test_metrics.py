@@ -51,3 +51,25 @@ def test_duplicate_point_rejected(spark):
     obs.observed(docs, "p", F.count(F.lit(1)))
     with pytest.raises(ValueError, match="duplicate"):
         obs.observed(docs, "p", F.count(F.lit(1)))
+
+
+def test_observation_then_cached_ml_plan(spark):
+    """Session-hygiene regression: a registered Observation makes the
+    session's ObservationManager non-serializable; if a later plan
+    embeds an ml model UDF (whose training summary pins the session),
+    cache().count() dies with Task-not-serializable. The classifier's
+    scoring plan must stay model-free so this never happens."""
+    from conversation_analysis_tools_spark.queries import REGISTRY
+
+    obs = PipelineMetrics()
+    pt = obs.observed(
+        table(spark, "documents", SF_DIR), "scan", F.count(F.lit(1)).alias("n")
+    )
+    pt.groupBy("lang").count().collect()
+    assert obs.get("scan")["n"] > 0
+
+    scored = REGISTRY["quality_classifier_scores"].fn(spark, SF_DIR).cache()
+    try:
+        assert scored.count() == table(spark, "documents", SF_DIR).count()
+    finally:
+        scored.unpersist()
