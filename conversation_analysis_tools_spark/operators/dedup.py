@@ -359,11 +359,24 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         F.col(id_col), F.explode(raw_tokens_expr(text_col)).alias("term")
     )
     counts = term_counts(tokens, id_col)
-    counts = counts.withColumn("h", F.md5(F.col("term").cast("binary")))
+    # Parse the 15-hex-digit md5 prefix ONCE per (doc, term) row into a
+    # 60-bit BIGINT; per-bit extraction is then pure integer shift/mask.
+    # Bit b of the signature reads hex digit b//4, sub-bit 3-b%4 --
+    # i.e. bit (59 - b) of this value -- so the signature is bit-exact
+    # with the digit-at-a-time formula the DuckDB oracle still uses.
+    # (The naive form ran string substring+base-conv 60x per row and
+    # dominated the map side.)
+    counts = counts.withColumn(
+        "hv",
+        F.conv(
+            F.substring(F.md5(F.col("term").cast("binary")), 1, SIMHASH_BITS // 4),
+            16,
+            10,
+        ).cast("bigint"),
+    )
     bit_sums = []
     for b in range(SIMHASH_BITS):
-        digit = F.substring("h", b // 4 + 1, 1)
-        bit = F.shiftright(_hex_val(digit), 3 - b % 4).bitwiseAND(F.lit(1))
+        bit = F.shiftright(F.col("hv"), SIMHASH_BITS - 1 - b).bitwiseAND(F.lit(1))
         contrib = F.col("cnt") * (bit * 2 - F.lit(1))
         bit_sums.append(F.sum(contrib).alias(f"s{b}"))
     sums = counts.groupBy(id_col).agg(*bit_sums)
