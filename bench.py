@@ -63,6 +63,9 @@ HEADLINE = [
     "dedup_simhash",
     "variant_props_extract",
     "stateful_user_totals",
+    # Bloom-prefiltered contamination scan: broadcast bitset, map-side
+    # candidate cut, exact verify join
+    "decontamination_bloom",
 ]
 
 

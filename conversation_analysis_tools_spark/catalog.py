@@ -89,9 +89,16 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
 
     Pins the session timezone to UTC on every load: the driver's
     SparkSession (not built by our factory) must bucket timestamps
-    identically to the DuckDB oracle.
+    identically to the DuckDB oracle. Same chokepoint pins the
+    InferFiltersFromGenerate exclusion (see session.py for why) so
+    driver-owned sessions get the plan fix too; both sets are
+    idempotent constants, not toggled state.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"

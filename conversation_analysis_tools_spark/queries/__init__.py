@@ -136,6 +136,9 @@ VERIFY_PRIORITY: list[str] = [
     # semantics; TWS path import-gated on protobuf)
     "variant_props_extract",
     "stateful_user_totals",
+    # Bloom-prefiltered contamination scan (operators/bloom.py) --
+    # exact result (verify join removes FPs), strict oracle
+    "decontamination_bloom",
     # --- regression cover: round-1 fixes (r2-green; fill remaining
     # slots, overflow past 50 harmlessly falls out of the window) ---
     "conditional_agg",

@@ -58,6 +58,19 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # InferFiltersFromGenerate copies the ENTIRE generator child
+        # expression into an inferred size()>0 filter that predicate
+        # pushdown then sinks below projections and exchanges -- for
+        # our explode(regexp/shingle/minhash(...)) chains the heavy
+        # expression is then evaluated twice per row, the second time
+        # below the parallelizing repartition (measured 2.1x wall on
+        # the shingle path, 5 regexp evals per row in the pushed
+        # filter). The rule only ever prunes empty arrays, which our
+        # generators produce rarely; excluding it is strictly better
+        # for this workload.
+        "spark.sql.optimizer.excludedRules": (
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+        ),
         # --- Python boundary: Arrow batches, never per-row pickling ---
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "classifier_accuracy_cert",  # broadcast eval split stats
     "decontamination_check",  # broadcast eval-set fingerprints
     "decontamination_minhash",  # broadcast eval band table
+    "decontamination_bloom",  # broadcast 1-row 32 KiB Bloom bitset (bloom.py)
 }
 
 
