@@ -571,7 +571,13 @@ def substring_span_stats(
             lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i + 1, width)).cast("binary")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    spans = toks.select(F.col(id_col), F.explode(span_hashes).alias("span_hash"))
+    # three consumers (distinct-doc counts, per-doc totals, dup join)
+    # and no exchange reuse across them -- persist or the width-token
+    # md5 window expansion runs three times (measured, same shape as
+    # the simhash signature reuse)
+    spans = track(
+        toks.select(F.col(id_col), F.explode(span_hashes).alias("span_hash"))
+    )
 
     # distinct (doc, span) first so a span repeated WITHIN one doc
     # counts that doc once; count(*) over the distinct set == distinct
