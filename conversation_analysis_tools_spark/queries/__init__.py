@@ -126,8 +126,6 @@ VERIFY_PRIORITY: list[str] = [
     "classifier_accuracy_cert",
     "pca_fixed_projection",
     "semdedup_fixed",
-    # event_response_time perf-regression chase: keep correctness pinned
-    "event_response_time",
     # flagship regression cover -- composes duplicate_pairs, so it
     # re-verifies the norms-broadcast fix end-to-end
     "pipeline_analysis_results",
@@ -139,6 +137,13 @@ VERIFY_PRIORITY: list[str] = [
     # Bloom-prefiltered contamination scan (operators/bloom.py) --
     # exact result (verify join removes FPs), strict oracle
     "decontamination_bloom",
+    # --- below this line = slots 51+: OUTSIDE the driver's 50-row
+    # window, listed for round-4 promotion order ---
+    # event_response_time: r1-green, code unchanged; perf chase closed
+    # (BENCH shows 0.6s, the r2 1.3s reading was box contention).
+    # Rotated out to give the new Bloom operator its first driver row;
+    # r1 age makes it a MUST-promote in round 4 under the cadence rule.
+    "event_response_time",
     # --- regression cover: round-1 fixes (r2-green; fill remaining
     # slots, overflow past 50 harmlessly falls out of the window) ---
     "conditional_agg",
