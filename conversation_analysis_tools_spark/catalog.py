@@ -95,10 +95,13 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
     idempotent constants, not toggled state.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    _infer = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    if _infer not in current:  # append, never clobber a session's own list
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            f"{current},{_infer}" if current else _infer,
+        )
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"

@@ -113,9 +113,15 @@ def bloom_prefilter(
     ``build[build_col]`` (no false negatives; FP rate set by m/k).
 
     The bitset rides in as a broadcast single-row cross join -- a
-    constant-size side channel, never a shuffle of ``probe``.
+    constant-size side channel, never a shuffle of ``probe``. The
+    bitset column uses a collision-proof internal name so a probe
+    relation with its own ``bits`` column is untouched.
     """
-    bloom = build_bloom(build, build_col, m_bits, k)
-    return probe.crossJoin(F.broadcast(bloom)).where(
-        might_contain(F.col("bits"), F.col(probe_col), m_bits, k)
-    ).drop("bits")
+    bloom = build_bloom(build, build_col, m_bits, k).select(
+        F.col("bits").alias("__bloom_bits")
+    )
+    return (
+        probe.crossJoin(F.broadcast(bloom))
+        .where(might_contain(F.col("__bloom_bits"), F.col(probe_col), m_bits, k))
+        .drop("__bloom_bits")
+    )

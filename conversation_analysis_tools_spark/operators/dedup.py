@@ -342,11 +342,6 @@ SIMHASH_BLOCK_BITS = SIMHASH_BITS // 4
 SIMHASH_BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
 
 
-def _hex_val(c):
-    """Hex digit char -> 0..15 (base conversion; engine-portable)."""
-    return F.conv(c, 16, 10).cast("int")
-
-
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash over token multiset, md5-derived bit projections.
 

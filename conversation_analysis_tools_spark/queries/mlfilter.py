@@ -67,19 +67,26 @@ def _labeled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     brittle as a training signal: one corpus-wide-false rule (e.g. a
     corpus with no English stop words, like the synthetic testdata)
     makes every label identical and L-BFGS degenerates to the base
-    rate. The rule-count median split stays ~balanced whenever ANY
-    rule has variance, on any corpus. The median is one driver-side
-    scalar (exact percentile over the bounded flags frame).
+    rate. The rule-count over ALL SIX rules stays ~balanced whenever
+    any rule has variance, on any corpus. The median is one
+    driver-side scalar (exact percentile over the bounded, persisted
+    score frame -- the regex-heavy Gopher metrics run once, not once
+    per consumer).
     """
+    from conversation_analysis_tools_spark.operators.cache import track
+    from conversation_analysis_tools_spark.queries.textstats import gopher_metrics
+
     docs = _catalog_table(spark, "documents", sf_dir)
-    g = REGISTRY["gopher_quality_flags"].fn(spark, sf_dir)
+    g = gopher_metrics(docs)
     score = (
         F.col("n_words").between(50, 100000).cast("int")
         + F.col("mean_word_len").between(3, 10).cast("int")
         + (F.col("alpha_frac") >= 0.8).cast("int")
         + (F.col("n_stops") >= 2).cast("int")
+        + (F.col("bullet_frac") <= 0.9).cast("int")
+        + (F.col("ellipsis_frac") <= 0.3).cast("int")
     )
-    scores = g.select("doc_id", score.alias("score"))
+    scores = track(g.select("doc_id", score.alias("score")))
     med = scores.agg(F.expr("percentile(score, 0.5)")).first()[0]
     flags = scores.select(
         "doc_id", (F.col("score") >= F.lit(med)).cast("double").alias("label")

@@ -682,6 +682,51 @@ def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def gopher_metrics(docs: DataFrame) -> DataFrame:
+    """All six Gopher rule metrics per doc (Rae et al. 2021): word
+    count, mean word length, alphabetic-word fraction, distinct stop
+    words, bullet-line fraction, ellipsis-line fraction. Map-only
+    column expressions; shared by the gate query and the distilled
+    classifier's teacher score (queries/mlfilter.py)."""
+    words = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    lines = F.split(F.col("text"), "\n")
+    feats = docs.select("doc_id", words.alias("words"), lines.alias("lines"))
+    n_words = F.size("words")
+    n_lines = F.size("lines")
+    mean_len = F.round(
+        F.aggregate(
+            F.transform("words", lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        )
+        * 1.0
+        / n_words,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("words", lambda w: w.rlike("[a-zA-Z]"))) * 1.0 / n_words, 4
+    )
+    n_stops = F.size(
+        F.array_intersect(
+            F.transform("words", lambda w: F.lower(w)),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    )
+    bullet_frac = F.round(
+        F.size(F.filter("lines", lambda l: l.rlike(r"^\s*[-*]"))) * 1.0 / n_lines, 4
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter("lines", lambda l: l.like("%..."))) * 1.0 / n_lines, 4
+    )
+    return feats.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stops.cast("bigint").alias("n_stops"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+    )
+
+
 @register(
     "gopher_quality_flags",
     oracle=rf"""
@@ -724,44 +769,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     always-first 100 TB curation filter. Whitespace words here, not
     the [a-z]{3,} analysis tokenizer: the rules gate raw surface text.
     """
-    docs = _docs(spark, sf_dir)
-    words = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
-    lines = F.split(F.col("text"), "\n")
-    feats = docs.select("doc_id", words.alias("words"), lines.alias("lines"))
-    n_words = F.size("words")
-    n_lines = F.size("lines")
-    mean_len = F.round(
-        F.aggregate(
-            F.transform("words", lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
-        )
-        * 1.0
-        / n_words,
-        4,
-    )
-    alpha_frac = F.round(
-        F.size(F.filter("words", lambda w: w.rlike("[a-zA-Z]"))) * 1.0 / n_words, 4
-    )
-    n_stops = F.size(
-        F.array_intersect(
-            F.transform("words", lambda w: F.lower(w)),
-            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
-        )
-    )
-    bullet_frac = F.round(
-        F.size(F.filter("lines", lambda l: l.rlike(r"^\s*[-*]"))) * 1.0 / n_lines, 4
-    )
-    ellipsis_frac = F.round(
-        F.size(F.filter("lines", lambda l: l.like("%..."))) * 1.0 / n_lines, 4
-    )
-    m = feats.select(
-        "doc_id",
-        n_words.cast("bigint").alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha_frac.alias("alpha_frac"),
-        n_stops.cast("bigint").alias("n_stops"),
-        bullet_frac.alias("bullet_frac"),
-        ellipsis_frac.alias("ellipsis_frac"),
-    )
+    m = gopher_metrics(_docs(spark, sf_dir))
     return m.select(
         "doc_id",
         "n_words",
