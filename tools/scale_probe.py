@@ -53,11 +53,18 @@ SWEEP = [
     ("dedup_minhash_lsh", "banded LSH bucket join"),
     ("ann_lsh_knn", "multi-table LSH bucket equi-join"),
     ("curation_pipeline", "chained quality gates, map-heavy"),
+    ("decontamination_bloom", "broadcast Bloom bitset + exact verify join"),
+    ("dedup_substring_spans", "span-hash expansion, persisted 3-consumer reuse"),
 ]
 
 #: Pair-generating operators run on the replicated corpus; these are
 #: the ones whose naive plan is O(n^2).
-BIG = ["nlp_duplicate_pairs", "dedup_minhash_lsh", "dedup_simhash"]
+BIG = [
+    "nlp_duplicate_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "decontamination_bloom",
+]
 
 
 def best_of(fn, n: int = 2) -> float:
