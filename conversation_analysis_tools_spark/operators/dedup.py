@@ -601,6 +601,82 @@ def substring_span_stats(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Cut cross-document duplicated spans OUT of each document (the
+    transformation half of Lee et al. 2022's exact substring dedup --
+    ``substring_span_stats`` is the measurement half).
+
+    A token position is removed iff it is covered by at least one
+    width-token window whose hash also occurs in >= 1 OTHER document.
+    Output is the token-level cleaned text (lowercase analysis-token
+    stream -- span dedup operates on token sequences, not surface
+    bytes): (id, n_tokens, n_removed, cleaned_text).
+
+    Plan: posexplode keeps each span's start index; ONE shuffle on
+    span_hash marks cross-doc hashes; dup starts come back as a
+    per-doc sorted array (bounded by doc length); the coverage test
+    and text rebuild are then row-local higher-order functions --
+    no further shuffle, no UDF. At 100 TB the heavy relation is the
+    span table, same footprint as the stats operator.
+    """
+    from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
+
+    toks_df = track(
+        df.select(F.col(id_col), raw_tokens_expr(text_col).alias("_toks"))
+    )
+    arr = F.col("_toks")
+    span_hashes = F.when(
+        F.size(arr) >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - F.lit(width)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i + 1, width)).cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = track(
+        toks_df.select(F.col(id_col), F.posexplode(span_hashes).alias("s", "span_hash"))
+    )
+
+    cross_doc = (
+        spans.select(id_col, "span_hash")
+        .distinct()
+        .groupBy("span_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("span_hash")
+    )
+    dup_starts = (
+        spans.join(cross_doc, "span_hash", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("s")).alias("_starts"))
+    )
+
+    out = toks_df.join(dup_starts, id_col, "left")
+    starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    # sequence(0, -1) DESCENDS in Spark -- guard the token-less doc
+    kept = F.when(
+        F.size(arr) > 0,
+        F.filter(
+            F.sequence(F.lit(0), F.size(arr) - F.lit(1)),
+            lambda t: ~F.exists(
+                starts, lambda s: (s <= t) & (t < s + F.lit(width))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return out.select(
+        F.col(id_col),
+        F.size(arr).cast("bigint").alias("n_tokens"),
+        (F.size(arr) - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda t: F.element_at(arr, t + F.lit(1)))
+        ).alias("cleaned_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup: cluster-bucketed semantic dedup
 # ---------------------------------------------------------------------------

@@ -88,6 +88,8 @@ VERIFY_PRIORITY: list[str] = [
     "corpus_length_percentiles",
     # dedup tail
     "dedup_substring_spans",
+    # NEW round-3: the transformation half of Lee et al. span dedup
+    "dedup_span_removal",
     "near_dup_canonicalize",
     "dedup_edit_distance",
     "decontamination_minhash",
@@ -125,7 +127,6 @@ VERIFY_PRIORITY: list[str] = [
     "kmeans_fixed_clusters",
     "classifier_accuracy_cert",
     "pca_fixed_projection",
-    "semdedup_fixed",
     # flagship regression cover -- composes duplicate_pairs, so it
     # re-verifies the norms-broadcast fix end-to-end
     "pipeline_analysis_results",
@@ -144,6 +145,9 @@ VERIFY_PRIORITY: list[str] = [
     # Rotated out to give the new Bloom operator its first driver row;
     # r1 age makes it a MUST-promote in round 4 under the cadence rule.
     "event_response_time",
+    # semdedup_fixed: displaced by dedup_span_removal; both SemDeDup
+    # variants stay pytest-pinned -- promote in round 4.
+    "semdedup_fixed",
     # --- regression cover: round-1 fixes (r2-green; fill remaining
     # slots, overflow past 50 harmlessly falls out of the window) ---
     "conditional_agg",

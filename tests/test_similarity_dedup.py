@@ -264,3 +264,28 @@ def test_simhash_banding_is_exact_pigeonhole(spark):
     }
     assert banded == brute
     assert brute, "corpus produced no near-dup pairs; test is vacuous"
+
+
+def test_span_removal_cuts_shared_spans_only(spark):
+    """Planted cross-doc 9-token phrase is fully removed from both
+    carriers; a doc with no shared span is untouched (token-stream
+    identity)."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        (1, f"unique opening words here {shared} and unique closing words there"),
+        (2, f"different lead tokens now {shared} with other trailing content body"),
+        (3, "completely independent document text with no overlap whatsoever present"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.remove_duplicate_spans(docs, width=8).collect()}
+
+    for d in (1, 2):
+        cleaned = out[d]["cleaned_text"]
+        for w in shared.split():
+            assert w not in cleaned.split(), (d, w, cleaned)
+        assert out[d]["n_removed"] >= len(shared.split())
+    # untouched doc: token stream identical to its own tokenization
+    assert out[3]["n_removed"] == 0
+    # cleaned text is the [a-z]{3,} token stream, not surface bytes
+    expected = " ".join(w for w in rows[2][1].split() if len(w) >= 3)
+    assert out[3]["cleaned_text"] == expected
