@@ -141,3 +141,53 @@ def test_inverted_cosine_matches_numpy_reference(spark):
         and any(t in vecs[j] for t in vecs[i])
     }
     assert set(got) == expected_pairs
+
+
+def test_span_removal_matches_reference_python(spark):
+    """remove_duplicate_spans vs a direct Python implementation of the
+    coverage rule on a randomized corpus with planted shared chunks,
+    duplicated whole docs, and token-less edge docs."""
+    from conversation_analysis_tools_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    width = 5
+    rng = random.Random(23)
+    vocab = [f"word{chr(97 + i)}" for i in range(30)]
+    shared_a = [f"chunk{c}" for c in "abcdefg"]  # 7 tokens > width
+    data = []
+    for i in range(40):
+        doc = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if i % 7 == 0:
+            pos = rng.randint(0, len(doc))
+            doc = doc[:pos] + shared_a + doc[pos:]
+        data.append((i, " ".join(doc)))
+    data += [(100, data[3][1]), (101, ""), (102, "ab x y")]  # dup doc, empties
+
+    def py_tokens(t):
+        return re.findall(r"\b[a-z]{3,}\b", t.lower())
+
+    toks = {i: py_tokens(t) for i, t in data}
+    spans = {
+        i: [tuple(tk[s : s + width]) for s in range(max(0, len(tk) - width + 1))]
+        for i, tk in toks.items()
+    }
+    span_docs = {}
+    for i, sp in spans.items():
+        for s in set(sp):
+            span_docs.setdefault(s, set()).add(i)
+    want = {}
+    for i, tk in toks.items():
+        starts = [s for s, sp in enumerate(spans[i]) if len(span_docs[sp]) >= 2]
+        keep = [
+            t for t in range(len(tk)) if not any(s <= t < s + width for s in starts)
+        ]
+        want[i] = (len(tk), len(tk) - len(keep), " ".join(tk[t] for t in keep))
+
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_duplicate_spans(df, width=width).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values()), "no dup spans planted; vacuous"
