@@ -398,6 +398,70 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_recipe_epochs",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n_tokens)::DOUBLE AS tok_total,
+               sum(pow(n_tokens::DOUBLE, 0.3)) AS pow_total
+        FROM per_source
+    )
+    SELECT s.source, s.n_tokens,
+           CAST(floor(3.0 * t.tok_total * pow(s.n_tokens::DOUBLE, 0.3) / t.pow_total) AS BIGINT)
+               AS alloc_tokens,
+           round(floor(3.0 * t.tok_total * pow(s.n_tokens::DOUBLE, 0.3) / t.pow_total)
+                 / s.n_tokens::DOUBLE, 4) AS epochs,
+           round(least(floor(3.0 * t.tok_total * pow(s.n_tokens::DOUBLE, 0.3) / t.pow_total)
+                       / s.n_tokens::DOUBLE, 4.0), 4) AS epochs_capped,
+           CAST(floor(least(floor(3.0 * t.tok_total * pow(s.n_tokens::DOUBLE, 0.3) / t.pow_total)
+                            / s.n_tokens::DOUBLE, 4.0) * s.n_tokens::DOUBLE) AS BIGINT)
+               AS effective_tokens
+    FROM per_source s CROSS JOIN tot t
+    """,
+)
+def data_recipe_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe planner: per-source epoch counts for a training run
+    whose token budget is 3x the corpus (the data-constrained case).
+    Budget shares follow the temperature mixture (p ~ n^0.3); a
+    source's repetition is capped at 4 epochs -- past ~4 epochs
+    repeated data stops substituting for fresh data (Muennighoff et
+    al. 2023, Scaling Data-Constrained Language Models), so
+    effective_tokens < alloc_tokens flags where the recipe needs new
+    sources rather than more sampling.
+
+    Plan: one partial-aggregated groupBy(source) + a broadcast 1-row
+    total; all arithmetic (floor/least on doubles) is engine-portable.
+    """
+    docs = _docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.ceil(F.length("text") / 4.0).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("tok_total"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), 0.3)).alias("pow_total"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    alloc = F.floor(
+        F.lit(3.0) * F.col("tok_total") * F.pow(nt, 0.3) / F.col("pow_total")
+    )
+    epochs = alloc / nt
+    capped = F.least(epochs, F.lit(4.0))
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        alloc.cast("bigint").alias("alloc_tokens"),
+        F.round(epochs, 4).alias("epochs"),
+        F.round(capped, 4).alias("epochs_capped"),
+        F.floor(capped * nt).cast("bigint").alias("effective_tokens"),
+    )
+
+
+@register(
     "quality_decile_bins",
     oracle=f"""
     WITH feats AS (
