@@ -76,6 +76,13 @@ AUDIT = [
     "variant_props_extract",
     "dedup_simhash",
     "stateful_user_totals",
+    # round-3 late additions: the Bloom probe must show the bitset as a
+    # BroadcastNestedLoopJoin of ONE row (no shuffle of train shingles
+    # before the filter); span removal = one span_hash shuffle, then
+    # row-local rebuild
+    "decontamination_bloom",
+    "dedup_span_removal",
+    "data_recipe_epochs",
 ]
 
 
