@@ -143,7 +143,10 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     md5-as-permutation: lexicographic min over the hex digest is a
     uniform min-hash; identical in any engine. One groupBy -- all 16
-    mins partial-aggregate map-side.
+    mins partial-aggregate map-side. Engine-internal consumers use
+    :func:`minhash_signatures_from_arrays` (same values, zero
+    shuffle); this long-format form remains the public API for
+    callers that already hold an exploded (id, shingle) relation.
     """
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(
@@ -152,6 +155,26 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for i in range(N_HASHES)
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_from_arrays(arrs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """k=16 MinHash signature per doc, computed ROW-LOCALLY from the
+    per-doc shingle array: h_i = array_min over md5('i:' || shingle).
+
+    Same values as :func:`minhash_signatures` (pinned by the LSH
+    oracle) with zero shuffle -- at 100 TB this removes a full
+    (doc, shingle) exchange from every MinHash consumer. Shingle-less
+    docs are dropped, matching the groupBy form's no-rows contract.
+    """
+    cols = [
+        F.array_min(
+            F.transform(
+                "sh_arr", lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary"))
+            )
+        ).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return arrs.where(F.size("sh_arr") > 0).select(F.col(id_col), *cols)
 
 
 def lsh_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -228,8 +251,11 @@ def minhash_dedup_pairs(
     """MinHash LSH candidates -> exact-Jaccard verified pairs."""
     # persist: the array table feeds signatures AND the verify joins
     arrs = track(shingle_arrays(df, id_col, text_col))
-    sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
-    cands = minhash_candidates(lsh_bands(minhash_signatures(sh, id_col), id_col), id_col, max_bucket)
+    cands = minhash_candidates(
+        lsh_bands(minhash_signatures_from_arrays(arrs, id_col), id_col),
+        id_col,
+        max_bucket,
+    )
     return jaccard_verify(cands, arrs, threshold, id_col)
 
 
@@ -248,18 +274,16 @@ def cross_corpus_minhash_pairs(
 
     Scale shape: benchmark/eval corpora are tiny next to a 100 TB
     train corpus, so the eval band table is broadcast -- the train
-    side is scanned once to build signatures and the candidate join
-    is map-side, no train-side shuffle beyond the signature groupBy.
-    Returns (eval_id, train_id, jaccard).
+    side is scanned ONCE to build its signatures row-locally (array
+    MinHash, no shuffle at all on the train side before the map-side
+    candidate join). Returns (eval_id, train_id, jaccard).
     """
     e_arrs = track(shingle_arrays(eval_df, id_col, text_col))
     t_arrs = track(shingle_arrays(train_df, id_col, text_col))
-    e_sh = e_arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
-    t_sh = t_arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
-    e_bands = lsh_bands(minhash_signatures(e_sh, id_col), id_col).select(
+    e_bands = lsh_bands(minhash_signatures_from_arrays(e_arrs, id_col), id_col).select(
         F.col(id_col).alias("eval_id"), "band", "key"
     )
-    t_bands = lsh_bands(minhash_signatures(t_sh, id_col), id_col).select(
+    t_bands = lsh_bands(minhash_signatures_from_arrays(t_arrs, id_col), id_col).select(
         F.col(id_col).alias("train_id"), "band", "key"
     )
     cands = (
@@ -308,8 +332,10 @@ def edit_distance_pairs(
     rejects. F.levenshtein runs JVM-side inside codegen -- no Python
     in the loop. Returns (id1, id2, edit_sim).
     """
-    sh = shingles(df, id_col, text_col)
-    cands = minhash_candidates(lsh_bands(minhash_signatures(sh, id_col), id_col), id_col)
+    arrs = shingle_arrays(df, id_col, text_col)
+    cands = minhash_candidates(
+        lsh_bands(minhash_signatures_from_arrays(arrs, id_col), id_col), id_col
+    )
     t = df.select(F.col(id_col), F.substring(F.col(text_col), 1, max_chars).alias("_t"))
     t1 = t.select(F.col(id_col).alias("id1"), F.col("_t").alias("t1"))
     t2 = t.select(F.col(id_col).alias("id2"), F.col("_t").alias("t2"))
