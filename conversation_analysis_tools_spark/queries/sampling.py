@@ -74,6 +74,48 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", split.alias("split"))
 
 
+@register(
+    "shard_manifest",
+    oracle="""
+    SELECT CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+               AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end shard-writer check: write the corpus as 16
+    md5-bucketed training shards (sources/sinks.write_training_shards,
+    partitionBy one-pass write), read the shard directory BACK, and
+    emit the per-shard manifest (doc/token counts, id range). The
+    oracle recomputes the manifest straight from the source table with
+    the same hex-digit shard function -- a mismatch means the write
+    path dropped, duplicated, or misrouted rows. Staging is the
+    deterministic per-sf_dir dir (bounded disk, same policy as
+    partition_pruned_scan)."""
+    from conversation_analysis_tools_spark.catalog import staging_dir
+    from conversation_analysis_tools_spark.sources.sinks import write_training_shards
+
+    docs = _docs(spark, sf_dir)
+    out = staging_dir("training_shards", sf_dir)
+    write_training_shards(docs, out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.ceil(F.length("text") / 4.0).cast("bigint")).alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-source mixture sampling
 # ---------------------------------------------------------------------------

@@ -43,6 +43,33 @@ def write_json_nested(messages: DataFrame, conversations: DataFrame, path: str) 
     nested.write.mode("overwrite").json(path)
 
 
+def write_training_shards(
+    docs: DataFrame, path: str, id_col: str = "doc_id", n_shards: int = 16
+) -> None:
+    """Training-shard writer: deterministic md5-bucket shard
+    assignment, one parquet directory per shard (``shard=K/``).
+
+    The shard function is the first md5 hex digit of the id (16
+    shards) -- content-addressed like hash_split, so re-runs and
+    incremental appends land every doc in the same shard, and a
+    training job reads any subset of shards as a reproducible sample.
+    ``partitionBy`` writes all shards in ONE pass (no per-shard
+    filter-and-write loop); at 100 TB the same call fans out to
+    shard-partitioned object-store prefixes. Readers get directory
+    pruning on the shard column for free.
+    """
+    shard = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 1), 16, 10
+    ).cast("bigint")
+    (
+        docs.withColumn("shard", shard % n_shards)
+        .repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 _SAFE_NAME = re.compile(r"[^A-Za-z0-9_-]+")
 
 
