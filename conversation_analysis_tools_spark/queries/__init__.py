@@ -138,37 +138,82 @@ VERIFY_PRIORITY: list[str] = [
     # Bloom-prefiltered contamination scan (operators/bloom.py) --
     # exact result (verify join removes FPs), strict oracle
     "decontamination_bloom",
-    # --- below this line = slots 51+: OUTSIDE the driver's 50-row
-    # window, listed for round-4 promotion order ---
-    # event_response_time: r1-green, code unchanged; perf chase closed
-    # (BENCH shows 0.6s, the r2 1.3s reading was box contention).
-    # Rotated out to give the new Bloom operator its first driver row;
-    # r1 age makes it a MUST-promote in round 4 under the cadence rule.
-    "event_response_time",
-    # semdedup_fixed: displaced by dedup_span_removal; both SemDeDup
-    # variants stay pytest-pinned -- promote in round 4.
-    "semdedup_fixed",
-    # --- regression cover: round-1 fixes (r2-green; fill remaining
-    # slots, overflow past 50 harmlessly falls out of the window) ---
-    "conditional_agg",
-    "length_stats",
-    "pivot_counts",
-    "json_metadata_agg",
-    "multi_key_sort",
-    "context_window_frame",
+    # Slots beyond this list are AUTO-RANKED by ordered_registry():
+    # never-checked oracled queries first, then oldest-green by the
+    # CORRECTNESS_r*.json ages, so future rounds need no manual
+    # rotation edits here -- only this round's NEW/CHANGED queries
+    # belong in this list. (event_response_time r1-green and
+    # semdedup_fixed never-checked were manual entries through r3;
+    # the age ranking now places them.)
 ]
 
 
+def _driver_history() -> dict[str, int]:
+    """query name -> latest round with a green driver row, parsed from
+    the CORRECTNESS_r*.json files the driver leaves in the repo root.
+    Empty dict when none exist (round 1) or on any parse problem."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:  # noqa: BLE001 -- a malformed file must not break import
+            continue
+        for name, row in rows.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                latest[name] = max(rnd, latest.get(name, 0))
+    return latest
+
+
 def ordered_registry() -> dict[str, Query]:
-    """REGISTRY reordered so VERIFY_PRIORITY occupies the driver's
-    correctness window; unknown/future names are skipped gracefully."""
+    """REGISTRY reordered so the driver's 50-row correctness window
+    always holds the highest-value queries, with NO manual rotation
+    needed in future rounds:
+
+    1. VERIFY_PRIORITY (manual override: this round's new/changed
+       queries and curated promotions), in order;
+    2. oracled queries with NO green driver row in any recorded round
+       (never-checked);
+    3. oracled queries by ASCENDING last-green round (the cadence
+       rule: a row must never age past 2 rounds);
+    4. everything else (rows-only queries, freshest-green last).
+
+    Ages come from the CORRECTNESS_r*.json files the driver writes
+    into the repo root, so each new round's results automatically
+    re-rank the next round's window.
+    """
+    history = _driver_history()
     out: dict[str, Query] = {}
     for name in VERIFY_PRIORITY:
         if name in REGISTRY:
             out[name] = REGISTRY[name]
-    for name, q in REGISTRY.items():
-        if name not in out:
-            out[name] = q
+    rest = [n for n in REGISTRY if n not in out]
+    # stable sort: never-checked oracled first (age 0), then oldest
+    # green, then rows-only; registration order breaks ties
+    def age_key(name: str) -> tuple[int, int]:
+        has_oracle = REGISTRY[name].oracle is not None
+        last = history.get(name, 0)
+        return (0 if has_oracle else 1, last)
+
+    for name in sorted(rest, key=age_key):
+        out[name] = REGISTRY[name]
     return out
 
 

@@ -49,3 +49,26 @@ def test_dq_audit_clean_tables(spark):
         "orders_orphan_custkey",
     }
     assert all(v == 0 for v in rows.values()), rows
+
+
+def test_verification_window_auto_ranking():
+    """ordered_registry: manual VERIFY_PRIORITY first, then oracled
+    never-checked, then oldest-green ascending, rows-only last among
+    the rest -- future rounds rotate with no manual edits."""
+    from conversation_analysis_tools_spark.queries import (
+        REGISTRY,
+        VERIFY_PRIORITY,
+        _driver_history,
+        ordered_registry,
+    )
+
+    history = _driver_history()
+    order = list(ordered_registry())
+    manual = [n for n in VERIFY_PRIORITY if n in REGISTRY]
+    assert order[: len(manual)] == manual
+    rest = order[len(manual) :]
+    keys = [
+        (0 if REGISTRY[n].oracle is not None else 1, history.get(n, 0)) for n in rest
+    ]
+    assert keys == sorted(keys), "auto-ranked tail is not age-ordered"
+    assert set(order) == set(REGISTRY), "ordering must be a permutation"
