@@ -622,7 +622,11 @@ def substring_span_stats(
         .groupBy("span_hash")
         .agg(F.count("*").alias("n_docs"))
     )
-    per_doc = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    # span count is arithmetic on the token count -- no groupBy over
+    # the exploded spans, no hash evaluation
+    per_doc = toks.select(
+        F.col(id_col), (F.size(arr) - F.lit(width - 1)).alias("n_spans")
+    ).where(F.col("n_spans") > 0)
     dup_per_doc = (
         spans.join(hash_ndocs.where(F.col("n_docs") >= 2), "span_hash")
         .groupBy(id_col)
