@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "hybrid_rrf",  # composes bm25
     "semantic_search_topk",  # broadcast single query vector
     "temperature_mixture",  # broadcast 1-row totals (sampling.py:390)
+    "data_recipe_epochs",  # broadcast the same 1-row totals frame
     "source_mixing_sample",  # broadcast per-source quota frame
     "dsir_importance",  # broadcast hashed-bucket LM tables
     "classifier_accuracy_cert",  # broadcast eval split stats
