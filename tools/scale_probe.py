@@ -64,6 +64,7 @@ BIG = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "decontamination_bloom",
+    "dedup_span_removal",
 ]
 
 
