@@ -126,7 +126,10 @@ VERIFY_PRIORITY: list[str] = [
     "pagerank_fixed",
     "kmeans_fixed_clusters",
     "classifier_accuracy_cert",
-    "pca_fixed_projection",
+    # NEW round-3: planted-replica detection-recall certificate for
+    # the near-dup family (displaces pca_fixed_projection, which the
+    # age ranking auto-promotes in round 4)
+    "dedup_recall_eval",
     # flagship regression cover -- composes duplicate_pairs, so it
     # re-verifies the norms-broadcast fix end-to-end
     "pipeline_analysis_results",
