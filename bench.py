@@ -66,6 +66,8 @@ HEADLINE = [
     # Bloom-prefiltered contamination scan: broadcast bitset, map-side
     # candidate cut, exact verify join
     "decontamination_bloom",
+    # span-level exact-substring dedup transformation (Lee et al. 2022)
+    "dedup_span_removal",
 ]
 
 
