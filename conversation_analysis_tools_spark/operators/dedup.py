@@ -849,3 +849,81 @@ def semdedup_prune(
         "component",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate line removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    pages: DataFrame,
+    max_df: int = 5,
+    id_col: str = "doc_id",
+    page_col: str = "page",
+) -> DataFrame:
+    """Line-grain cross-document dedup (Wenzek et al. 2019 CCNet; the
+    RefinedWeb/C4 "seen-before" rule): hash every normalized line,
+    count how many DISTINCT documents each hash appears in, and drop
+    lines whose document frequency reaches ``max_df`` -- navbars,
+    cookie banners, newsletter prompts survive per-doc rules
+    (c4_line_clean) but never a corpus-frequency cut.
+
+    Differs from dedup_span_removal (token-window grain, pairwise
+    duplicated spans) in both grain and algorithm: this is a GLOBAL
+    frequency cut, one number per line hash, no pair enumeration.
+
+    Plan shape (scale notes):
+    - explode lines map-side; normalized md5 keys (cross-engine
+      portable, so the oracle reproduces the exact candidate set);
+    - one hash-keyed groupBy for distinct-doc counts -- map-combined
+      after the (doc, hash) distinct;
+    - boilerplate hashes (df >= max_df) are a *left-anti* join back on
+      the same line_hash key, so Catalyst reuses the aggregation's
+      partitioning and nothing O(corpus) is broadcast or collected.
+      The universal-boilerplate key is the skew case: AQE skew-join
+      splits it (the anti side carries no payload beyond the hash).
+    - one final groupBy(id) rebuilds the page with array_sort over
+      (pos, line) structs -- order survives the shuffle by
+      construction, never by accident (the write_json_nested lesson).
+
+    Returns (id, n_lines, n_kept, cleaned).
+    """
+    lines = pages.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(page_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_hash", F.md5(F.lower(F.trim(F.col("line")))))
+
+    per_doc_lines = pages.select(
+        F.col(id_col), F.size(F.split(F.col(page_col), "\n")).alias("n_lines")
+    )
+
+    boilerplate = (
+        lines.select(id_col, "line_hash")
+        .distinct()
+        .groupBy("line_hash")
+        .agg(F.count("*").alias("line_df"))
+        .where(F.col("line_df") >= max_df)
+        .select("line_hash")
+    )
+
+    kept = lines.join(boilerplate, "line_hash", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+    return (
+        per_doc_lines.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+    )
