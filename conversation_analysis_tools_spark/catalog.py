@@ -115,11 +115,16 @@ def staging_dir(kind: str, sf_dir: str) -> str:
     copy, streaming source staging) must NOT mkdtemp() per invocation
     -- repeated bench/verify loops would accumulate unbounded temp
     disk. A deterministic path + overwrite semantics bounds usage to
-    one copy per layout kind."""
+    one copy per layout kind. Rooted on the same RAM-backed scratch
+    the session uses for shuffle files when available (staged layouts
+    at test SF are MBs; /tmp on the harness box is iowait-bound)."""
     import hashlib
 
+    from conversation_analysis_tools_spark.session import _local_scratch
+
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    d = os.path.join("/tmp", "cats_staging", f"{kind}_{key}")
+    root = _local_scratch() or "/tmp"
+    d = os.path.join(root, "cats_staging", f"{kind}_{key}")
     os.makedirs(d, exist_ok=True)
     return d
 

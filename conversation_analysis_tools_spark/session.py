@@ -23,6 +23,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_scratch() -> str | None:
+    """RAM-backed scratch root for LOCAL-mode runs, or None.
+
+    Shuffle blocks, spills, broadcast files, and temporary streaming
+    checkpoints are pure scratch: losing them loses nothing durable.
+    On the local harness box /tmp sits on a virtio disk whose iowait
+    dominates shuffle-heavy queries, while /dev/shm is an idle
+    RAM-backed tmpfs -- so local mode points scratch there when the
+    mount exists and is writable. Cluster deployments never take this
+    path (non-local master): scratch placement there belongs to the
+    cluster config (SSD-backed ``spark.local.dir`` per node / DFS
+    checkpoints)."""
+    d = "/dev/shm/cats-spark-scratch"
+    try:
+        os.makedirs(d, exist_ok=True)
+        probe = os.path.join(d, ".probe")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+        return d
+    except OSError:
+        return None
+
+
 def get_spark(
     app_name: str = "conversation-analysis-tools-spark",
     master: str | None = None,
@@ -80,6 +104,17 @@ def get_spark(
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
     }
+    if master is not None and master.startswith("local"):
+        scratch = _local_scratch()
+        if scratch:
+            local_dir = os.path.join(scratch, "local")
+            tmp_dir = os.path.join(scratch, "tmp")
+            os.makedirs(local_dir, exist_ok=True)
+            os.makedirs(tmp_dir, exist_ok=True)
+            conf["spark.local.dir"] = local_dir
+            # temporary streaming checkpoints (memory-sink drains) are
+            # created under java.io.tmpdir and auto-deleted on stop
+            conf["spark.driver.extraJavaOptions"] = f"-Djava.io.tmpdir={tmp_dir}"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
