@@ -137,23 +137,59 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
+#: Double-hashing modulus (Mersenne prime 2^31 - 1). All arithmetic
+#: below stays under 2^35 -- safe in ANSI BIGINT on both engines.
+MINHASH_P = 2_147_483_647
+
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """k=16 MinHash signature per doc: h_i = min(md5('i:' || shingle)).
+    """k=16 MinHash signature per doc via ONE md5 per shingle +
+    Kirsch-Mitzenmacher double hashing:
 
-    md5-as-permutation: lexicographic min over the hex digest is a
-    uniform min-hash; identical in any engine. One groupBy -- all 16
-    mins partial-aggregate map-side, so the exchange carries one
-    signature row per doc. :func:`minhash_signatures_from_arrays`
-    wraps this form for callers holding per-doc shingle arrays.
+        d    = md5(shingle)                 (one digest, 32 hex chars)
+        u    = int(d[0:15], 16)             (60-bit)
+        v    = int(d[15:30], 16)            (60-bit, disjoint digits)
+        h_i  = (u mod P + i * (v mod (P-1) + 1)) mod P,  P = 2^31-1
+
+    Kirsch & Mitzenmacher 2006: two independent draws compose into k
+    pairwise-independent permutations, so min over h_i is a valid
+    MinHash family. The previous form hashed every shingle 16 times
+    (md5('i:' || shingle) per hash function) -- 16x the digest work on
+    what is the dominant compute of every dedup consumer at corpus
+    scale. The +1 on the step keeps v mod (P-1) + 1 in [1, P-1],
+    never 0, so the k probes are always distinct.
+
+    Engine-portable: md5 + integer ops only (the DuckDB oracle parses
+    the same hex digits digit-at-a-time). One groupBy -- all 16 mins
+    partial-aggregate map-side, so the exchange carries one 16-int
+    signature row per doc (vs 16 hex strings before: 4x smaller).
+    :func:`minhash_signatures_from_arrays` wraps this form for
+    callers holding per-doc shingle arrays.
     """
+    digested = sh.select(
+        F.col(id_col), F.md5(F.col("shingle").cast("binary")).alias("_d")
+    )
+    based = digested.select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring("_d", 1, 15), 16, 10).cast("bigint"),
+            F.lit(MINHASH_P),
+        ).alias("_u"),
+        (
+            F.pmod(
+                F.conv(F.substring("_d", 16, 15), 16, 10).cast("bigint"),
+                F.lit(MINHASH_P - 1),
+            )
+            + 1
+        ).alias("_step"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(
-            f"h{i}"
-        )
+        F.min(
+            F.pmod(F.col("_u") + F.lit(i) * F.col("_step"), F.lit(MINHASH_P))
+        ).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return based.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures_from_arrays(arrs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -178,13 +214,20 @@ def minhash_signatures_from_arrays(arrs: DataFrame, id_col: str = "doc_id") -> D
 
 def lsh_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Signature -> (id, band, key): 4 bands x 4 rows, band key =
-    md5 of the concatenated row hashes."""
+    md5 of the ':'-joined row hashes (ints render identically as
+    decimal strings in both engines)."""
     rows_per_band = N_HASHES // N_BANDS
     bands = []
     for b in range(N_BANDS):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols = [
+            F.col(f"h{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
         bands.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols).cast("binary")).alias("key"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(":", *cols).cast("binary")).alias("key"),
+            )
         )
     return sigs.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bk")
