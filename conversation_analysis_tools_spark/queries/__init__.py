@@ -130,9 +130,13 @@ VERIFY_PRIORITY: list[str] = [
     # the near-dup family (displaces pca_fixed_projection, which the
     # age ranking auto-promotes in round 4)
     "dedup_recall_eval",
-    # flagship regression cover -- composes duplicate_pairs, so it
-    # re-verifies the norms-broadcast fix end-to-end
-    "pipeline_analysis_results",
+    # NEW round-3: ingest-time streaming near-dup admission with the
+    # sequential-greedy strict oracle (displaces the flagship
+    # pipeline_analysis_results, r2-green: its duplicate_pairs path is
+    # already re-verified in-window by nlp_duplicate_pairs /
+    # nlp_near_duplicates, and the age ranking re-promotes it next
+    # round)
+    "streaming_neardup_dedup",
     # new this round: VARIANT-typed metadata extraction, and the
     # transformWithState cumulative-totals operator (batch-identical
     # semantics; TWS path import-gated on protobuf)

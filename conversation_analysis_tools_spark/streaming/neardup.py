@@ -1,0 +1,184 @@
+"""Streaming near-duplicate dedup: the ingest-time filter a training
+corpus runs continuously.
+
+Batch dedup (queries/dedup.py) answers "which of these N docs
+duplicate each other"; the ingest problem is different: documents
+arrive over time and each new one must be admitted or dropped AGAINST
+EVERYTHING ALREADY ADMITTED, immediately -- re-clustering the corpus
+per arrival is not an option at 100 TB. The streaming semantics is
+therefore GREEDY BY ARRIVAL ORDER:
+
+    doc d is dropped  iff  some ADMITTED earlier doc e is a verified
+    near-duplicate of d (LSH band collision + exact Jaccard >= t);
+    otherwise d is admitted and future docs dedup against it too.
+
+(Greedy differs from batch component-representative selection --
+near-dup similarity is not transitive -- and greedy IS what an ingest
+service computes; the batch variant is near_dup_canonicalize.)
+
+Mechanics per micro-batch (foreachBatch):
+
+1. shingle + MinHash-sign the batch (operators/dedup.py -- one md5
+   per shingle, map-side partial agg);
+2. LSH-band join batch vs the persistent store's band table -- a
+   distributed equi-join on (band, key), linear in both sides; any
+   batch doc with a store band collision that survives exact-Jaccard
+   verification (shingle arrays ride in the store) is dropped. Store
+   docs all precede the batch in arrival order, so this needs no
+   order bookkeeping;
+3. batch-INTERNAL candidates (band self-join within the batch) are
+   verified the same way, then resolved greedily by doc_id on the
+   driver -- the candidate pair list of one micro-batch is the only
+   thing ever collected, and it is candidate-sized (band collisions),
+   not batch-sized;
+4. admitted docs append their (doc_id, sh_arr) and band rows to the
+   store -- parquet, partitioned by nothing here; at corpus scale the
+   band table would be bucketed by (band, key) so step 2 is a
+   co-located join.
+
+State size is O(admitted corpus) -- that is inherent to exact-verify
+dedup-on-ingest; production trades it down with signature-only
+verification (accept LSH FPs) or TTL'd stores.
+
+The whole fold is deterministic given arrival order, so with a staged
+doc_id-ordered source the result carries a STRICT oracle: DuckDB
+computes the same greedy admission with a sequential recursive CTE
+over the identical (md5-exact) verified candidate pairs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conversation_analysis_tools_spark.operators import dedup as D
+from conversation_analysis_tools_spark.operators.cache import track
+
+
+def _greedy_admit(
+    ids_in_order: list[int], pairs: list[tuple[int, int]]
+) -> set[int]:
+    """Driver-side greedy: admit each id (ascending) unless a verified
+    pair links it to an already-admitted earlier id. ``pairs`` holds
+    (id1, id2) with id1 < id2."""
+    by_later: dict[int, list[int]] = {}
+    for a, b in pairs:
+        by_later.setdefault(b, []).append(a)
+    admitted: set[int] = set()
+    for d in ids_in_order:
+        if not any(e in admitted for e in by_later.get(d, ())):
+            admitted.add(d)
+    return admitted
+
+
+def fold_neardup_batch(
+    batch_df: DataFrame,
+    store_dir: str,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One foreachBatch fold: admit/drop ``batch_df`` against the
+    store, append admitted docs to it. Idempotent replay is the
+    caller's concern (see stream_neardup_dedup: batch_id marker)."""
+    spark = batch_df.sparkSession
+    arrs_path = os.path.join(store_dir, "arrs")
+    bands_path = os.path.join(store_dir, "bands")
+
+    arrs = track(D.shingle_arrays(batch_df.select(id_col, text_col), id_col, text_col))
+    bands = track(
+        D.lsh_bands(D.minhash_signatures_from_arrays(arrs, id_col), id_col)
+    )
+
+    # -- cross: batch vs admitted store ------------------------------
+    if os.path.exists(arrs_path):
+        store_bands = spark.read.parquet(bands_path).select(
+            F.col(id_col).alias("id1"), "band", "key"
+        )
+        cand_cross = (
+            bands.select(F.col(id_col).alias("id2"), "band", "key")
+            .join(store_bands, ["band", "key"])
+            .select("id1", "id2")
+            .distinct()
+        )
+        store_arrs = spark.read.parquet(arrs_path)
+        both = store_arrs.unionByName(arrs)
+        dropped_cross = (
+            D.jaccard_verify(cand_cross, both, threshold, id_col)
+            .select(F.col("id2").alias(id_col))
+            .distinct()
+        )
+        survivors = arrs.join(dropped_cross, id_col, "left_anti")
+    else:
+        survivors = arrs
+
+    # -- internal: batch vs itself, greedy by id ---------------------
+    surv_bands = bands.join(
+        survivors.select(id_col), id_col, "left_semi"
+    )
+    cand_int = D.minhash_candidates(surv_bands, id_col)
+    verified = D.jaccard_verify(cand_int, survivors, threshold, id_col)
+    # the ONLY collect: one micro-batch's verified candidate pairs
+    pairs = [(r["id1"], r["id2"]) for r in verified.select("id1", "id2").collect()]
+    ids = [r[0] for r in survivors.select(id_col).orderBy(id_col).collect()]
+    admitted = _greedy_admit(ids, pairs)
+
+    kept = survivors.where(F.col(id_col).isin(list(admitted)) if admitted else F.lit(False))
+    kept_bands = surv_bands.join(kept.select(id_col), id_col, "left_semi")
+    kept.write.mode("append").parquet(arrs_path)
+    kept_bands.write.mode("append").parquet(bands_path)
+
+
+def stream_neardup_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    threshold: float = 0.2,
+    timeout_sec: int = 240,
+) -> DataFrame:
+    """Drain the staged document stream (one file per micro-batch, in
+    file order) through the near-dup admission fold; returns the
+    admitted doc ids.
+
+    Replay safety: like stream_maintain_rollup, the applied batch_id
+    is recorded next to the store and a replayed foreachBatch id is
+    skipped -- the append-only store is never double-appended."""
+    import json
+
+    from conversation_analysis_tools_spark.streaming.events import scoped_session
+
+    s2 = scoped_session(spark, 8)
+    marker = os.path.join(store_dir, "_applied_batch.json")
+
+    def applied() -> int:
+        if not os.path.exists(marker):
+            return -1
+        with open(marker) as f:
+            return json.load(f)["batch_id"]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= applied():
+            return
+        fold_neardup_batch(batch_df, store_dir, threshold)
+        with open(marker, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+
+    schema = "doc_id bigint, text string"
+    stream = (
+        s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(store_dir, "_ckpt"))
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    return spark.read.parquet(os.path.join(store_dir, "arrs")).select("doc_id")
