@@ -191,3 +191,38 @@ def test_span_removal_matches_reference_python(spark):
     }
     assert got == want
     assert any(v[1] > 0 for v in want.values()), "no dup spans planted; vacuous"
+
+
+def test_minhash_signature_matches_python(spark):
+    """The single-digest double-hashing signature (operators/dedup.py
+    minhash_signatures) against a direct Python replay: one md5 per
+    shingle, u/v = int(hex windows), h_i = (u%P + i*(v%(P-1)+1)) % P,
+    min per doc. Randomized shingle sets including unicode + empties."""
+    import hashlib
+
+    from conversation_analysis_tools_spark.operators import dedup as D
+
+    rng = random.Random(23)
+    rows = []
+    for doc in range(40):
+        for _ in range(rng.randint(1, 12)):
+            sh = "".join(rng.choice(_ALPHABET) for _ in range(rng.randint(1, 30)))
+            rows.append((doc, sh))
+    rows.append((99, "café naïve 中文"))  # non-ascii shingle
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+
+    P = D.MINHASH_P
+    expected: dict[int, list[int]] = {}
+    for doc_id, sh in rows:
+        d = hashlib.md5(sh.encode("utf-8")).hexdigest()
+        u, v = int(d[0:15], 16), int(d[15:30], 16)
+        um, step = u % P, v % (P - 1) + 1
+        hs = [(um + i * step) % P for i in range(D.N_HASHES)]
+        cur = expected.setdefault(doc_id, hs[:])
+        expected[doc_id] = [min(a, b) for a, b in zip(cur, hs)]
+
+    got = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(D.N_HASHES)]
+        for r in D.minhash_signatures(df).collect()
+    }
+    assert got == expected
