@@ -120,12 +120,21 @@ def fold_neardup_batch(
     )
     cand_int = D.minhash_candidates(surv_bands, id_col)
     verified = D.jaccard_verify(cand_int, survivors, threshold, id_col)
-    # the ONLY collect: one micro-batch's verified candidate pairs
+    # the ONLY collect: one micro-batch's verified candidate pairs.
+    # Greedy admission only needs the pair-involved ids (a survivor in
+    # no pair is admitted and blocks nobody), so the local resolution
+    # is candidate-sized, never batch-sized.
     pairs = [(r["id1"], r["id2"]) for r in verified.select("id1", "id2").collect()]
-    ids = [r[0] for r in survivors.select(id_col).orderBy(id_col).collect()]
-    admitted = _greedy_admit(ids, pairs)
+    involved = sorted({i for p in pairs for i in p})
+    dropped_int = set(involved) - _greedy_admit(involved, pairs)
 
-    kept = survivors.where(F.col(id_col).isin(list(admitted)) if admitted else F.lit(False))
+    if dropped_int:
+        drop_df = spark.createDataFrame(
+            [(i,) for i in sorted(dropped_int)], f"{id_col} bigint"
+        )
+        kept = survivors.join(F.broadcast(drop_df), id_col, "left_anti")
+    else:
+        kept = survivors
     kept_bands = surv_bands.join(kept.select(id_col), id_col, "left_semi")
     kept.write.mode("append").parquet(arrs_path)
     kept_bands.write.mode("append").parquet(bands_path)
