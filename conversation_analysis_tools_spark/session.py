@@ -31,10 +31,13 @@ def _local_scratch() -> str | None:
     On the local harness box /tmp sits on a virtio disk whose iowait
     dominates shuffle-heavy queries, while /dev/shm is an idle
     RAM-backed tmpfs -- so local mode points scratch there when the
-    mount exists and is writable. Cluster deployments never take this
-    path (non-local master): scratch placement there belongs to the
-    cluster config (SSD-backed ``spark.local.dir`` per node / DFS
-    checkpoints)."""
+    mount exists, is writable, AND has >= 32 GiB free (tmpfs capacity
+    competes with process memory: a spill-heavy job on a small tmpfs
+    would trade slow-but-finishing for ENOSPC, so a small or crowded
+    /dev/shm falls back to disk scratch). Cluster deployments never
+    take this path (non-local master): scratch placement there
+    belongs to the cluster config (SSD-backed ``spark.local.dir`` per
+    node / DFS checkpoints)."""
     d = "/dev/shm/cats-spark-scratch"
     try:
         os.makedirs(d, exist_ok=True)
@@ -42,6 +45,9 @@ def _local_scratch() -> str | None:
         with open(probe, "w"):
             pass
         os.remove(probe)
+        st = os.statvfs(d)
+        if st.f_bavail * st.f_frsize < 32 * 1024**3:
+            return None
         return d
     except OSError:
         return None

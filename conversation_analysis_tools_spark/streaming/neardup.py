@@ -31,10 +31,12 @@ Mechanics per micro-batch (foreachBatch):
    driver -- the candidate pair list of one micro-batch is the only
    thing ever collected, and it is candidate-sized (band collisions),
    not batch-sized;
-4. admitted docs append their (doc_id, sh_arr) and band rows to the
-   store -- parquet, partitioned by nothing here; at corpus scale the
-   band table would be bucketed by (band, key) so step 2 is a
-   co-located join.
+4. admitted docs write their (doc_id, sh_arr) and band rows into
+   PER-BATCH store subdirectories (``batch=<id>``) -- so a replayed
+   fold OVERWRITES its own output instead of double-appending, which
+   is what makes the at-least-once foreachBatch contract safe here.
+   At corpus scale the band table would additionally be bucketed by
+   (band, key) so step 2 is a co-located join.
 
 State size is O(admitted corpus) -- that is inherent to exact-verify
 dedup-on-ingest; production trades it down with signature-only
@@ -54,7 +56,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from conversation_analysis_tools_spark.operators import dedup as D
-from conversation_analysis_tools_spark.operators.cache import track
 
 
 def _greedy_admit(
@@ -75,69 +76,96 @@ def _greedy_admit(
 
 def fold_neardup_batch(
     batch_df: DataFrame,
+    batch_id: int,
     store_dir: str,
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
     """One foreachBatch fold: admit/drop ``batch_df`` against the
-    store, append admitted docs to it. Idempotent replay is the
-    caller's concern (see stream_neardup_dedup: batch_id marker)."""
+    store, write admitted docs into the batch's own store partition.
+
+    Replay-idempotent BY LAYOUT: outputs land in ``batch=<id>``
+    subdirectories with overwrite semantics, so re-running the same
+    batch (at-least-once foreachBatch, or a crash between the two
+    writes) converges to the same store state instead of appending
+    twice. Inputs are persisted for the fold's several actions and
+    unpersisted before returning -- a continuous stream must not
+    accumulate per-batch cached relations."""
     spark = batch_df.sparkSession
     arrs_path = os.path.join(store_dir, "arrs")
     bands_path = os.path.join(store_dir, "bands")
 
-    arrs = track(D.shingle_arrays(batch_df.select(id_col, text_col), id_col, text_col))
-    bands = track(
-        D.lsh_bands(D.minhash_signatures_from_arrays(arrs, id_col), id_col)
-    )
+    arrs = D.shingle_arrays(
+        batch_df.select(id_col, text_col), id_col, text_col
+    ).persist()
+    bands = D.lsh_bands(D.minhash_signatures_from_arrays(arrs, id_col), id_col)
+    survivors = None
+    try:
+        # -- cross: batch vs admitted store --------------------------
+        # Only partitions from EARLIER batches: a replayed fold must
+        # not dedup the batch against its own previous output (every
+        # doc is a perfect near-dup of itself), and the batch column
+        # partition-prunes, so later/own partitions are never scanned.
+        if os.path.exists(arrs_path):
+            store_bands = (
+                spark.read.parquet(bands_path)
+                .where(F.col("batch") < batch_id)
+                .select(F.col(id_col).alias("id1"), "band", "key")
+            )
+            cand_cross = (
+                bands.select(F.col(id_col).alias("id2"), "band", "key")
+                .join(store_bands, ["band", "key"])
+                .select("id1", "id2")
+                .distinct()
+            )
+            store_arrs = (
+                spark.read.parquet(arrs_path)
+                .where(F.col("batch") < batch_id)
+                .select(id_col, "sh_arr")
+            )
+            both = store_arrs.unionByName(arrs)
+            dropped_cross = (
+                D.jaccard_verify(cand_cross, both, threshold, id_col)
+                .select(F.col("id2").alias(id_col))
+                .distinct()
+            )
+            survivors = arrs.join(dropped_cross, id_col, "left_anti").persist()
+        else:
+            survivors = arrs
 
-    # -- cross: batch vs admitted store ------------------------------
-    if os.path.exists(arrs_path):
-        store_bands = spark.read.parquet(bands_path).select(
-            F.col(id_col).alias("id1"), "band", "key"
-        )
-        cand_cross = (
-            bands.select(F.col(id_col).alias("id2"), "band", "key")
-            .join(store_bands, ["band", "key"])
-            .select("id1", "id2")
-            .distinct()
-        )
-        store_arrs = spark.read.parquet(arrs_path)
-        both = store_arrs.unionByName(arrs)
-        dropped_cross = (
-            D.jaccard_verify(cand_cross, both, threshold, id_col)
-            .select(F.col("id2").alias(id_col))
-            .distinct()
-        )
-        survivors = arrs.join(dropped_cross, id_col, "left_anti")
-    else:
-        survivors = arrs
+        # -- internal: batch vs itself, greedy by id -----------------
+        surv_bands = bands.join(survivors.select(id_col), id_col, "left_semi")
+        cand_int = D.minhash_candidates(surv_bands, id_col)
+        verified = D.jaccard_verify(cand_int, survivors, threshold, id_col)
+        # the ONLY collect: one micro-batch's verified candidate
+        # pairs. Greedy admission only needs the pair-involved ids (a
+        # survivor in no pair is admitted and blocks nobody), so the
+        # local resolution is candidate-sized, never batch-sized.
+        pairs = [
+            (r["id1"], r["id2"]) for r in verified.select("id1", "id2").collect()
+        ]
+        involved = sorted({i for p in pairs for i in p})
+        dropped_int = set(involved) - _greedy_admit(involved, pairs)
 
-    # -- internal: batch vs itself, greedy by id ---------------------
-    surv_bands = bands.join(
-        survivors.select(id_col), id_col, "left_semi"
-    )
-    cand_int = D.minhash_candidates(surv_bands, id_col)
-    verified = D.jaccard_verify(cand_int, survivors, threshold, id_col)
-    # the ONLY collect: one micro-batch's verified candidate pairs.
-    # Greedy admission only needs the pair-involved ids (a survivor in
-    # no pair is admitted and blocks nobody), so the local resolution
-    # is candidate-sized, never batch-sized.
-    pairs = [(r["id1"], r["id2"]) for r in verified.select("id1", "id2").collect()]
-    involved = sorted({i for p in pairs for i in p})
-    dropped_int = set(involved) - _greedy_admit(involved, pairs)
-
-    if dropped_int:
-        drop_df = spark.createDataFrame(
-            [(i,) for i in sorted(dropped_int)], f"{id_col} bigint"
+        if dropped_int:
+            drop_df = spark.createDataFrame(
+                [(i,) for i in sorted(dropped_int)], f"{id_col} bigint"
+            )
+            kept = survivors.join(F.broadcast(drop_df), id_col, "left_anti")
+        else:
+            kept = survivors
+        kept_bands = surv_bands.join(kept.select(id_col), id_col, "left_semi")
+        kept.write.mode("overwrite").parquet(
+            os.path.join(arrs_path, f"batch={batch_id}")
         )
-        kept = survivors.join(F.broadcast(drop_df), id_col, "left_anti")
-    else:
-        kept = survivors
-    kept_bands = surv_bands.join(kept.select(id_col), id_col, "left_semi")
-    kept.write.mode("append").parquet(arrs_path)
-    kept_bands.write.mode("append").parquet(bands_path)
+        kept_bands.write.mode("overwrite").parquet(
+            os.path.join(bands_path, f"batch={batch_id}")
+        )
+    finally:
+        arrs.unpersist()
+        if survivors is not None and survivors is not arrs:
+            survivors.unpersist()
 
 
 def stream_neardup_dedup(
@@ -151,9 +179,11 @@ def stream_neardup_dedup(
     file order) through the near-dup admission fold; returns the
     admitted doc ids.
 
-    Replay safety: like stream_maintain_rollup, the applied batch_id
-    is recorded next to the store and a replayed foreachBatch id is
-    skipped -- the append-only store is never double-appended."""
+    Replay safety: the applied batch_id marker skips folds the store
+    has already absorbed, and the per-batch store partitions make a
+    replayed (or crashed-midway) fold overwrite its own output --
+    either way the store converges. An incomplete drain RAISES
+    instead of returning a truncated admission set."""
     import json
 
     from conversation_analysis_tools_spark.streaming.events import scoped_session
@@ -170,7 +200,7 @@ def stream_neardup_dedup(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= applied():
             return
-        fold_neardup_batch(batch_df, store_dir, threshold)
+        fold_neardup_batch(batch_df, batch_id, store_dir, threshold)
         with open(marker, "w") as f:
             json.dump({"batch_id": batch_id}, f)
 
@@ -187,7 +217,11 @@ def stream_neardup_dedup(
         .option("checkpointLocation", os.path.join(store_dir, "_ckpt"))
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
         q.stop()
+        raise RuntimeError(
+            f"near-dup drain did not finish within {timeout_sec}s; "
+            "store holds a PARTIAL admission set -- not returning it"
+        )
     return spark.read.parquet(os.path.join(store_dir, "arrs")).select("doc_id")

@@ -72,3 +72,19 @@ def test_replay_is_idempotent(spark, sample_docs, tmp_path):
     first = sorted(r[0] for r in stream_neardup_dedup(spark, src, store).collect())
     second = sorted(r[0] for r in stream_neardup_dedup(spark, src, store).collect())
     assert first == second
+
+
+def test_fold_replay_overwrites_not_appends(spark, sample_docs, tmp_path):
+    """A crashed-then-replayed fold (same batch_id, marker not yet
+    written) must converge: per-batch store partitions overwrite."""
+    from conversation_analysis_tools_spark.streaming.neardup import (
+        fold_neardup_batch,
+    )
+
+    store = str(tmp_path / "store")
+    batch = sample_docs.where("doc_id < 3")
+    fold_neardup_batch(batch, 0, store, threshold=0.5)
+    fold_neardup_batch(batch, 0, store, threshold=0.5)  # replay
+    got = spark.read.parquet(f"{store}/arrs").select("doc_id").collect()
+    ids = sorted(r[0] for r in got)
+    assert ids == [0, 1, 2]  # no duplicates, nothing lost
