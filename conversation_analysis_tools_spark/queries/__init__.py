@@ -109,9 +109,14 @@ VERIFY_PRIORITY: list[str] = [
     "asof_last_signup",
     "range_join_5min",
     # --- changed/new this round ---
-    # norms-broadcast fix re-verification (operators/similarity.py)
+    # norms-broadcast + single-digest-minhash re-verification
+    # (operators/similarity.py, operators/dedup.py); nlp_near_duplicates
+    # shares the same inverted-cosine path and was verified at sf0.1
+    # this round, so duplicate_pairs alone covers the window slot --
+    # freeing one for the new HLL rollup certificate
     "nlp_duplicate_pairs",
-    "nlp_near_duplicates",
+    # NEW round-3: mergeable distinct-count rollup (DataSketches HLL)
+    "rollup_distinct_hll",
     # samplers made oracle-able via deterministic hash sampling
     "random_sample",
     "limit_sample",
