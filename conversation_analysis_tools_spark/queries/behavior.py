@@ -247,3 +247,72 @@ def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") - mean) / F.sqrt(var), 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "audience_overlap_theta",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS exact_overlap,
+           TRUE AS overlap_within_15pct
+    FROM du a JOIN du b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set INTERSECTION at sketch grain -- the overlap
+    question HLL cannot answer (HLL unions only; audience overlap
+    needs intersections). Apache DataSketches Theta (Spark 4
+    built-ins): one sketch per event type, pairwise
+    ``theta_intersection`` across the 5x5 type pairs.
+
+    At 100 TB the per-type sketches are KB-sized state maintained
+    incrementally like any rollup; every pairwise (or k-way) overlap
+    then derives from sketch algebra without re-scanning events --
+    vs the exact path's distinct self-join, which shuffles the full
+    (type, user) relation and re-runs per question asked.
+
+    Certificate contract (same as approx_stats/rollup_distinct_hll):
+    sketch bytes are engine-specific, so the checkable output is the
+    exact overlap (recomputed by the oracle's self-join) plus a
+    boolean pinning the sketch estimate within 15% of it (default
+    lgK=12; intersection error grows when the overlap is small
+    relative to the union, hence the generous bound)."""
+    du = _events(spark, sf_dir).select("event_type", "user_id").distinct()
+    sk = du.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("s1"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("s2"))
+    est = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .selectExpr(
+            "type_a",
+            "type_b",
+            "theta_sketch_estimate(theta_intersection(s1, s2)) AS est",
+        )
+    )
+    exact = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_overlap"))
+    )
+    return exact.join(est, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_overlap",
+        (
+            F.abs(F.col("est") - F.col("exact_overlap"))
+            <= 0.15 * F.col("exact_overlap")
+        ).alias("overlap_within_15pct"),
+    )
