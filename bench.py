@@ -68,6 +68,10 @@ HEADLINE = [
     "decontamination_bloom",
     # span-level exact-substring dedup transformation (Lee et al. 2022)
     "dedup_span_removal",
+    # round-3 sketch family: mergeable HLL distinct rollup, Theta
+    # intersection audience overlap (both certificate-checked)
+    "rollup_distinct_hll",
+    "audience_overlap_theta",
 ]
 
 
