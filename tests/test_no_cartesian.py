@@ -55,6 +55,9 @@ BNLJ_ALLOWED = {
     "decontamination_check",  # broadcast eval-set fingerprints
     "decontamination_minhash",  # broadcast eval band table
     "decontamination_bloom",  # broadcast 1-row 32 KiB Bloom bitset (bloom.py)
+    "audience_overlap_theta",  # broadcast per-type sketch table (one
+    # KB-sized row per event type) under the type_a < type_b pair
+    # predicate -- bounded by type cardinality, never by events
 }
 
 
