@@ -68,10 +68,12 @@ HEADLINE = [
     "decontamination_bloom",
     # span-level exact-substring dedup transformation (Lee et al. 2022)
     "dedup_span_removal",
-    # round-3 sketch family: mergeable HLL distinct rollup, Theta
-    # intersection audience overlap (both certificate-checked)
+    # round-3 sketch/rollup family: mergeable HLL distinct rollup,
+    # Theta intersection audience overlap (certificate-checked),
+    # binned-histogram quantile rollup (strict merge-equals-direct)
     "rollup_distinct_hll",
     "audience_overlap_theta",
+    "rollup_quantiles_binned",
 ]
 
 

@@ -1425,6 +1425,70 @@ def rollup_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_quantiles_binned",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('week', CAST(ts AS DATE)) AS week_start,
+               CAST(floor(value) AS BIGINT) AS bin, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT week_start, bin,
+               sum(c) OVER (PARTITION BY week_start ORDER BY bin) AS cum,
+               sum(c) OVER (PARTITION BY week_start) AS total
+        FROM b
+    )
+    SELECT week_start,
+           CAST(min(CASE WHEN cum >= 0.50 * total THEN bin END) AS BIGINT) AS p50_bin,
+           CAST(min(CASE WHEN cum >= 0.95 * total THEN bin END) AS BIGINT) AS p95_bin,
+           CAST(max(total) AS BIGINT) AS n
+    FROM t GROUP BY 1
+    """,
+)
+def rollup_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup with a STRICT oracle: per-day
+    fixed-bin histograms (bin = floor(value), one count per
+    (day, bin)) merge to any coarser grain by ADDING counts -- unlike
+    raw percentiles, which do not re-aggregate. The weekly p50/p95 is
+    then the first bin whose cumulative count crosses the quantile --
+    deterministic integer arithmetic, so the oracle recomputes the
+    same weekly result DIRECTLY from events and equality proves
+    merge-equals-direct (the same contract incremental_rollup pins
+    for sums). Quantile error is bounded by the bin width by
+    construction.
+
+    At 100 TB: per-bucket state is at most n_bins rows (vs a
+    value-sketch per bucket when no fixed range exists -- Spark 4
+    ships HLL/Theta but no mergeable quantile sketch, and a bounded
+    value domain makes the exact histogram both smaller and
+    strictly checkable). The daily histogram table maintains
+    incrementally exactly like streaming_rollup_maintenance."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.select(
+        F.date_trunc("week", F.to_date("ts")).alias("week_start"),
+        F.to_date("ts").alias("d"),
+        F.floor("value").cast("bigint").alias("bin"),
+    ).groupBy("week_start", "d", "bin").agg(F.count("*").alias("c"))
+    weekly = daily.groupBy("week_start", "bin").agg(F.sum("c").alias("c"))
+    w_cum = Window.partitionBy("week_start").orderBy("bin")
+    t = weekly.select(
+        "week_start",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("week_start")).alias("total"),
+    )
+    return t.groupBy("week_start").agg(
+        F.min(F.when(F.col("cum") >= 0.50 * F.col("total"), F.col("bin"))).alias(
+            "p50_bin"
+        ),
+        F.min(F.when(F.col("cum") >= 0.95 * F.col("total"), F.col("bin"))).alias(
+            "p95_bin"
+        ),
+        F.max("total").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (beyond-reference custom operators; see operators/temporal.py)
 # ---------------------------------------------------------------------------
