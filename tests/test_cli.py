@@ -65,3 +65,70 @@ def test_cli_end_to_end(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 100
     assert "summary" in back.columns and "priority_level" in back.columns
+
+
+# ---------------------------------------------------------------------------
+# search CLI (sql_search.py counterpart)
+# ---------------------------------------------------------------------------
+
+
+def test_snippet_search_highlight(spark):
+    from conversation_analysis_tools_spark.search import snippet_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 100 + " the Spark engine rocks " + "y" * 100, "s"),
+            (2, "no match here", "s"),
+            (3, "spark at the start", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["doc_id"]: r["snippet"] for r in snippet_search(docs, "Spark").collect()}
+    assert set(rows) == {1, 3}
+    # clipped both sides, case-insensitive highlight of every match
+    assert rows[1].startswith("...") and rows[1].endswith("...")
+    assert "[spark]" in rows[1].lower()
+    # match at position 0: no leading ellipsis
+    assert rows[3].startswith("[spark]")
+
+
+def test_boolean_predicate_parsing(spark):
+    from conversation_analysis_tools_spark.search import boolean_predicate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha gamma"),
+            (3, "delta"),
+            (4, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r[0]
+        for r in docs.where(
+            boolean_predicate("alpha AND beta NOT gamma OR delta")
+        ).select("doc_id").collect()
+    )
+    # (alpha & beta & !gamma) | delta -> docs 1 and 3
+    assert got == [1, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        boolean_predicate("alpha OR")
+    with _pytest.raises(ValueError):
+        boolean_predicate("")
+
+
+def test_search_cli_end_to_end(tmp_path, capsys):
+    from conversation_analysis_tools_spark.search import main as search_main
+
+    rc = search_main(
+        ["spark", "--data", "/root/testdata/sf0.001", "--limit", "2",
+         "--export", str(tmp_path / "hits.csv"), "--master", "local[4]"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[spark]" in out and "exported" in out
+    assert any(f.endswith(".csv") for f in os.listdir(tmp_path / "hits.csv"))
