@@ -533,3 +533,52 @@ def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # strictly increasing mtimes => deterministic drain order
         os.utime(dst, (1_000_000 + k, 1_000_000 + k))
     return stream_neardup_dedup(spark, src, os.path.join(d, "store"))
+
+
+@register(
+    "streaming_hll_maintenance",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_hll_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous DISTINCT-count maintenance on the REAL streaming
+    path: the sketch companion to streaming_rollup_maintenance.
+    Distinct counts don't merge by addition, so the maintained state
+    is one DataSketches HLL sketch per day (KB-scale regardless of
+    event volume), unioned per micro-batch (streaming/sketches.py).
+    Union is associative AND idempotent: any micro-batching -- and
+    any at-least-once replay -- converges to the same sketch, which
+    is what lets a REAL streaming execution carry a driver-checkable
+    oracle (certificate form: per-day estimate within 5% of the
+    exact distinct the oracle recomputes; the batching-invariance
+    itself is pinned strictly in tests/test_sketch_stream.py)."""
+    import shutil
+
+    from conversation_analysis_tools_spark.catalog import staging_dir
+    from conversation_analysis_tools_spark.streaming.sketches import (
+        stream_maintain_sketches,
+    )
+
+    d = staging_dir("stream_hll", sf_dir)
+    shutil.rmtree(d, ignore_errors=True)
+    src = f"{d}/src"
+    _events(spark, sf_dir).repartitionByRange(3, "event_id").write.parquet(src)
+    state = stream_maintain_sketches(spark, src, f"{d}/state")
+    est = state.selectExpr("d", "hll_sketch_estimate(sk) AS est")
+    exact = (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return exact.join(est, "d").select(
+        "d",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_within_5pct"),
+    )
