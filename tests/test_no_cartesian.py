@@ -33,6 +33,8 @@ STREAM_DRAINS = {
     "session_windows_30m",
     "window_tumbling_hourly",
     "window_sliding_2h1h",
+    "streaming_neardup_dedup",
+    "streaming_hll_maintenance",
 }
 
 #: Queries allowed to plan BroadcastNestedLoopJoin: each broadcasts a
