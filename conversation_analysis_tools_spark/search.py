@@ -52,12 +52,15 @@ def snippet_search(
     e0 = F.least(n, pos0 + len(q) + context)
     import re as _re
 
+    # replacement "[$0]": $0 echoes the ORIGINAL match (casing kept),
+    # and nothing from the user query lands in the replacement string
+    # (where $ and \ are Java replacement metacharacters)
     snippet = F.concat(
         F.when(s0 > 0, F.lit("...")).otherwise(F.lit("")),
         F.regexp_replace(
             F.substring(t, (s0 + 1).cast("int"), (e0 - s0).cast("int")),
             "(?i)" + _re.escape(q),
-            f"[{q}]",
+            "[$0]",
         ),
         F.when(e0 < n, F.lit("...")).otherwise(F.lit("")),
     )
@@ -87,6 +90,11 @@ def boolean_predicate(expr: str, text_col: str = "text") -> Column:
         elif up in ("AND", "NOT"):
             neg = up == "NOT"
             i += 1
+            # "a AND NOT b": AND may be followed by a NOT operator,
+            # not a literal term
+            if not neg and i < len(toks) and toks[i].upper() == "NOT":
+                neg = True
+                i += 1
             if i >= len(toks):
                 raise ValueError(f"dangling {up} in {expr!r}")
             term = low.contains(toks[i].lower())

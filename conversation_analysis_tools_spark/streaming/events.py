@@ -367,6 +367,12 @@ def fold_rollup_batch(
         merge_rollup,
     )
 
+    # crash-window recovery: a failure between the two swap renames
+    # below leaves the only state copy stranded in ._old -- restore
+    # it before the marker read / exists-probe treat state as empty
+    old = rollup_path + "._old"
+    if not os.path.exists(rollup_path) and os.path.exists(old):
+        os.rename(old, rollup_path)
     if batch_id <= rollup_applied_batch(rollup_path):
         return False
     sess = batch_df.sparkSession  # the scoped stream session
@@ -384,7 +390,6 @@ def fold_rollup_batch(
     merged.write.mode("overwrite").parquet(staged)
     with open(os.path.join(staged, ROLLUP_BATCH_MARKER), "w") as f:
         json.dump({"batch_id": batch_id}, f)
-    old = rollup_path + "._old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(rollup_path):
         os.rename(rollup_path, old)

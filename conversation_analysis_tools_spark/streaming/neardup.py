@@ -107,7 +107,11 @@ def fold_neardup_batch(
         # not dedup the batch against its own previous output (every
         # doc is a perfect near-dup of itself), and the batch column
         # partition-prunes, so later/own partitions are never scanned.
-        if os.path.exists(arrs_path):
+        # Existence gates on bands_path -- the SECOND write below --
+        # so a first-fold crash between the two writes replays as an
+        # empty store (and overwrites both partitions) instead of
+        # reading a bands dir that was never created.
+        if os.path.exists(bands_path):
             store_bands = (
                 spark.read.parquet(bands_path)
                 .where(F.col("batch") < batch_id)
@@ -149,8 +153,9 @@ def fold_neardup_batch(
         dropped_int = set(involved) - _greedy_admit(involved, pairs)
 
         if dropped_int:
+            id_type = survivors.schema[id_col].dataType.simpleString()
             drop_df = spark.createDataFrame(
-                [(i,) for i in sorted(dropped_int)], f"{id_col} bigint"
+                [(i,) for i in sorted(dropped_int)], f"{id_col} {id_type}"
             )
             kept = survivors.join(F.broadcast(drop_df), id_col, "left_anti")
         else:

@@ -73,6 +73,12 @@ def fold_sketch_batch(
     """Fold one micro-batch into the persistent day-sketch table.
     Returns False for marker-skipped replays (which would also be
     harmless to apply -- union is idempotent)."""
+    # crash-window recovery: a failure between the two swap renames
+    # leaves the only state copy stranded in ._old -- restore it
+    # before the exists-probe below would treat the store as empty
+    old = state_path + "._old"
+    if not os.path.exists(state_path) and os.path.exists(old):
+        os.rename(old, state_path)
     if batch_id <= _applied(state_path):
         return False
     sess = batch_df.sparkSession
@@ -86,7 +92,6 @@ def fold_sketch_batch(
     merged.write.mode("overwrite").parquet(staged)
     with open(os.path.join(staged, SKETCH_BATCH_MARKER), "w") as f:
         json.dump({"batch_id": batch_id}, f)
-    old = state_path + "._old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(state_path):
         os.rename(state_path, old)

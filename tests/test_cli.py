@@ -132,3 +132,33 @@ def test_search_cli_end_to_end(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "[spark]" in out and "exported" in out
     assert any(f.endswith(".csv") for f in os.listdir(tmp_path / "hits.csv"))
+
+
+def test_snippet_metachar_query_and_casing(spark):
+    """$/\\ in the query must not hit Java replacement metacharacters,
+    and the highlight echoes the ORIGINAL casing via $0."""
+    from conversation_analysis_tools_spark.search import snippet_search
+
+    docs = spark.createDataFrame(
+        [(1, "price is 100$ total", "s"), (2, "CamelCase Spark here", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["doc_id"]: r["snippet"] for r in snippet_search(docs, "100$").collect()}
+    assert rows == {1: "price is [100$] total"}
+    rows = {r["doc_id"]: r["snippet"] for r in snippet_search(docs, "spark").collect()}
+    assert "[Spark]" in rows[2]  # original casing kept
+
+
+def test_boolean_and_not(spark):
+    from conversation_analysis_tools_spark.search import boolean_predicate
+
+    docs = spark.createDataFrame(
+        [(1, "error timeout"), (2, "error ok"), (3, "not an error here")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r[0]
+        for r in docs.where(boolean_predicate("error AND NOT timeout"))
+        .select("doc_id").collect()
+    )
+    assert got == [2, 3]  # doc 1 excluded; 'not' is an operator, not a term
