@@ -194,3 +194,107 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select(
         "media_id", F.explode(idx).alias("frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (dHash) + near-dup pairs over decoded pixels
+# ---------------------------------------------------------------------------
+
+#: dHash grid: 6 rows x 11 cols -> 6*10 = 60 difference bits, sized to
+#: reuse the SimHash 15-bit-block hamming candidate machinery
+#: (operators/dedup.simhash_pairs) unchanged.
+DHASH_ROWS = 6
+DHASH_COLS = 11
+
+
+def fake_pixels(content: bytes, rows: int = DHASH_ROWS, cols: int = DHASH_COLS):
+    """Deterministic grayscale grid test double (the imaging libs are
+    absent here; the real path resizes a PIL grayscale image to the
+    same grid). LOCALLY sensitive by construction, mirroring what a
+    real downscale does to a slightly-edited image: a smooth gradient
+    keyed by the first 4 payload bytes, plus one bounded bump per byte
+    of the next 8 -- payloads sharing a prefix decode to
+    perceptually-near grids, unrelated payloads to unrelated ones."""
+    import numpy as np
+
+    seed = int.from_bytes(content[:4].ljust(4, b"\0"), "big")
+    xs = np.arange(cols)[None, :]
+    ys = np.arange(rows)[:, None]
+    grid = ((seed % 7 + 1) * xs * 16 + (seed % 11 + 1) * ys * 8 + seed % 256) % 256
+    grid = grid.astype("int64")
+    for b in content[4:12]:
+        grid[b % rows, b % cols] = (grid[b % rows, b % cols] + b) % 256
+    return grid
+
+
+def _pil_pixels(content: bytes, rows: int, cols: int):
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(content)) as im:
+            g = im.convert("L").resize((cols, rows))
+            return np.asarray(g, dtype="int64")
+    except Exception:  # noqa: BLE001 -- undecodable payload
+        return None
+
+
+def dhash60(content: bytes, fake: bool = False) -> int:
+    """60-bit difference hash: bit = pixel[r,c] < pixel[r,c+1] over
+    the 6x11 grid (row-major). Real decode via PIL when installed;
+    ``fake=True`` selects the deterministic double."""
+    grid = _pil_pixels(content, DHASH_ROWS, DHASH_COLS)
+    if grid is None:
+        if not fake:
+            raise NotImplementedError(
+                "pixel decode requires an imaging library (e.g. PIL); "
+                "pass fake=True for the deterministic test double"
+            )
+        grid = fake_pixels(content)
+    h = 0
+    bit = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            if grid[r, c] < grid[r, c + 1]:
+                h |= 1 << bit
+            bit += 1
+    return h
+
+
+def phash_column(media: DataFrame, fake: bool = True) -> DataFrame:
+    """(media_id, simhash): the dHash as a column, computed in one
+    Arrow-batched mapInPandas pass (the only Python stage); named
+    ``simhash`` so the JVM-side hamming-block candidate join
+    (operators/dedup.simhash_pairs) applies verbatim."""
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("simhash", LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "simhash": [dhash60(c, fake=fake) for c in pdf["content"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def image_neardup_pairs(
+    media: DataFrame, max_hamming: int = 3, fake: bool = True
+) -> DataFrame:
+    """Perceptual image near-dup pairs: decode -> dHash (Python,
+    Arrow-batched, map-only) -> 15-bit-block pigeonhole candidates ->
+    exact hamming verify (all JVM-side). Same scale shape as text
+    SimHash: candidates are bucket-join-linear, never all-pairs."""
+    from conversation_analysis_tools_spark.operators import dedup as D
+
+    return D.simhash_pairs(
+        phash_column(media, fake=fake), max_hamming=max_hamming, id_col="media_id"
+    )

@@ -60,3 +60,41 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce it with generate_series over octet_length."""
     docs = _catalog_table(spark, "documents", sf_dir)
     return M.frame_sample_plan(M.docs_as_media(docs))
+
+
+@register(
+    "image_phash_dedup",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+        (CAST(4 AS BIGINT), CAST(5 AS BIGINT), CAST(0 AS BIGINT))
+    ) AS t(id1, id2, hamming)
+    """,
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup detection: decode -> 60-bit dHash
+    (Arrow-batched mapInPandas, the only Python stage) -> 15-bit-block
+    pigeonhole candidates -> exact hamming verify, all JVM-side
+    (reuses the text-SimHash machinery; same bucket-join-linear scale
+    shape -- never all-pairs).
+
+    Fixed in-query corpus, so the oracle is literal and data-
+    independent: two pixel-identical payloads (hamming 0), one
+    single-bump edit (hamming 1 -- the tolerance a perceptual hash
+    exists for), one heavier edit and two unrelated images that must
+    NOT pair at max_hamming=3. Pixel decode is the deterministic
+    locally-sensitive double (operators/multimodal.fake_pixels); the
+    real path is PIL grayscale-resize behind the same import gate."""
+    corpus = [
+        (1, b"AAAA" + bytes([1, 2, 3, 4, 5, 6, 7, 8])),
+        (2, b"AAAA" + bytes([1, 2, 3, 4, 5, 6, 7, 200])),  # near dup of 1
+        (3, b"AAAA" + bytes([200, 201, 202, 203, 204, 205, 206, 207])),
+        (4, b"BBBB" + bytes([1, 2, 3, 4, 5, 6, 7, 8])),
+        (5, b"BBBB" + bytes([1, 2, 3, 4, 5, 6, 7, 8])),  # exact dup of 4
+        (6, b"CCCC" + bytes([50] * 8)),
+    ]
+    media = spark.createDataFrame(
+        [(i, c, "image/x-test") for i, c in corpus],
+        "media_id bigint, content binary, mime string",
+    )
+    return M.image_neardup_pairs(media, max_hamming=3, fake=True)

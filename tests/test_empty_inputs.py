@@ -83,3 +83,12 @@ def test_textrank_empty(spark, empty_docs):
         "doc_id", TR.summary_column("text", 3, 0.85)["summary"].alias("summary")
     )
     assert out.count() == 0
+
+
+def test_image_phash_empty(spark):
+    from conversation_analysis_tools_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [], "media_id bigint, content binary, mime string"
+    )
+    assert M.image_neardup_pairs(media, fake=True).count() == 0
