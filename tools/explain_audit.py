@@ -83,6 +83,15 @@ AUDIT = [
     "decontamination_bloom",
     "dedup_span_removal",
     "data_recipe_epochs",
+    # round-3 sketch/rollup family: daily HLL sketches + weekly union
+    # (two tiny aggs, state is bucket-grain not user-grain); Theta
+    # pairwise intersection over a broadcast sketch table (bounded
+    # BNLJ); binned-quantile rollup (one (week,bin) agg + window);
+    # perceptual dHash dedup (one mapInPandas stage, block join)
+    "rollup_distinct_hll",
+    "audience_overlap_theta",
+    "rollup_quantiles_binned",
+    "image_phash_dedup",
 ]
 
 
