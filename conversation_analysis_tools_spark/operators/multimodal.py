@@ -114,15 +114,17 @@ def _pil_dimensions(content: bytes) -> tuple[int, int] | None:
     """Real-codec path, import-gated on PIL (same optional-dep pattern
     as sources/charts.render_png): covers every format PIL knows,
     lazy -- ``Image.open`` reads only headers, no full pixel decode.
-    Returns None when PIL is absent or cannot parse the payload."""
-    try:
-        import io
+    Returns None when PIL is absent or cannot parse the payload.
+    (Dimension fallback to the md5 fake is collision-safe, unlike
+    pixel decode: the full digest avalanches, so two distinct corrupt
+    payloads never share fake dimensions by header alone.)"""
+    import io
 
-        from PIL import Image
-    except ImportError:
+    image_mod = _pil_image_module()
+    if image_mod is None:
         return None
     try:
-        with Image.open(io.BytesIO(content)) as im:
+        with image_mod.open(io.BytesIO(content)) as im:
             return im.width, im.height
     except Exception:
         return None
@@ -227,34 +229,67 @@ def fake_pixels(content: bytes, rows: int = DHASH_ROWS, cols: int = DHASH_COLS):
     return grid
 
 
-def _pil_pixels(content: bytes, rows: int, cols: int):
-    try:
-        import io
+_PIL_IMAGE = None
+_PIL_PROBED = False
 
-        import numpy as np
-        from PIL import Image
-    except ImportError:
-        return None
+
+def _pil_image_module():
+    """PIL availability resolved ONCE per process (a failed import is
+    not cached in sys.modules, so probing per row would re-walk the
+    path finders inside the hot mapInPandas loop)."""
+    global _PIL_IMAGE, _PIL_PROBED
+    if not _PIL_PROBED:
+        _PIL_PROBED = True
+        try:
+            from PIL import Image as _img
+
+            _PIL_IMAGE = _img
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+def _pil_pixels(content: bytes, rows: int, cols: int):
+    """Grayscale-resized pixel grid via PIL. Raises: ImportError when
+    PIL is absent, ValueError when PIL cannot decode the payload --
+    two different operator problems, kept distinguishable."""
+    import io
+
+    import numpy as np
+
+    image_mod = _pil_image_module()
+    if image_mod is None:
+        raise ImportError("PIL not installed")
     try:
-        with Image.open(io.BytesIO(content)) as im:
+        with image_mod.open(io.BytesIO(content)) as im:
             g = im.convert("L").resize((cols, rows))
             return np.asarray(g, dtype="int64")
-    except Exception:  # noqa: BLE001 -- undecodable payload
-        return None
+    except Exception as exc:
+        raise ValueError(f"undecodable image payload ({exc})") from exc
 
 
 def dhash60(content: bytes, fake: bool = False) -> int:
     """60-bit difference hash: bit = pixel[r,c] < pixel[r,c+1] over
-    the 6x11 grid (row-major). Real decode via PIL when installed;
-    ``fake=True`` selects the deterministic double."""
-    grid = _pil_pixels(content, DHASH_ROWS, DHASH_COLS)
-    if grid is None:
-        if not fake:
+    the 6x11 grid (row-major).
+
+    ``fake=True`` ALWAYS uses the deterministic double (never PIL):
+    the two modes must not mix, or an undecodable payload in a real
+    corpus would silently fall back to a hash of its first 12 bytes
+    -- and corrupt files sharing a format header (every JFIF starts
+    with the same 12 bytes) would collide as hamming-0 "duplicates".
+    ``fake=False`` requires PIL (NotImplementedError otherwise) and
+    surfaces undecodable payloads as ValueError naming the payload
+    problem, not a missing library."""
+    if fake:
+        grid = fake_pixels(content)
+    else:
+        try:
+            grid = _pil_pixels(content, DHASH_ROWS, DHASH_COLS)
+        except ImportError:
             raise NotImplementedError(
                 "pixel decode requires an imaging library (e.g. PIL); "
                 "pass fake=True for the deterministic test double"
-            )
-        grid = fake_pixels(content)
+            ) from None
     h = 0
     bit = 0
     for r in range(DHASH_ROWS):
@@ -269,7 +304,9 @@ def phash_column(media: DataFrame, fake: bool = True) -> DataFrame:
     """(media_id, simhash): the dHash as a column, computed in one
     Arrow-batched mapInPandas pass (the only Python stage); named
     ``simhash`` so the JVM-side hamming-block candidate join
-    (operators/dedup.simhash_pairs) applies verbatim."""
+    (operators/dedup.simhash_pairs) applies verbatim. NULL payloads
+    carry no perceptual content and are dropped before the stage."""
+    media = media.where(F.col("content").isNotNull())
     schema = StructType(
         [StructField("media_id", LongType()), StructField("simhash", LongType())]
     )

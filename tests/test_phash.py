@@ -43,3 +43,14 @@ def test_real_decode_requires_imaging_lib():
         pass
     with pytest.raises(NotImplementedError):
         dhash60(b"not-an-image", fake=False)
+
+
+def test_null_content_rows_dropped(spark):
+    from conversation_analysis_tools_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [(1, b"AAAA" + bytes(8), "x"), (2, None, "x"), (3, b"AAAA" + bytes(8), "x")],
+        "media_id bigint, content binary, mime string",
+    )
+    pairs = M.image_neardup_pairs(media, fake=True).collect()
+    assert [(r["id1"], r["id2"], r["hamming"]) for r in pairs] == [(1, 3, 0)]
