@@ -116,3 +116,75 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = build_rollup(events.filter(F.col("ts").cast("date") < boundary), "event_type")
     delta = build_rollup(events.filter(F.col("ts").cast("date") >= boundary), "event_type")
     return finalize_rollup(merge_rollup(old, delta))
+
+
+@register(
+    "corpus_version_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+    v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 31 = 0 THEN text || ' appended' ELSE text END) AS h
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, md5('new doc ' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE doc_id % 53 = 0
+    )
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(coalesce(v1.doc_id, v2.doc_id)) AS BIGINT) AS first_id,
+           CAST(max(coalesce(v1.doc_id, v2.doc_id)) AS BIGINT) AS last_id
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    GROUP BY 1
+    """,
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-versioning diff between two corpus snapshots: added /
+    removed / changed / unchanged by (doc_id, content-hash) -- the
+    audit a training pipeline runs before promoting a new corpus
+    version (what changed, and is the churn plausible?).
+
+    One full-outer join on the id plus an md5 compare: at 100 TB both
+    sides are id-bucketed, so the join is co-located, and the hash
+    column means snapshots can be compared from their (tiny) manifest
+    tables without re-reading text. v2 is derived in-query with
+    deterministic mutations (drop id%97, edit id%31, add id%53 under
+    offset ids) so the oracle reproduces it exactly."""
+    docs = _catalog_table(spark, "documents", sf_dir)
+    v1 = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    edited = F.when(
+        F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" appended"))
+    ).otherwise(F.col("text"))
+    v2 = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.md5(edited.cast("binary")).alias("h"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 53 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(
+                    F.concat(
+                        F.lit("new doc "), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ).alias("h"),
+            )
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("a.h").isNull(), "added")
+        .when(F.col("b.h").isNull(), "removed")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"), F.col("doc_id"))
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
+    )
