@@ -53,6 +53,12 @@ CENSUS = [
     "stateful_user_totals",
     "quality_decile_bins",
     "dedup_substring_spans",
+    # sketch/rollup family + versioning: bucket-grain state, never
+    # user-grain
+    "rollup_distinct_hll",
+    "audience_overlap_theta",
+    "rollup_quantiles_binned",
+    "corpus_version_diff",
 ]
 
 
