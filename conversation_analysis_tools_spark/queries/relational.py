@@ -1489,6 +1489,166 @@ def rollup_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-Min sketch shape: D rows x W columns. W=8192 -> eps = e/W
+#: ~ 3.3e-4; D=5 rows drive the per-query failure probability of the
+#: 8N/W overestimate bound below (1/8)^5 ~ 3e-5 (Markov per row,
+#: independent rows).
+CMS_W = 8192
+CMS_D = 5
+
+
+def _cms_row_hashes(df: DataFrame, key_str):
+    """(u, step) for Kirsch-Mitzenmacher row hashing from ONE md5 of
+    the rendered key -- identical scheme (and modulus) to
+    operators.dedup.minhash_signatures, so the DuckDB oracle reuses
+    the same digit-at-a-time hex parse."""
+    from conversation_analysis_tools_spark.operators.dedup import MINHASH_P
+
+    d = F.md5(key_str.cast("binary"))
+    u = F.pmod(
+        F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint"), F.lit(MINHASH_P)
+    )
+    step = (
+        F.pmod(
+            F.conv(F.substring(d, 16, 15), 16, 10).cast("bigint"),
+            F.lit(MINHASH_P - 1),
+        )
+        + 1
+    )
+    return u, step
+
+
+def _cms_oracle_sql() -> str:
+    from conversation_analysis_tools_spark.operators.dedup import MINHASH_P
+    from conversation_analysis_tools_spark.queries.dedup import _hex60_sql
+
+    rows_i = " UNION ALL ".join(f"SELECT {i} AS i" for i in range(CMS_D))
+    return f"""
+    WITH counts AS (
+        SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+    ),
+    pos AS (
+        SELECT user_id,
+               u % {MINHASH_P} AS um,
+               v % {MINHASH_P - 1} + 1 AS step
+        FROM (
+            SELECT user_id, {_hex60_sql(1)} AS u, {_hex60_sql(16)} AS v
+            FROM (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS d
+                  FROM counts)
+        )
+    ),
+    keypos AS (
+        SELECT user_id, i, ((um + i * step) % {MINHASH_P}) % {CMS_W} AS w
+        FROM pos CROSS JOIN ({rows_i}) r
+    ),
+    cells AS (
+        SELECT k.i, k.w, CAST(sum(c.exact_n) AS BIGINT) AS cell
+        FROM keypos k JOIN counts c USING (user_id)
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT user_id, exact_n FROM counts
+        ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    est AS (
+        SELECT k.user_id, CAST(min(cells.cell) AS BIGINT) AS est_n
+        FROM keypos k
+        JOIN cells ON k.i = cells.i AND k.w = cells.w
+        WHERE k.user_id IN (SELECT user_id FROM cand)
+        GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n FROM events)
+    SELECT c.user_id, c.exact_n, e.est_n,
+           TRUE AS ge_ok,
+           (e.est_n - c.exact_n) <= (8 * t.n) // {CMS_W} AS within_8eps
+    FROM cand c JOIN est e USING (user_id) CROSS JOIN tot t
+    """
+
+
+@register("rollup_heavy_hitters_cms", oracle=_cms_oracle_sql())
+def rollup_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable FREQUENCY rollup -- Count-Min sketch heavy hitters,
+    completing the sketch family (HLL distinct, Theta overlap, binned
+    quantiles): per-day D x W cell counts merge to any coarser grain by
+    ADDING cells, so per-key frequency estimates need bounded state
+    (D*W = 40,960 cells per bucket at ANY data volume), never a
+    per-key rollup. Row hashes are Kirsch-Mitzenmacher over one md5
+    per key (the minhash_signatures scheme, Cormode & Muthukrishnan
+    2005 for the sketch), so the DuckDB oracle mirrors every cell
+    bit-identically: the oracle builds the sketch DIRECTLY from
+    per-key counts while the engine sums per-DAY cells -- est_n
+    equality proves merge-equals-direct (the incremental_rollup
+    contract), ge_ok pins the CMS one-sided guarantee (estimate never
+    undercounts), and within_8eps bounds the overestimate at 8N/W.
+
+    Plan: per-(day,user) partial counts (map-side combine), ONE md5
+    per (day,user) -- not per event -- D precomputed positions via
+    posexplode (no interpreted HOF lambdas), cells groupBy. The
+    candidate probe joins broadcast top-k positions against the
+    bounded cell table: at 100 TB the shuffle carries day x D x W
+    cells, independent of row count."""
+    from conversation_analysis_tools_spark.operators.dedup import MINHASH_P
+
+    events = _t(spark, sf_dir, "events")
+    per_day_user = events.groupBy(
+        F.to_date("ts").alias("d"), "user_id"
+    ).agg(F.count("*").alias("c"))
+    u, step = _cms_row_hashes(per_day_user, F.col("user_id").cast("string"))
+    positions = per_day_user.select(
+        "d",
+        "user_id",
+        "c",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.pmod(u + F.lit(i) * step, F.lit(MINHASH_P)),
+                        F.lit(CMS_W),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("i", "w"),
+    )
+    daily_cells = positions.groupBy("d", "i", "w").agg(F.sum("c").alias("c"))
+    cells = daily_cells.groupBy("i", "w").agg(F.sum("c").alias("cell"))
+
+    counts = events.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    cand = counts.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(10)
+    cu, cstep = _cms_row_hashes(cand, F.col("user_id").cast("string"))
+    cand_pos = cand.select(
+        "user_id",
+        "exact_n",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.pmod(cu + F.lit(i) * cstep, F.lit(MINHASH_P)),
+                        F.lit(CMS_W),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("i", "w"),
+    )
+    est = (
+        cells.join(F.broadcast(cand_pos), ["i", "w"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell").alias("est_n"))
+    )
+    total = events.agg(F.count("*").alias("n"))
+    return est.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") >= F.col("exact_n")).alias("ge_ok"),
+        (
+            F.col("est_n") - F.col("exact_n")
+            <= F.expr(f"(8 * n) div {CMS_W}")
+        ).alias("within_8eps"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins (beyond-reference custom operators; see operators/temporal.py)
 # ---------------------------------------------------------------------------
@@ -1662,4 +1822,121 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.where(F.col("event_date").between("2024-01-10", "2024-01-12"))
         .groupBy(F.col("event_date").alias("day"), "event_type")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def _zorder_bits_sql(cx: str, cy: str) -> str:
+    """Bit-interleave expression: 8-bit ``cx``/``cy`` -> 16-bit Morton
+    z-value. Pure shifts/ands -- identical text works in Spark SQL and
+    DuckDB (Spark spells shifts as functions, so this emits the
+    function forms and the oracle rewrites them to operators)."""
+    return " + ".join(
+        f"shiftleft(shiftright({cx}, {i}) & 1, {2 * i})"
+        f" + shiftleft(shiftright({cy}, {i}) & 1, {2 * i + 1})"
+        for i in range(8)
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    z = " + ".join(
+        f"(((cx >> {i}) & 1) << {2 * i}) + (((cy >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return f"""
+    WITH s AS (
+        SELECT min(o_custkey) AS mnk, max(o_custkey) AS mxk,
+               min(o_orderdate) AS mnd, max(o_orderdate) AS mxd
+        FROM orders
+    ),
+    q AS (
+        SELECT (256 * (o_custkey - mnk)) // (mxk - mnk + 1) AS cx,
+               (256 * date_diff('day', mnd, o_orderdate))
+                   // (date_diff('day', mnd, mxd) + 1) AS cy
+        FROM orders CROSS JOIN s
+    ),
+    zq AS (SELECT cx, cy, {z} AS z FROM q),
+    b AS (
+        SELECT 'zorder' AS layout, z >> 8 AS bucket, cx, cy FROM zq
+        UNION ALL
+        SELECT 'custkey' AS layout, cx AS bucket, cx, cy FROM zq
+    ),
+    g AS (
+        SELECT layout, CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+               CAST(min(cx) AS BIGINT) AS min_cx, CAST(max(cx) AS BIGINT) AS max_cx,
+               CAST(min(cy) AS BIGINT) AS min_cy, CAST(max(cy) AS BIGINT) AS max_cy
+        FROM b GROUP BY 1, 2
+    )
+    SELECT *,
+           (min_cx <= 95 AND max_cx >= 64 AND min_cy <= 95 AND max_cy >= 64)
+               AS overlaps_probe
+    FROM g
+    """
+
+
+@register("zorder_clustered_scan", oracle=_zorder_oracle_sql())
+def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) multi-dimensional clustering -- the layout
+    that makes BOTH ``o_custkey`` range probes AND ``o_orderdate``
+    range probes prune files, where a 1-D sort prunes only its own
+    column. Each order gets deterministic 8-bit quantized coords
+    (cx = key rank bucket, cy = day bucket -- exact integer
+    arithmetic off min/max, no sampled range boundaries), bits
+    interleave into a 16-bit z-value, and file = ``z >> 8`` (256
+    files). The output is each file's min/max cube footprint under
+    both layouts plus whether it overlaps a fixed 1/8 x 1/8 probe
+    rectangle (cx, cy both in [64, 95]): z-order files overlap 4/256
+    (measured at sf0.01 AND sf0.1 -- the aligned probe decomposes into
+    exactly four z-contiguous runs) while the custkey-sorted layout
+    overlaps all 32 files the cx band touches: 8x fewer files read
+    for 2-D probes, and the gap widens with dimension count. The min/max footprints ARE what parquet
+    row-group stats / file skipping consume at 100 TB; writing is one
+    ``repartitionByRange(z).sortWithinPartitions(z)`` (tested with a
+    real partitioned write in tests/test_layout.py).
+
+    Oracle: identical integer arithmetic in DuckDB -- quantization,
+    interleave, per-bucket min/max, and the overlap predicate are all
+    engine-portable, so every footprint row matches bit-exactly."""
+    orders = _t(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_custkey").alias("mnk"),
+        F.max("o_custkey").alias("mxk"),
+        F.min("o_orderdate").alias("mnd"),
+        F.max("o_orderdate").alias("mxd"),
+    )
+    q = orders.crossJoin(F.broadcast(stats)).select(
+        F.expr("(256 * (o_custkey - mnk)) div (mxk - mnk + 1)").alias("cx"),
+        F.expr(
+            "(256 * datediff(o_orderdate, mnd))"
+            " div (datediff(mxd, mnd) + 1)"
+        ).alias("cy"),
+    )
+    zq = q.select("cx", "cy", F.expr(_zorder_bits_sql("cx", "cy")).alias("z"))
+    b = zq.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright("z", 8).cast("bigint").alias("bucket"),
+        "cx",
+        "cy",
+    ).unionAll(
+        zq.select(
+            F.lit("custkey").alias("layout"),
+            F.col("cx").cast("bigint").alias("bucket"),
+            "cx",
+            "cy",
+        )
+    )
+    g = b.groupBy("layout", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("cx").cast("bigint").alias("min_cx"),
+        F.max("cx").cast("bigint").alias("max_cx"),
+        F.min("cy").cast("bigint").alias("min_cy"),
+        F.max("cy").cast("bigint").alias("max_cy"),
+    )
+    return g.select(
+        "*",
+        (
+            (F.col("min_cx") <= 95)
+            & (F.col("max_cx") >= 64)
+            & (F.col("min_cy") <= 95)
+            & (F.col("max_cy") >= 64)
+        ).alias("overlaps_probe"),
     )

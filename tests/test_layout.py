@@ -92,3 +92,59 @@ def test_salted_join_matches_plain(spark):
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in salted.select(*plain.columns).collect()}
     assert a == b
+
+
+def test_zorder_layout_prunes_2d_probe(spark, tmp_path):
+    """Write orders z-clustered (file = z >> 8 as a partition column),
+    probe the fixed 2-D rectangle from zorder_clustered_scan, and
+    assert (a) the partition filter prunes to the exact overlap set
+    the footprint math predicts, (b) the pruned read returns the same
+    rows as the unclustered scan."""
+    from conversation_analysis_tools_spark.queries.relational import (
+        _zorder_bits_sql,
+        zorder_clustered_scan,
+    )
+
+    footprints = zorder_clustered_scan(spark, SF_DIR)
+    z_files = {
+        r["bucket"]
+        for r in footprints.where(
+            (F.col("layout") == "zorder") & F.col("overlaps_probe")
+        ).collect()
+    }
+    assert 0 < len(z_files) < 32  # strictly better than the 1-D layout
+
+    orders = table(spark, "orders", SF_DIR)
+    stats = orders.agg(
+        F.min("o_custkey").alias("mnk"),
+        F.max("o_custkey").alias("mxk"),
+        F.min("o_orderdate").alias("mnd"),
+        F.max("o_orderdate").alias("mxd"),
+    )
+    q = orders.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        F.expr("(256 * (o_custkey - mnk)) div (mxk - mnk + 1)").alias("cx"),
+        F.expr(
+            "(256 * datediff(o_orderdate, mnd)) div (datediff(mxd, mnd) + 1)"
+        ).alias("cy"),
+    )
+    zq = q.withColumn("zfile", F.expr(f"shiftright(({_zorder_bits_sql('cx', 'cy')}), 8)"))
+    out = str(tmp_path / "orders_z")
+    zq.write.mode("overwrite").partitionBy("zfile").parquet(out)
+
+    part = spark.read.parquet(out)
+    probe = part.where(F.col("zfile").isin(*[int(b) for b in z_files])).where(
+        F.col("cx").between(64, 95) & F.col("cy").between(64, 95)
+    )
+    exact = zq.where(F.col("cx").between(64, 95) & F.col("cy").between(64, 95))
+    assert probe.count() == exact.count()  # overlap files cover the probe
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "zfile" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]

@@ -60,6 +60,8 @@ BNLJ_ALLOWED = {
     "audience_overlap_theta",  # broadcast per-type sketch table (one
     # KB-sized row per event type) under the type_a < type_b pair
     # predicate -- bounded by type cardinality, never by events
+    "rollup_heavy_hitters_cms",  # broadcast 1-row total-N frame
+    "zorder_clustered_scan",  # broadcast 1-row min/max stats frame
 }
 
 
