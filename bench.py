@@ -74,6 +74,10 @@ HEADLINE = [
     "rollup_distinct_hll",
     "audience_overlap_theta",
     "rollup_quantiles_binned",
+    # Count-Min heavy-hitters rollup (bounded-cell frequency state)
+    # and Morton z-order layout footprints (2-D prune demo)
+    "rollup_heavy_hitters_cms",
+    "zorder_clustered_scan",
 ]
 
 

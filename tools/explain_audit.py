@@ -92,6 +92,10 @@ AUDIT = [
     "audience_overlap_theta",
     "rollup_quantiles_binned",
     "image_phash_dedup",
+    # Count-Min cells are bounded D*W state; z-order footprint math is
+    # two tiny aggs over quantized coords
+    "rollup_heavy_hitters_cms",
+    "zorder_clustered_scan",
 ]
 
 

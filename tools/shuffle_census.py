@@ -59,6 +59,8 @@ CENSUS = [
     "audience_overlap_theta",
     "rollup_quantiles_binned",
     "corpus_version_diff",
+    "rollup_heavy_hitters_cms",
+    "zorder_clustered_scan",
 ]
 
 
