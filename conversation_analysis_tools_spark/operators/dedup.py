@@ -142,6 +142,33 @@ N_BANDS = 4  # 4 rows per band
 MINHASH_P = 2_147_483_647
 
 
+def km_u_step(digest_col):
+    """Kirsch-Mitzenmacher base/step pair from ONE md5 digest column:
+
+        u    = int(digest[0:15], 16) mod P          (60-bit window)
+        step = int(digest[15:30], 16) mod (P-1) + 1 (disjoint window,
+                                                     never 0)
+
+    so h_i = (u + i*step) mod P composes k pairwise-independent hash
+    functions from a single digest (Kirsch & Mitzenmacher 2006). THE
+    single source of the scheme -- MinHash signatures and the
+    Count-Min rollup both derive their rows from this helper, and the
+    DuckDB oracles mirror it via queries.dedup._hex60_sql's
+    digit-at-a-time parse; change it only in lockstep with that SQL."""
+    u = F.pmod(
+        F.conv(F.substring(digest_col, 1, 15), 16, 10).cast("bigint"),
+        F.lit(MINHASH_P),
+    )
+    step = (
+        F.pmod(
+            F.conv(F.substring(digest_col, 16, 15), 16, 10).cast("bigint"),
+            F.lit(MINHASH_P - 1),
+        )
+        + 1
+    )
+    return u, step
+
+
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """k=16 MinHash signature per doc via ONE md5 per shingle +
     Kirsch-Mitzenmacher double hashing:
@@ -169,20 +196,8 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     digested = sh.select(
         F.col(id_col), F.md5(F.col("shingle").cast("binary")).alias("_d")
     )
-    based = digested.select(
-        F.col(id_col),
-        F.pmod(
-            F.conv(F.substring("_d", 1, 15), 16, 10).cast("bigint"),
-            F.lit(MINHASH_P),
-        ).alias("_u"),
-        (
-            F.pmod(
-                F.conv(F.substring("_d", 16, 15), 16, 10).cast("bigint"),
-                F.lit(MINHASH_P - 1),
-            )
-            + 1
-        ).alias("_step"),
-    )
+    u, step = km_u_step(F.col("_d"))
+    based = digested.select(F.col(id_col), u.alias("_u"), step.alias("_step"))
     aggs = [
         F.min(
             F.pmod(F.col("_u") + F.lit(i) * F.col("_step"), F.lit(MINHASH_P))

@@ -1497,25 +1497,29 @@ CMS_W = 8192
 CMS_D = 5
 
 
-def _cms_row_hashes(df: DataFrame, key_str):
-    """(u, step) for Kirsch-Mitzenmacher row hashing from ONE md5 of
-    the rendered key -- identical scheme (and modulus) to
-    operators.dedup.minhash_signatures, so the DuckDB oracle reuses
-    the same digit-at-a-time hex parse."""
-    from conversation_analysis_tools_spark.operators.dedup import MINHASH_P
+def _cms_positions(key_str):
+    """posexplode column of the D Count-Min cell positions for a key:
+    row hashes come from operators.dedup.km_u_step (THE single source
+    of the Kirsch-Mitzenmacher scheme, shared with MinHash), columns
+    from mod W. One helper so the sketch-build side and the
+    candidate-probe side can never address different cells."""
+    from conversation_analysis_tools_spark.operators.dedup import (
+        MINHASH_P,
+        km_u_step,
+    )
 
-    d = F.md5(key_str.cast("binary"))
-    u = F.pmod(
-        F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint"), F.lit(MINHASH_P)
-    )
-    step = (
-        F.pmod(
-            F.conv(F.substring(d, 16, 15), 16, 10).cast("bigint"),
-            F.lit(MINHASH_P - 1),
+    u, step = km_u_step(F.md5(key_str.cast("binary")))
+    return F.posexplode(
+        F.array(
+            *[
+                F.pmod(
+                    F.pmod(u + F.lit(i) * step, F.lit(MINHASH_P)),
+                    F.lit(CMS_W),
+                )
+                for i in range(CMS_D)
+            ]
         )
-        + 1
     )
-    return u, step
 
 
 def _cms_oracle_sql() -> str:
@@ -1581,62 +1585,45 @@ def rollup_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract), ge_ok pins the CMS one-sided guarantee (estimate never
     undercounts), and within_8eps bounds the overestimate at 8N/W.
 
-    Plan: per-(day,user) partial counts (map-side combine), ONE md5
-    per (day,user) -- not per event -- D precomputed positions via
-    posexplode (no interpreted HOF lambdas), cells groupBy. The
-    candidate probe joins broadcast top-k positions against the
-    bounded cell table: at 100 TB the shuffle carries day x D x W
-    cells, independent of row count."""
-    from conversation_analysis_tools_spark.operators.dedup import MINHASH_P
-
+    Plan: ONE events scan -- the exact counts, total-N, and the
+    sketch all derive from the per-(day,user) partial-count
+    aggregate, whose exchange Catalyst reuses across the branches
+    (ReusedExchange in PLANS.md). That first exchange is
+    per-(day,user) grain: it scales with distinct keys, like any
+    per-user aggregate. What is BOUNDED is the sketch state the
+    rollup materializes and every exchange after it -- day x D x W
+    cells regardless of row count, ONE md5 per (day,user), not per
+    event, D precomputed positions via posexplode (no interpreted
+    HOF lambdas). The candidate probe joins broadcast top-k
+    positions against the bounded cell table."""
     events = _t(spark, sf_dir, "events")
     per_day_user = events.groupBy(
         F.to_date("ts").alias("d"), "user_id"
     ).agg(F.count("*").alias("c"))
-    u, step = _cms_row_hashes(per_day_user, F.col("user_id").cast("string"))
     positions = per_day_user.select(
         "d",
         "user_id",
         "c",
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(
-                        F.pmod(u + F.lit(i) * step, F.lit(MINHASH_P)),
-                        F.lit(CMS_W),
-                    )
-                    for i in range(CMS_D)
-                ]
-            )
-        ).alias("i", "w"),
+        _cms_positions(F.col("user_id").cast("string")).alias("i", "w"),
     )
     daily_cells = positions.groupBy("d", "i", "w").agg(F.sum("c").alias("c"))
     cells = daily_cells.groupBy("i", "w").agg(F.sum("c").alias("cell"))
 
-    counts = events.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    counts = per_day_user.groupBy("user_id").agg(
+        F.sum("c").alias("exact_n")
+    )
     cand = counts.orderBy(F.desc("exact_n"), F.asc("user_id")).limit(10)
-    cu, cstep = _cms_row_hashes(cand, F.col("user_id").cast("string"))
     cand_pos = cand.select(
         "user_id",
         "exact_n",
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(
-                        F.pmod(cu + F.lit(i) * cstep, F.lit(MINHASH_P)),
-                        F.lit(CMS_W),
-                    )
-                    for i in range(CMS_D)
-                ]
-            )
-        ).alias("i", "w"),
+        _cms_positions(F.col("user_id").cast("string")).alias("i", "w"),
     )
     est = (
         cells.join(F.broadcast(cand_pos), ["i", "w"])
         .groupBy("user_id", "exact_n")
         .agg(F.min("cell").alias("est_n"))
     )
-    total = events.agg(F.count("*").alias("n"))
+    total = per_day_user.agg(F.sum("c").alias("n"))
     return est.crossJoin(F.broadcast(total)).select(
         "user_id",
         "exact_n",

@@ -139,9 +139,6 @@ def test_zorder_layout_prunes_2d_probe(spark, tmp_path):
     exact = zq.where(F.col("cx").between(64, 95) & F.col("cy").between(64, 95))
     assert probe.count() == exact.count()  # overlap files cover the probe
 
-    import io
-    from contextlib import redirect_stdout
-
     buf = io.StringIO()
     with redirect_stdout(buf):
         probe.explain(True)

@@ -55,6 +55,8 @@ SWEEP = [
     ("curation_pipeline", "chained quality gates, map-heavy"),
     ("decontamination_bloom", "broadcast Bloom bitset + exact verify join"),
     ("dedup_substring_spans", "span-hash expansion, persisted 3-consumer reuse"),
+    ("rollup_heavy_hitters_cms", "CMS cells: bounded day*D*W state after map-combine"),
+    ("zorder_clustered_scan", "two tiny aggs over quantized coords, 512-row result"),
 ]
 
 #: Pair-generating operators run on the replicated corpus; these are
