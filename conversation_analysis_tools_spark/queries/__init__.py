@@ -61,12 +61,13 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # sql_endpoint_rollup, stats_summary, stddev_agg, substring_search,
 # time_bucketed_agg, top_k_orders, top_n_per_group, top_values,
 # topic_cooccurrence_filter (38 -- fills 38 of 50 slots). The
-# remaining slots: the 7 oracled queries added late in round 3 that
+# remaining slots: the 8 oracled queries added late in round 3 that
 # never fit the r3 window (audience_overlap_theta,
 # rollup_quantiles_binned, streaming_hll_maintenance,
 # image_phash_dedup, semdedup_fixed, rollup_heavy_hitters_cms,
-# zorder_clustered_scan -- the age ranking auto-promotes
-# all never-checked names first), plus nlp_near_duplicates /
+# zorder_clustered_scan, weighted_bernoulli_sample -- the age
+# ranking auto-promotes all never-checked names first), plus
+# nlp_near_duplicates /
 # pipeline_analysis_results (displaced from the r3 window; their
 # shared similarity path was re-verified via nlp_duplicate_pairs and
 # the full sf0.1 sweep). Round 4 should REPLACE this manual list with

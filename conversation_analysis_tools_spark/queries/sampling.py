@@ -74,6 +74,84 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", split.alias("split"))
 
 
+# ---------------------------------------------------------------------------
+# weighted (importance) sampling
+# ---------------------------------------------------------------------------
+
+#: Weighted-Bernoulli parameters: u is the first 5 md5 hex chars of
+#: the doc id (uniform on [0, 16^5)), and a doc is kept iff
+#: u * WB_SCALE < weight * 16^5, i.e. with probability
+#: min(1, weight / WB_SCALE) -- exact integer arithmetic, no floats.
+WB_M = 16 ** 5  # 1,048,576
+WB_SCALE = 2000  # chars per unit probability: 200-char doc -> p = 0.1
+
+
+def _hex5_sql() -> str:
+    """DuckDB mirror of conv(substring(md5, 1, 5), 16, 10)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {1 + j}, 1)) - 1) * {16 ** (4 - j)}"
+        for j in range(5)
+    )
+
+
+@register(
+    "weighted_bernoulli_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source, n_chars,
+               ({_hex5_sql()}) * {WB_SCALE} < n_chars * {WB_M} AS kept
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(count(*) FILTER (kept), 0) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(coalesce(sum(n_chars) FILTER (kept), 0) AS BIGINT)
+               AS chars_sampled,
+           CAST(min(doc_id) FILTER (kept) AS BIGINT) AS min_sampled_id,
+           CAST(max(doc_id) FILTER (kept) AS BIGINT) AS max_sampled_id
+    FROM s GROUP BY 1
+    """,
+)
+def weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (importance) Bernoulli sampling -- each doc kept with
+    probability proportional to its weight (here n_chars, capped at
+    1), the selection primitive that executes a DSIR-style importance
+    resample at 100 TB: MAP-ONLY (no sort, no RNG state, no global
+    pass), every engine/run/partitioning keeps the same docs, and new
+    docs never flip old decisions (the hash_split property, extended
+    from uniform to weighted). u = first 5 md5 hex chars of the id;
+    keep iff u * WB_SCALE < weight * 16^5 -- pure 63-bit-safe integer
+    arithmetic, so the DuckDB oracle reproduces the EXACT sample
+    membership, certified here by per-source sampled counts, sampled
+    weight mass, and min/max sampled ids. Weighted-without-replacement
+    top-k (Efraimidis-Spirakis) deliberately NOT used: its u^(1/w)
+    keys are transcendental floats whose last-ulp ordering differs
+    across engines; Bernoulli/Poisson sampling is the standard
+    scale-out design anyway (expected, not fixed, sample size)."""
+    u = F.conv(F.substring(_doc_hash(), 1, 5), 16, 10).cast("bigint")
+    kept = (u * F.lit(WB_SCALE)) < (F.col("n_chars") * F.lit(WB_M))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "n_chars", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_sampled"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("chars_sampled"),
+            F.min(F.when(F.col("kept"), F.col("doc_id"))).alias(
+                "min_sampled_id"
+            ),
+            F.max(F.when(F.col("kept"), F.col("doc_id"))).alias(
+                "max_sampled_id"
+            ),
+        )
+    )
+
+
 @register(
     "shard_manifest",
     oracle="""
