@@ -96,6 +96,8 @@ AUDIT = [
     # two tiny aggs over quantized coords
     "rollup_heavy_hitters_cms",
     "zorder_clustered_scan",
+    # importance sampling: map-only hash threshold + one source agg
+    "weighted_bernoulli_sample",
 ]
 
 

@@ -61,6 +61,7 @@ CENSUS = [
     "corpus_version_diff",
     "rollup_heavy_hitters_cms",
     "zorder_clustered_scan",
+    "weighted_bernoulli_sample",
 ]
 
 
