@@ -483,7 +483,10 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def simhash_pairs(
-    sig: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    sig: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= k via 15-bit block candidates.
 
@@ -492,8 +495,26 @@ def simhash_pairs(
     after. Block width is the scale lever: 2^15 bucket values keep
     random-collision candidates ~n^2/32768 per block, so candidate
     volume tracks true near-duplicate density, not corpus size squared.
+
+    Dup-cluster blowup guard: identical signatures are COLLAPSED to one
+    representative (min id per signature) before the block join, then
+    member pairs are re-expanded afterward. On near-duplicate-dense
+    corpora (exact replicas are the overwhelmingly common case) this
+    turns the quadratic candidate join inside a dup cluster into a
+    linear expansion of the *output* pairs. Output-exact for ANY
+    ``max_hamming``: members of one signature group pair at hamming 0,
+    and a cross-group member pair shares a block iff its representative
+    pair does (same signatures). ``max_bucket`` additionally drops
+    degenerate (blk, val) buckets bigger than the cap, mirroring
+    ``minhash_candidates`` -- a recall-trading skew valve for 100-TB
+    runs (default None keeps the operator exact / oracle-matched).
     """
-    blocks = sig.select(
+    # --- collapse: one representative per distinct signature ---------
+    # groupBy runs with map-side partial aggregation, so a dup cluster
+    # of any size is skew-safe; the group table is 16 bytes/row.
+    groups = sig.groupBy("simhash").agg(F.min(id_col).alias("_rep"))
+    reps = groups.select(F.col("_rep").alias(id_col), "simhash")
+    blocks = reps.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
@@ -510,22 +531,49 @@ def simhash_pairs(
             )
         ).alias("bv"),
     ).select(id_col, "simhash", F.col("bv.blk").alias("blk"), F.col("bv.val").alias("val"))
+    if max_bucket is not None:
+        sizes = blocks.groupBy("blk", "val").agg(F.count("*").alias("bsz"))
+        blocks = blocks.join(
+            sizes.where(F.col("bsz") <= max_bucket), ["blk", "val"], "left_semi"
+        )
     a = blocks.select(
         F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"), "blk", "val"
     )
     b = blocks.select(
         F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"), "blk", "val"
     )
-    return (
+    rep_pairs = (
         a.join(b, ["blk", "val"])
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2", "sh1", "sh2")
         .distinct()
-        .withColumn(
-            "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
-        )
+        .withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
         .where(F.col("hamming") <= max_hamming)
-        .select("id1", "id2", "hamming")
+    )
+    # --- expand: within-group pairs (hamming 0) ----------------------
+    # The self-join on the full 60-bit signature only multiplies inside
+    # identical-signature groups, so its row count IS the output count.
+    m1 = sig.select(F.col(id_col).alias("id1"), "simhash")
+    m2 = sig.select(F.col(id_col).alias("id2"), "simhash")
+    within = (
+        m1.join(m2, "simhash")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.lit(0).cast("int").alias("hamming"))
+    )
+    # --- expand: cross-group pairs via each rep's member set ---------
+    g1 = sig.select(F.col(id_col).alias("_m1"), F.col("simhash").alias("sh1"))
+    g2 = sig.select(F.col(id_col).alias("_m2"), F.col("simhash").alias("sh2"))
+    cross = (
+        rep_pairs.join(g1, "sh1")
+        .join(g2, "sh2")
+        .select(
+            F.least("_m1", "_m2").alias("id1"),
+            F.greatest("_m1", "_m2").alias("id2"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross).withColumn(
+        "hamming", F.col("hamming").cast("int")
     )
 
 

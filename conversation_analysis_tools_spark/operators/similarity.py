@@ -326,11 +326,80 @@ def duplicate_pairs(
     counts: DataFrame | None = None,
 ) -> DataFrame:
     """N17: pairs with cosine >= threshold (default 0.8,
-    pipeline/duplicate_detector.py:127-167)."""
-    sims = pairwise_cosine(
-        tf_vectors(docs, id_col, text_col, counts), id_col, max_df, strategy, threshold
+    pipeline/duplicate_detector.py:127-167).
+
+    Exact-duplicate collapse: byte-identical texts (the overwhelmingly
+    common duplication mode in real corpora) are collapsed to one
+    representative (min id per md5(text)) BEFORE the pair join, then
+    member pairs are re-expanded. A dup cluster of size k costs k
+    expansion rows per surviving pair instead of k^2 inverted-index
+    join rows per shared term -- near-dup-heavy corpora are exactly
+    where dedup runs. Output-exact: identical texts have identical TF
+    vectors, so every cross-group member pair has its representative
+    pair's cosine, and within-group pairs score the representative's
+    self-cosine (1 up to fp noise; docs whose text yields no terms
+    have no vector and never pair, same as the direct plan).
+    """
+    from conversation_analysis_tools_spark.operators.cache import track
+
+    member = track(
+        docs.select(
+            F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_tsig")
+        )
     )
-    return sims.where(F.col("sim") >= threshold - THRESHOLD_EPS)
+    groups = track(
+        member.groupBy("_tsig").agg(F.min(id_col).alias("_rep"))
+    )
+    rep_ids = groups.select(F.col("_rep").alias(id_col))
+    docs_r = docs.join(rep_ids, id_col, "left_semi")
+    counts_r = (
+        counts.join(rep_ids, id_col, "left_semi") if counts is not None else None
+    )
+    tf = track(tf_vectors(docs_r, id_col, text_col, counts_r))
+    rep_sims = pairwise_cosine(tf, id_col, max_df, strategy, threshold).where(
+        F.col("sim") >= threshold - THRESHOLD_EPS
+    )
+    # --- expand: within-group pairs score the rep's self-cosine ------
+    # (inner join on selfdot drops term-less docs, matching the direct
+    # plan where they never enter the index). The _tsig self-join only
+    # multiplies inside identical-text groups: its row count IS the
+    # number of output pairs.
+    unit = _l2_normalize(tf, id_col)
+    selfdot = unit.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("sim")
+    )
+    m1 = member.select(F.col(id_col).alias("id1"), "_tsig")
+    m2 = member.select(F.col(id_col).alias("id2"), "_tsig")
+    within = (
+        m1.join(m2, "_tsig")
+        .where(F.col("id1") < F.col("id2"))
+        .join(groups, "_tsig")
+        .join(selfdot.withColumnRenamed(id_col, "_rep"), "_rep")
+        .where(F.col("sim") >= threshold - THRESHOLD_EPS)
+        .select("id1", "id2", "sim")
+    )
+    # --- expand: cross-group pairs inherit the rep pair's cosine -----
+    r2sig = groups.select("_rep", "_tsig")
+    g1 = member.select(F.col(id_col).alias("_m1"), F.col("_tsig").alias("_s1"))
+    g2 = member.select(F.col(id_col).alias("_m2"), F.col("_tsig").alias("_s2"))
+    cross = (
+        rep_sims.join(
+            r2sig.select(F.col("_rep").alias("id1"), F.col("_tsig").alias("_s1")),
+            "id1",
+        )
+        .join(
+            r2sig.select(F.col("_rep").alias("id2"), F.col("_tsig").alias("_s2")),
+            "id2",
+        )
+        .join(g1, "_s1")
+        .join(g2, "_s2")
+        .select(
+            F.least("_m1", "_m2").alias("id1"),
+            F.greatest("_m1", "_m2").alias("id2"),
+            "sim",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def near_duplicates_of(

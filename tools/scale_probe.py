@@ -120,6 +120,37 @@ def build_10x(spark, sf_dir: str) -> str:
     return out
 
 
+def build_10x_exact(spark, sf_dir: str) -> str:
+    """Replicate documents 10x with distinct ids and IDENTICAL text --
+    the byte-exact replication mode (mirrors, re-crawls, boilerplate
+    pages) that dominates real-corpus duplication. This is the case the
+    representative-collapse in simhash_pairs / duplicate_pairs targets:
+    candidate generation must run on ~n/10 distinct texts, with output
+    pairs re-expanded linearly."""
+    out = staging_dir("docs10xex", sf_dir)
+    marker = os.path.join(out, "_SUCCESS_10xex")
+    if not os.path.exists(marker):
+        docs = table(spark, "documents", sf_dir)
+        n = docs.count()
+        reps = (
+            docs.select(
+                "doc_id",
+                "text",
+                F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep"),
+            )
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(n * 10)).alias("doc_id"),
+                F.col("text"),
+            )
+            .withColumn("source", F.lit("replica"))
+            .withColumn("lang", F.lit("en"))
+            .withColumn("n_chars", F.length("text"))
+        )
+        reps.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+        open(marker, "w").close()
+    return out
+
+
 def main() -> None:
     skip_10x = "--skip-10x" in sys.argv
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -154,6 +185,25 @@ def main() -> None:
             # the operator's job; pulling it to the driver is not.
             t_small = best_of(lambda: qs[name](spark, SF_DIRS[2]).count())
             t_big = best_of(lambda: qs[name](spark, big_dir).count())
+            lines.append(
+                f"| {name} | {t_small} s | {t_big} s | {round(t_big / max(t_small, 0.01), 1)}x |"
+            )
+            print(lines[-1], flush=True)
+
+        ex_dir = build_10x_exact(spark, SF_DIRS[2])
+        lines += [
+            "",
+            "Byte-exact replication (documents sf0.1 x10, identical "
+            "text, distinct ids) -- the representative-collapse target "
+            "case; pair output is ~45 pairs/doc so wall growth tracks "
+            "output size, not candidate volume:",
+            "",
+            "| query | sf0.1 (5k docs) | 10x exact (50k docs) | x10 rows -> x wall |",
+            "|---|---|---|---|",
+        ]
+        for name in ["dedup_simhash", "nlp_duplicate_pairs"]:
+            t_small = best_of(lambda: qs[name](spark, SF_DIRS[2]).count())
+            t_big = best_of(lambda: qs[name](spark, ex_dir).count())
             lines.append(
                 f"| {name} | {t_small} s | {t_big} s | {round(t_big / max(t_small, 0.01), 1)}x |"
             )
