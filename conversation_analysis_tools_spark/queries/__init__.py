@@ -28,146 +28,47 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 #
 # The external driver records correctness rows for only the FIRST 50
 # entries of ``__spark_entry__.queries()`` per round, so registration
-# order is a scarce verification window. This list pins which queries
-# occupy that window this round; everything not listed follows in
-# module-registration order. Rotation policy: queries that already
-# have a green driver row from a prior round fall to the back; never-
-# checked and just-fixed queries come first.
+# order is a scarce verification window. This list pins ONLY the
+# current round's new/changed-plan queries; everything else is
+# AUTO-RANKED by ordered_registry() from the CORRECTNESS_r*.json
+# history -- never-checked oracled queries first, then oldest-green
+# ascending -- so rotation needs no manual bookkeeping.
 #
-# Rotation cadence rule (VERDICT r2 item 9): every oracled query must
-# have a driver row at most 2 rounds old. Each round: (a) promote every
-# never-checked oracled query, (b) then the queries fixed/changed this
-# round, (c) backfill with the OLDEST-green queries so nothing ages
-# past 2 rounds. Queries green in the immediately-preceding round go to
-# the back.
+# Rotation cadence rule (restated per VERDICT r3 item 5): with 151
+# oracled queries and a 50-slot window, a "<=2 rounds stale" cadence is
+# arithmetically impossible (needs >=76 slots/round). The guarantee the
+# auto-ranking actually provides -- enforced mechanically by
+# tests/test_rollup_audit.py::test_rotation_staleness_bound -- is that
+# an oracled query's driver row is refreshed at least every
+# ceil(O / (50 - len(VERIFY_PRIORITY))) rounds (O = oracled count),
+# i.e. <=3-round staleness at today's sizes when the manual list stays
+# small. Keeping this list to genuinely-changed plans IS the cadence
+# discipline.
 #
-# Round-3 window: the 33 oracled queries that had never had a driver
-# row through round 2 (verified locally green at sf0.01 AND sf0.1
-# against this round's regenerated testdata), then this round's
-# fixed/new queries (norms-broadcast fix re-verification, hash-based
-# samplers, ANN recall certificate, strict TextRank), then the six
-# round-1-fixed + flagship for regression cover.
-#
-# Round-4 must-rotate (green only in r1 => 2 rounds old after r3; the
-# cadence rule says promote ALL of these): boolean_search,
-# context_window, count_distinct, cube_rollup_counts,
-# date_range_filter, group_concat_sorted, group_counts, having_filter,
-# histogram_buckets, in_list_filter, join_enrich_pct, join_workhorse,
-# json_group_export, lag_day_over_day, left_join_keep_empty,
-# length_filter, nlp_idf, nlp_tf_max, nlp_tf_sum, nlp_token_stats,
-# ordered_id_join, pair_join_unconstrained, per_group_share,
-# quantile_filter, ratio_of_aggregates, rolling_avg_daily,
-# row_number_order, semi_join_exists, set_except_users,
-# sql_endpoint_rollup, stats_summary, stddev_agg, substring_search,
-# time_bucketed_agg, top_k_orders, top_n_per_group, top_values,
-# topic_cooccurrence_filter (38 -- fills 38 of 50 slots). The
-# remaining slots: the 8 oracled queries added late in round 3 that
-# never fit the r3 window (audience_overlap_theta,
-# rollup_quantiles_binned, streaming_hll_maintenance,
-# image_phash_dedup, semdedup_fixed, rollup_heavy_hitters_cms,
-# zorder_clustered_scan, weighted_bernoulli_sample -- the age
-# ranking auto-promotes all never-checked names first), plus
-# nlp_near_duplicates /
-# pipeline_analysis_results (displaced from the r3 window; their
-# shared similarity path was re-verified via nlp_duplicate_pairs and
-# the full sf0.1 sweep). Round 4 should REPLACE this manual list with
-# only its own new/changed names -- ordered_registry() handles the
-# rest from CORRECTNESS history.
+# Round-4 window: the 13 oracled queries with no driver row through r3
+# (rollup_quantiles_binned, semdedup_fixed, boilerplate_line_removal,
+# rollup_heavy_hitters_cms, zorder_clustered_scan, pca_fixed_projection,
+# streaming_hll_maintenance, image_phash_dedup, weighted_bernoulli_sample,
+# shard_manifest, data_recipe_epochs, audience_overlap_theta,
+# corpus_version_diff) auto-promote first, then the 39 r1-green names
+# backfill oldest-first; the handful that spill carry to round 5 at the
+# top of the age ranking. The manual list below holds only the queries
+# whose PHYSICAL PLAN changed this round (exact-duplicate
+# representative-collapse in simhash_pairs / duplicate_pairs): their
+# outputs are proven locally oracle-identical, but the driver row is
+# the hard signal.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
-    # --- never driver-checked through round 2 (33) ---
-    # text analytics A15-A20
-    "word_frequency_top5",
-    "vocab_common_terms",
-    "topic_cooccurrence_matrix",
-    "topic_case_agg",
-    "sentiment_wordcount",
-    "complexity_stats",
-    # NLP tail N11, N19-N20, N25-N26, N29
-    "nlp_sentence_stats",
-    "nlp_connected_components",
-    "nlp_unique_docs",
-    "nlp_priority_distribution",
-    "nlp_topic_search",
-    "embedding_generation",
-    # corpus-construction tail
-    "bigram_logprob",
-    "doc_chunks",
-    "dsir_importance",
-    "stratified_cap",
-    "corpus_length_percentiles",
-    # dedup tail
-    "dedup_substring_spans",
-    # NEW round-3: the transformation half of Lee et al. span dedup
-    "dedup_span_removal",
-    "near_dup_canonicalize",
-    "dedup_edit_distance",
-    "decontamination_minhash",
-    # quality gates
-    "gopher_quality_flags",
-    "c4_line_clean",
-    # streaming tail
-    "window_tumbling_hourly",
-    "window_sliding_2h1h",
-    "session_windows_30m",
-    "streaming_dedup_first",
-    "streaming_rollup_maintenance",
-    # behavior + layout
-    "anomaly_daily_zscore",
-    "salted_skew_join",
-    "partition_pruned_scan",
-    "asof_last_signup",
-    "range_join_5min",
-    # --- changed/new this round ---
-    # norms-broadcast + single-digest-minhash re-verification
-    # (operators/similarity.py, operators/dedup.py); nlp_near_duplicates
-    # shares the same inverted-cosine path and was verified at sf0.1
-    # this round, so duplicate_pairs alone covers the window slot --
-    # freeing one for the new HLL rollup certificate
+    # round-4 changed plans: representative-collapse before the pair
+    # joins (operators/dedup.py simhash_pairs, operators/similarity.py
+    # duplicate_pairs) -- these four consume the changed operators with
+    # distinct downstream shapes (raw pairs, hamming pairs, CC over
+    # pairs, full pipeline)
     "nlp_duplicate_pairs",
-    # NEW round-3: mergeable distinct-count rollup (DataSketches HLL)
-    "rollup_distinct_hll",
-    # samplers made oracle-able via deterministic hash sampling
-    "random_sample",
-    "limit_sample",
-    "approx_stats",
-    # ANN approximate-index recall certificate
-    "ann_recall_eval",
-    # strict-oracle TextRank (N13/N14)
-    "textrank_scores",
-    "doc_summaries_fixed",
-    # fixed-corpus certificates for iterative/ML paths (PageRank, N28,
-    # distilled-classifier accuracy, PCA projection)
-    "pagerank_fixed",
-    "kmeans_fixed_clusters",
-    "classifier_accuracy_cert",
-    # NEW round-3: planted-replica detection-recall certificate for
-    # the near-dup family (displaces pca_fixed_projection, which the
-    # age ranking auto-promotes in round 4)
-    "dedup_recall_eval",
-    # NEW round-3: ingest-time streaming near-dup admission with the
-    # sequential-greedy strict oracle (displaces the flagship
-    # pipeline_analysis_results, r2-green: its duplicate_pairs path is
-    # already re-verified in-window by nlp_duplicate_pairs /
-    # nlp_near_duplicates, and the age ranking re-promotes it next
-    # round)
-    "streaming_neardup_dedup",
-    # new this round: VARIANT-typed metadata extraction, and the
-    # transformWithState cumulative-totals operator (batch-identical
-    # semantics; TWS path import-gated on protobuf)
-    "variant_props_extract",
-    "stateful_user_totals",
-    # Bloom-prefiltered contamination scan (operators/bloom.py) --
-    # exact result (verify join removes FPs), strict oracle
-    "decontamination_bloom",
-    # Slots beyond this list are AUTO-RANKED by ordered_registry():
-    # never-checked oracled queries first, then oldest-green by the
-    # CORRECTNESS_r*.json ages, so future rounds need no manual
-    # rotation edits here -- only this round's NEW/CHANGED queries
-    # belong in this list. (event_response_time r1-green and
-    # semdedup_fixed never-checked were manual entries through r3;
-    # the age ranking now places them.)
+    "dedup_simhash",
+    "nlp_connected_components",
+    "pipeline_analysis_results",
 ]
 
 

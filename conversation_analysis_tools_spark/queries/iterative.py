@@ -317,6 +317,44 @@ def doc_summaries_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pinned key nodes: (doc_id, sent_idx, norm_x1e6) -- scores
+#: max-normalized within doc, kept at >= 0.9 (summarizer.py:244-284).
+#: Doc 1 sentence 2 (0.918416) pins a non-degenerate survivor; doc 1
+#: sentence 1 (0.880421) sits just below the cut, certifying the
+#: threshold itself. tests/test_summarizer.py recomputes from the
+#: pure-Python reference formula.
+KEY_NODES_FIXED_EXPECTED: list[tuple[int, int, int]] = [
+    (0, 2, 1_000_000),
+    (1, 0, 1_000_000),
+    (1, 2, 918_416),
+]
+
+
+@register(
+    "textrank_key_docs_fixed",
+    oracle=_values_oracle(KEY_NODES_FIXED_EXPECTED, "doc_id, sent_idx, norm_x1e6"),
+)
+def textrank_key_docs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N15 key sentences by threshold on the fixed corpus, via the
+    real distributed path (doc_sentences -> applyInPandas TextRank ->
+    window max-normalize -> threshold filter). The strict sibling of
+    the rows-only ``textrank_key_docs``: scores max-normalized within
+    doc, kept at >= 0.9, serialized as 1e-6-scaled ints
+    (summarizer.py:244-284); sf_dir unused by design."""
+    sents = TR.doc_sentences(_fixed_docs(spark)).select(
+        F.col("doc_id").cast("string").alias("doc"),
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "tokens",
+    )
+    ranked = TR.textrank_rank(sents, "doc", "sent_idx", "tokens")
+    key = TR.key_nodes_by_threshold(ranked, "doc", threshold=0.9)
+    return key.select(
+        F.col("doc").cast("int").alias("doc_id"),
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        F.round(F.col("norm_score") * 1_000_000).cast("bigint").alias("norm_x1e6"),
+    )
+
+
 @register("doc_summaries", oracle=None)
 def doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N13/N14 sentence-grain summarization: per-document TextRank

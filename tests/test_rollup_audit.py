@@ -72,3 +72,48 @@ def test_verification_window_auto_ranking():
     ]
     assert keys == sorted(keys), "auto-ranked tail is not age-ordered"
     assert set(order) == set(REGISTRY), "ordering must be a permutation"
+
+
+def test_rotation_staleness_bound():
+    """Cadence guarantee, enforced mechanically: simulate the driver
+    marking the first 50 of the age-ranked registry green each round
+    (the ordered_registry() policy with the manual list occupying its
+    current share of the window) and assert every oracled query's
+    refresh gap stays within ceil(O / free_slots) rounds -- <=3-round
+    staleness at today's sizes (151 oracled, small manual list)."""
+    import math
+
+    from conversation_analysis_tools_spark.queries import (
+        REGISTRY,
+        VERIFY_PRIORITY,
+        ordered_registry,
+    )
+
+    window = 50
+    oracled = [n for n in ordered_registry() if REGISTRY[n].oracle is not None]
+    manual = [n for n in VERIFY_PRIORITY if n in REGISTRY]
+    free = window - len(manual)
+    bound = math.ceil(len(oracled) / free)
+    assert bound <= 4, (
+        f"manual list too fat: {len(manual)} pinned slots push the "
+        f"rotation period to {bound} rounds -- keep VERIFY_PRIORITY to "
+        "this round's genuinely-changed plans"
+    )
+
+    # steady-state simulation of the auto-ranking (never-checked rank
+    # first, then oldest-green; registration order breaks ties)
+    last_green = {n: 0 for n in oracled}  # 0 = never checked
+    worst_gap = 0
+    for rnd in range(1, 4 * bound + 1):
+        ranked = sorted(last_green, key=lambda n: last_green[n])
+        for name in manual + ranked[:free]:
+            if name in last_green:
+                prev = last_green[name]
+                if prev:
+                    worst_gap = max(worst_gap, rnd - prev)
+                last_green[name] = rnd
+    assert worst_gap <= bound, (
+        f"simulated refresh gap {worst_gap} exceeds the {bound}-round bound"
+    )
+    # and nothing is left unchecked once the simulation warms up
+    assert min(last_green.values()) > 0, "some oracled query never enters the window"

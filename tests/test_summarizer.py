@@ -179,3 +179,24 @@ def test_fixed_corpus_pinned_literals():
         n, s = summarize_text(text, stop, 3, 0.85)
         summ_expected.append((doc_id, n, s))
     assert summ_expected == SUMMARY_FIXED_EXPECTED
+
+    from conversation_analysis_tools_spark.queries.iterative import (
+        KEY_NODES_FIXED_EXPECTED,
+    )
+
+    key_expected = []
+    for doc_id, text in TEXTRANK_FIXED_CORPUS:
+        parts = [s.strip() for s in re.split(r"[.!?]+", text) if s.strip()]
+        sentences = [s for s in parts if len(s.split()) >= 3]
+        sets = [
+            {w for w in re.findall(r"\b[a-z]{3,}\b", s.lower()) if w not in stop}
+            for s in sentences
+        ]
+        scores = _textrank_scores(sets, 0.85)
+        mx = max(scores)
+        for i, sc in enumerate(scores):
+            if sc / mx >= 0.9:
+                key_expected.append(
+                    (doc_id, i, int(math.floor(sc / mx * 1_000_000 + 0.5)))
+                )
+    assert key_expected == KEY_NODES_FIXED_EXPECTED
