@@ -33,6 +33,10 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     The shuffle moves only the raw rows -- far cheaper than computing
     the derived arrays single-threaded. At 100 TB the scan already has
     thousands of splits and this is a no-op.
+
+    ``df.rdd.getNumPartitions()`` forces an RDD conversion of the
+    logical plan -- a bounded, build-time-only cost (no job runs); the
+    DataFrame API exposes no cheaper partition-count probe.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -300,12 +300,18 @@ def dhash60(content: bytes, fake: bool = False) -> int:
     return h
 
 
-def phash_column(media: DataFrame, fake: bool = True) -> DataFrame:
+def phash_column(media: DataFrame, fake: bool = False) -> DataFrame:
     """(media_id, simhash): the dHash as a column, computed in one
     Arrow-batched mapInPandas pass (the only Python stage); named
     ``simhash`` so the JVM-side hamming-block candidate join
     (operators/dedup.simhash_pairs) applies verbatim. NULL payloads
-    carry no perceptual content and are dropped before the stage."""
+    carry no perceptual content and are dropped before the stage.
+
+    ``fake`` defaults to False (same as :func:`dhash60`): the public
+    dedup primitive must never silently hash the first payload bytes
+    instead of decoded pixels -- real corpora without PIL get a
+    NotImplementedError; tests and the registered queries opt into the
+    deterministic double explicitly."""
     media = media.where(F.col("content").isNotNull())
     schema = StructType(
         [StructField("media_id", LongType()), StructField("simhash", LongType())]
@@ -324,7 +330,7 @@ def phash_column(media: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def image_neardup_pairs(
-    media: DataFrame, max_hamming: int = 3, fake: bool = True
+    media: DataFrame, max_hamming: int = 3, fake: bool = False
 ) -> DataFrame:
     """Perceptual image near-dup pairs: decode -> dHash (Python,
     Arrow-batched, map-only) -> 15-bit-block pigeonhole candidates ->

@@ -682,8 +682,9 @@ def quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
         # Materialize before unpersist so the cached rank map is not
-        # recomputed (and the map stays deterministic).
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        # recomputed (and the map stays deterministic); localCheckpoint
+        # keeps the 10-row result executor-side (no driver round-trip).
+        return out.localCheckpoint(eager=True)
     finally:
         local.unpersist()
 

@@ -73,7 +73,12 @@ def boolean_predicate(expr: str, text_col: str = "text") -> Column:
     """``a AND b NOT c OR d`` -> one Catalyst predicate
     (sql_search.py:299-349 builds the same LIKE tree). OR binds
     loosest; within an OR-branch, terms chain with AND and a NOT
-    prefix negates the following term."""
+    prefix negates the following term.
+
+    Only UPPERCASE ``AND``/``OR``/``NOT`` are operators: lowercase
+    ``and``/``or``/``not`` fall through to literal search terms, so
+    the operator words themselves stay searchable (matching is still
+    case-insensitive on the text side)."""
     low = F.lower(F.col(text_col))
     branch = None
     pred = None
@@ -81,7 +86,7 @@ def boolean_predicate(expr: str, text_col: str = "text") -> Column:
     i = 0
     while i < len(toks):
         tok = toks[i]
-        up = tok.upper()
+        up = tok if tok in ("AND", "OR", "NOT") else None
         if up == "OR":
             if branch is None or i == len(toks) - 1:
                 raise ValueError(f"dangling OR in {expr!r}")
@@ -92,7 +97,7 @@ def boolean_predicate(expr: str, text_col: str = "text") -> Column:
             i += 1
             # "a AND NOT b": AND may be followed by a NOT operator,
             # not a literal term
-            if not neg and i < len(toks) and toks[i].upper() == "NOT":
+            if not neg and i < len(toks) and toks[i] == "NOT":
                 neg = True
                 i += 1
             if i >= len(toks):
@@ -127,7 +132,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("query", nargs="?", help="keyword for snippet search")
     p.add_argument("--data", default="/root/testdata/sf0.001", help="sf dir")
-    p.add_argument("--boolean", help="boolean expression: a AND b NOT c OR d")
+    p.add_argument(
+        "--boolean",
+        help="boolean expression: a AND b NOT c OR d (operators must be "
+        "UPPERCASE; lowercase and/or/not are searched as literal terms)",
+    )
     p.add_argument("--sql", help="ad-hoc SQL over the registered tables")
     p.add_argument("--stats", action="store_true", help="per-source summary")
     p.add_argument("--limit", type=int, default=20, help="rows to print")

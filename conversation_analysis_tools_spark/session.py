@@ -38,16 +38,40 @@ def _local_scratch() -> str | None:
     take this path (non-local master): scratch placement there
     belongs to the cluster config (SSD-backed ``spark.local.dir`` per
     node / DFS checkpoints)."""
-    d = "/dev/shm/cats-spark-scratch"
+    root = "/dev/shm/cats-spark-scratch"
     try:
+        # capacity probe BEFORE creating anything: a crowded tmpfs
+        # must not even get the (empty) scratch root
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize < 32 * 1024**3:
+            return None
+        # per-process scratch dir + sweep of dead sessions' debris:
+        # crashed JVMs leave blockmgr-*/spark-* trees that would pin
+        # RAM until reboot. Each session owns root/pid-<pid>; a
+        # sibling whose pid is gone is guaranteed stale.
+        d = os.path.join(root, f"pid-{os.getpid()}")
         os.makedirs(d, exist_ok=True)
+        for entry in os.listdir(root):
+            if not entry.startswith("pid-"):
+                continue
+            try:
+                pid = int(entry[4:])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)  # raises if the owning process is dead
+            except ProcessLookupError:
+                import shutil
+
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            except OSError:
+                pass  # alive but not ours (EPERM) -- leave it
         probe = os.path.join(d, ".probe")
         with open(probe, "w"):
             pass
         os.remove(probe)
-        st = os.statvfs(d)
-        if st.f_bavail * st.f_frsize < 32 * 1024**3:
-            return None
         return d
     except OSError:
         return None

@@ -229,4 +229,9 @@ def stream_neardup_dedup(
             f"near-dup drain did not finish within {timeout_sec}s; "
             "store holds a PARTIAL admission set -- not returning it"
         )
-    return spark.read.parquet(os.path.join(store_dir, "arrs")).select("doc_id")
+    arrs_path = os.path.join(store_dir, "arrs")
+    if not os.path.exists(arrs_path):
+        # zero source files -> no fold ever ran -> empty admission set
+        # (reading the never-created store would raise AnalysisException)
+        return spark.createDataFrame([], "doc_id bigint")
+    return spark.read.parquet(arrs_path).select("doc_id")

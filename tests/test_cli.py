@@ -121,6 +121,32 @@ def test_boolean_predicate_parsing(spark):
         boolean_predicate("")
 
 
+def test_boolean_operator_words_searchable_lowercase(spark):
+    """Lowercase and/or/not are literal terms, not operators -- the
+    operator words themselves stay searchable (ADVICE r3)."""
+    from conversation_analysis_tools_spark.search import boolean_predicate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "salt and pepper"),
+            (2, "salt pepper"),
+            (3, "to be or not to be"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def ids(expr):
+        return sorted(
+            r[0] for r in docs.where(boolean_predicate(expr)).select("doc_id").collect()
+        )
+
+    # lowercase 'and' is a term: only doc 1 contains "and"
+    assert ids("and") == [1]
+    assert ids("salt AND and") == [1]
+    # a single lowercase operator word must not raise
+    assert ids("not") == [3]
+
+
 def test_search_cli_end_to_end(tmp_path, capsys):
     from conversation_analysis_tools_spark.search import main as search_main
 

@@ -37,6 +37,16 @@ def _stage(spark, docs, src, n_files):
         os.utime(dst, (1_000_000 + k, 1_000_000 + k))
 
 
+def test_empty_source_returns_empty_admission(spark, tmp_path):
+    """Zero source files -> no fold ever runs -> empty doc_id set, not
+    an AnalysisException on the never-created store (ADVICE r3)."""
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src, exist_ok=True)
+    kept = stream_neardup_dedup(spark, src, str(tmp_path / "store"))
+    assert kept.columns == ["doc_id"]
+    assert kept.count() == 0
+
+
 def test_stream_admits_first_drops_exact_dup(spark, sample_docs, tmp_path):
     """sample_docs: doc 5 is an exact copy of doc 0 -> doc 5 dropped,
     everything else admitted (the other five texts are dissimilar)."""
