@@ -63,6 +63,13 @@ DENSE_MAX_N = 100_000
 #: volume is n * B vector rows.
 DENSE_BLOCK_ROWS = 2_000
 
+#: Exact-duplicate fraction below which duplicate_pairs skips the
+#: representative-collapse rewrite: the rep semi-joins + expansion
+#: joins only pay for themselves once dup clusters materially inflate
+#: the pair join (approx_count_distinct probe, so an absolute floor of
+#: 16 also absorbs HLL estimation error on dup-free corpora).
+DUP_COLLAPSE_MIN_FRAC = 0.05
+
 
 def pairwise_cosine(
     tf: DataFrame,
@@ -339,14 +346,40 @@ def duplicate_pairs(
     pair's cosine, and within-group pairs score the representative's
     self-cosine (1 up to fp noise; docs whose text yields no terms
     have no vector and never pair, same as the direct plan).
+
+    The collapse is ADAPTIVE (a physical-strategy probe, like the
+    dense-vs-inverted choice in pairwise_cosine): one cheap map-side
+    job estimates the exact-dup count via approx_count_distinct over
+    md5(text); below DUP_COLLAPSE_MIN_FRAC the direct plan runs --
+    on a dup-light corpus the rep semi-joins and expansion joins are
+    pure overhead (~+30% measured at sf0.1's 8 dups / 5k docs).
+    Either path yields the identical pair set.
     """
     from conversation_analysis_tools_spark.operators.cache import track
 
-    member = track(
-        docs.select(
-            F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_tsig")
-        )
+    member = docs.select(
+        F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_tsig")
     )
+    # probe runs on the UNPERSISTED member projection: the agg is one
+    # map-side-combined pass over (id, 16B) rows; caching it would cost
+    # a storage write the (common) direct path never reads back
+    stats = member.agg(
+        F.count("*").alias("n"),
+        # rsd 0.01: keeps the HLL's 1-sigma error ~5x below the 5%
+        # decision threshold, so a dup-free corpus never trips it
+        F.approx_count_distinct("_tsig", 0.01).alias("nd"),
+    ).first()
+    n_docs, n_distinct = stats["n"], stats["nd"]
+    if n_docs - n_distinct <= max(16, DUP_COLLAPSE_MIN_FRAC * n_docs):
+        sims = pairwise_cosine(
+            tf_vectors(docs, id_col, text_col, counts),
+            id_col,
+            max_df,
+            strategy,
+            threshold,
+        )
+        return sims.where(F.col("sim") >= threshold - THRESHOLD_EPS)
+    member = track(member)  # collapse path: 3 consumers below
     groups = track(
         member.groupBy("_tsig").agg(F.min(id_col).alias("_rep"))
     )

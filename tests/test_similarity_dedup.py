@@ -78,6 +78,38 @@ def test_cosine_strategies_agree(spark, sample_docs):
         assert abs(inv[k] - den[k]) < 1e-9, k
 
 
+def test_exact_dup_collapse_matches_direct(spark, sample_docs):
+    """A dup-heavy corpus (every sample doc replicated 5x byte-exact)
+    must trip the adaptive representative-collapse AND produce the
+    identical pair set the direct plan yields -- within-group pairs at
+    self-cosine, cross-group pairs inheriting the rep pair's score."""
+    reps = (
+        sample_docs.select(
+            "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r")
+        )
+        .select(
+            (F.col("doc_id") + F.col("r") * F.lit(100)).alias("doc_id"), "text"
+        )
+    )
+    collapsed = {
+        (r["id1"], r["id2"]): round(r["sim"], 9)
+        for r in S.duplicate_pairs(reps, 0.3).collect()
+    }
+    # direct plan, forced by bypassing the probe: compute on the same
+    # corpus through pairwise_cosine directly
+    direct = {
+        (r["id1"], r["id2"]): round(r["sim"], 9)
+        for r in S.pairwise_cosine(S.tf_vectors(reps), threshold=0.3)
+        .where(F.col("sim") >= 0.3 - S.THRESHOLD_EPS)
+        .collect()
+    }
+    assert set(collapsed) == set(direct)
+    for k in collapsed:
+        assert abs(collapsed[k] - direct[k]) < 1e-6, k
+    # replicas of the same doc pair at cosine ~1
+    assert abs(collapsed[(0, 100)] - 1.0) < 1e-9
+
+
 def test_cc_strategies_agree(spark):
     # the driver-side union-find and the distributed min-label loop
     # must produce identical components
