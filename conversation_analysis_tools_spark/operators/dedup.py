@@ -442,10 +442,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     Fully MAP-ONLY: the md5 prefix parses once per token into a
     60-bit BIGINT (bit b of the signature = bit 59-b, bit-exact with
     the digit-at-a-time formula the DuckDB oracle uses), and the 60
-    bit-sums are per-row higher-order aggregates over the token
-    array -- no (doc, term) shuffle, no 60-buffer hash aggregate.
-    Measured 7x over the explode+groupBy form at sf0.1; at 100 TB the
-    signature stage costs exactly one corpus scan.
+    bit-sums accumulate in ONE aggregate pass over the token array
+    with a 60-wide array accumulator (zip_with) -- no (doc, term)
+    shuffle, no 60-buffer hash aggregate, and crucially not 60
+    *separate* interpreted aggregate passes: HOF lambdas evaluate
+    outside codegen, so per-row aggregate SETUP costs ~60x more than
+    the adds themselves on short docs (measured: the 60-pass form was
+    6.2 s vs 1.1 s single-pass on a 50k-doc ~200-token corpus, and
+    0.96 s vs 0.39 s at sf0.1). At 100 TB the signature stage costs
+    exactly one corpus scan.
     """
     from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
 
@@ -459,13 +464,14 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         ).cast("bigint"),
     )
     hv_df = toks.select(F.col(id_col), hvs.alias("_hvs"))
-    bits = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
-    sums = F.transform(
-        bits,
-        lambda b: F.aggregate(
-            "_hvs",
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
+    bit_idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    sums = F.aggregate(
+        "_hvs",
+        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, b: a
             + 2 * F.bit_get(h, F.lit(SIMHASH_BITS - 1) - b).cast("bigint")
             - 1,
         ),

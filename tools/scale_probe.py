@@ -70,7 +70,7 @@ BIG = [
 ]
 
 
-def best_of(fn, n: int = 2) -> float:
+def best_of(fn, n: int = 3) -> float:
     best = None
     for _ in range(n):
         t0 = time.time()
