@@ -214,7 +214,7 @@ def main() -> None:
     body = (
         "## Measured scaling (tools/scale_probe.py)\n"
         "\n"
-        "Wall seconds, best-of-2, local[32]; every query carries\n"
+        "Wall seconds, best-of-3, local[32]; every query carries\n"
         "~0.3-1 s fixed job overhead, so sub-linear wall growth across\n"
         "a 100x data sweep is the signature of a scan-bound plan. The\n"
         "pair-generating operators are additionally run on a 10x\n"
