@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from conversation_analysis_tools_spark.functions.lits import array_lit
+
 # Default English stopwords -- the reference's exact set
 # (pipeline/relevance_scorer.py:28-42).
 STOPWORDS: tuple[str, ...] = (
@@ -58,7 +60,7 @@ def tokens_expr(text: Column | str, keep_stopwords: bool = False) -> Column:
     raw = raw_tokens_expr(text)
     if keep_stopwords:
         return raw
-    return F.array_except(raw, F.array(*[F.lit(w) for w in STOPWORDS]))
+    return F.array_except(raw, array_lit(sorted(STOPWORDS)))
 
 
 def tokens_with_dupes_expr(text: Column | str) -> Column:
@@ -68,7 +70,7 @@ def tokens_with_dupes_expr(text: Column | str) -> Column:
     multiset, so filter with a higher-order function instead.
     """
     raw = raw_tokens_expr(text)
-    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop = array_lit(sorted(STOPWORDS))
     return F.filter(raw, lambda t: ~F.array_contains(stop, t))
 
 

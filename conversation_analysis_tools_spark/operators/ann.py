@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from conversation_analysis_tools_spark.functions.lits import matrix_lit
 from conversation_analysis_tools_spark.functions.vector import cosine_expr, dot_expr
 
 DEFAULT_N_PLANES = 8
@@ -43,13 +44,25 @@ def hyperplane_bucket_expr(
 ):
     """Bucket id column: sum_i (dot(v, h_i) > 0) << i. ``table_id``
     seeds an independent plane set per LSH table."""
-    planes = _hyperplanes(dim, n_planes, table_id)
-    bucket = F.lit(0)
-    for i in range(n_planes):
-        h = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = F.when(dot_expr(F.col(vec_col), h) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket.cast("int")
+    planes = matrix_lit(_hyperplanes(dim, n_planes, table_id))
+    # One transform over the plane matrix, which therefore appears
+    # ONCE in the analyzed tree: n_planes separate dot-product folds
+    # each re-inline their plane literal, and the analyzer walk over
+    # that n_planes-times-larger tree costs whole seconds of driver
+    # time per query build. Values are unchanged -- same left-to-right
+    # zip_with/aggregate fold per plane, same sign test, same bit
+    # weights -- so bucket ids (and every oracled consumer) are
+    # bit-identical.
+    bits = F.transform(
+        planes,
+        lambda h, i: F.when(
+            dot_expr(F.col(vec_col), h) > 0,
+            # the F.shiftleft wrapper only takes a Python-int shift;
+            # the SQL function itself accepts a column
+            F.call_function("shiftleft", F.lit(1), i),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, b: a + b).cast("int")
 
 
 def with_buckets(
@@ -188,15 +201,22 @@ def kmeans_centroids(
     return np.array(model.clusterCenters())
 
 
-def _centroid_dists(vec_col, centroids: np.ndarray):
-    """List of squared-L2 distance expressions, one per centroid --
-    zip_with/aggregate stays in whole-stage codegen."""
-    out = []
-    for c in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in c])
-        diff2 = F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b))
-        out.append(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
-    return out
+def _centroid_dist_array(vec_col, centroids: np.ndarray):
+    """array<double> of squared-L2 distances to every centroid: one
+    nested-HOF transform over the centroid matrix, so the matrix
+    literal appears ONCE in the analyzed tree (C separate fold
+    expressions re-inline it C times and analysis alone costs seconds
+    of driver time per build). Fold order per centroid is unchanged,
+    so distances are bit-identical to the per-centroid form."""
+    mat = matrix_lit(centroids)
+    return F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def ivf_assign(
@@ -207,7 +227,7 @@ def ivf_assign(
     min -- no Python in the scan. At 100 TB, write the table
     partitioned/bucketed by centroid_id so each list is a contiguous
     scan unit."""
-    dists = F.array(*_centroid_dists(vec_col, centroids))
+    dists = _centroid_dist_array(vec_col, centroids)
     cid = F.array_position(dists, F.array_min(dists)) - 1
     return emb.withColumn("centroid_id", cid.cast("int"))
 
@@ -233,11 +253,9 @@ def ivf_topk(
     """
     from conversation_analysis_tools_spark.functions.vector import cosine_expr
 
-    pairs = F.array(
-        *[
-            F.struct(d.alias("d"), F.lit(i).alias("cid"))
-            for i, d in enumerate(_centroid_dists(vec_col, centroids))
-        ]
+    pairs = F.transform(
+        _centroid_dist_array(vec_col, centroids),
+        lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
     )
     probes = (
         queries.select(

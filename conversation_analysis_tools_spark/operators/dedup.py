@@ -651,7 +651,10 @@ def embedding_dup_pairs(
     crossJoin: same exact result, bounded per-task memory, no
     nested-loop join.
     """
-    from conversation_analysis_tools_spark.functions.vector import cosine_expr
+    from conversation_analysis_tools_spark.functions.vector import (
+        dot_expr,
+        norm_expr,
+    )
 
     if block_col is None:
         from conversation_analysis_tools_spark.operators.similarity import (
@@ -660,25 +663,29 @@ def embedding_dup_pairs(
 
         return blocked_cosine_pairs(emb, id_col, vec_col, threshold)
 
+    # norms hoisted to per-ROW (Catalyst does no CSE inside lambda
+    # bodies, so inline cosine_expr re-folds both norms per PAIR --
+    # 3 interpreted folds/pair vs 1 here). Same fold order over the
+    # same values, so sim is bit-identical to cosine_expr.
     a = emb.select(
         F.col(block_col),
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("v1"),
+        norm_expr(vec_col).alias("_n1"),
     )
     b = emb.select(
         F.col(block_col),
         F.col(id_col).alias("id2"),
         F.col(vec_col).alias("v2"),
+        norm_expr(vec_col).alias("_n2"),
     )
+    sim = F.when(
+        (F.col("_n1") == 0) | (F.col("_n2") == 0), F.lit(0.0)
+    ).otherwise(dot_expr("v1", "v2") / (F.col("_n1") * F.col("_n2")))
     return (
         a.join(b, [block_col])
         .where(F.col("id1") < F.col("id2"))
-        .select(
-            F.col(block_col),
-            "id1",
-            "id2",
-            cosine_expr("v1", "v2").alias("sim"),
-        )
+        .select(F.col(block_col), "id1", "id2", sim.alias("sim"))
         .where(F.col("sim") >= threshold)
     )
 
@@ -914,7 +921,7 @@ def semdedup_prune(
     Returns (id, centroid_id, centroid_dist, component, keep).
     """
     from conversation_analysis_tools_spark.functions.vector import cosine_expr
-    from conversation_analysis_tools_spark.operators.ann import _centroid_dists
+    from conversation_analysis_tools_spark.operators.ann import _centroid_dist_array
     from conversation_analysis_tools_spark.operators.components import (
         connected_components,
     )
@@ -922,7 +929,7 @@ def semdedup_prune(
     # one pass over the C distance expressions serves both the argmin
     # assignment and the distance-to-own-centroid (vs. calling
     # ivf_assign then recomputing the array: half the codegen width)
-    dists = F.array(*_centroid_dists(vec_col, centroids))
+    dists = _centroid_dist_array(vec_col, centroids)
     assigned = track(
         emb.withColumn("_d", dists)
         .select(

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from conversation_analysis_tools_spark.functions.text import tokens_with_dupes_expr
 from conversation_analysis_tools_spark.operators import tfidf as T
+from conversation_analysis_tools_spark.functions.lits import array_lit
 
 DEFAULT_WEIGHTS = {"density": 0.3, "coverage": 0.4, "tfidf": 0.3}
 
@@ -29,7 +30,7 @@ def with_keyword_scores(
     text_col: str = "text",
 ) -> DataFrame:
     """Add density/coverage columns (pure expressions, no shuffle)."""
-    kw_arr = F.array(*[F.lit(k.lower()) for k in keywords])
+    kw_arr = array_lit([k.lower() for k in keywords])
     toks = tokens_with_dupes_expr(text_col)
     docs = docs.withColumn("_toks", toks)
     density = F.when(

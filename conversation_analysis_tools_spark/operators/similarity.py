@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conversation_analysis_tools_spark.operators import tfidf as T
+from conversation_analysis_tools_spark.functions.lits import array_lit
 
 
 def tf_vectors(
@@ -170,7 +171,7 @@ def _dense_doc_vectors(
     transform in codegen -- no Python touches the vectors until the
     BLAS kernel)."""
     ent = F.map_from_entries(F.collect_list(F.struct("term", "tf")))
-    vkeys = F.array(*[F.lit(t) for t in vocab])
+    vkeys = array_lit(list(vocab))
     raw_v = F.transform(
         vkeys, lambda t: F.coalesce(F.element_at(F.col("m"), t), F.lit(0.0))
     )

@@ -69,6 +69,10 @@ VERIFY_PRIORITY: list[str] = [
     "dedup_simhash",
     "nlp_connected_components",
     "pipeline_analysis_results",
+    # round-4 late change: per-row norm hoist in embedding_dup_pairs
+    # (operators/dedup.py) -- bit-identical arithmetic, but the
+    # projection shape changed, so the driver row is the hard signal
+    "dedup_embedding_cosine",
 ]
 
 

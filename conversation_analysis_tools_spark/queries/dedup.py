@@ -14,6 +14,7 @@ from conversation_analysis_tools_spark.catalog import table as _catalog_table
 from conversation_analysis_tools_spark.operators import dedup as D
 from conversation_analysis_tools_spark.operators.cache import track
 from conversation_analysis_tools_spark.queries.registry import register
+from conversation_analysis_tools_spark.fitcache import cached_fit
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,7 +837,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conversation_analysis_tools_spark.operators import ann as A
 
     emb = _catalog_table(spark, "embeddings", sf_dir)
-    cents = A.kmeans_centroids(emb, n_centroids=16)
+    cents = cached_fit(
+        "semdedup_centroids", (16,), sf_dir, lambda: A.kmeans_centroids(emb, n_centroids=16)
+    )
     out = D.semdedup_prune(emb, cents, threshold=0.4)
     return out.orderBy("vec_id")
 

@@ -42,6 +42,8 @@ from pyspark.sql import functions as F
 from conversation_analysis_tools_spark.catalog import table as _catalog_table
 from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
 from conversation_analysis_tools_spark.queries.registry import REGISTRY, register
+from conversation_analysis_tools_spark.functions.lits import array_lit
+from conversation_analysis_tools_spark.fitcache import cached_fit
 
 #: md5-prefix eval split, same family as sampling.hash_split ('1a' ~ 10%).
 _EVAL_HEX = "1a"
@@ -184,9 +186,11 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     model object in the plan.
     """
     data = _labeled_features(spark, sf_dir)
-    coef, intercept = train_quality_model(data)
+    coef, intercept = cached_fit(
+        "quality_lr", (NUM_FEATURES,), sf_dir, lambda: train_quality_model(data)
+    )
 
-    weights = F.array(*[F.lit(w) for w in coef])
+    weights = array_lit([float(w) for w in coef])
     margin = F.aggregate(
         F.transform("toks", _bucket),
         F.lit(intercept),

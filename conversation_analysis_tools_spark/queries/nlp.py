@@ -29,6 +29,7 @@ from conversation_analysis_tools_spark.operators import similarity as S
 from conversation_analysis_tools_spark.operators import tfidf as T
 from conversation_analysis_tools_spark.operators import priority as P
 from conversation_analysis_tools_spark.queries.registry import register
+from conversation_analysis_tools_spark.functions.lits import array_lit
 
 #: Keywords for relevance scoring -- drawn from the corpus vocabulary
 #: (plays the role of the reference's ML keyword list, tests/conftest.py:28-39).
@@ -515,7 +516,7 @@ def semantic_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _emb(spark, sf_dir)
     qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    q = array_lit([float(x) for x in qv])
     sims = (
         emb.where(F.col("vec_id") != 0)
         .select(

@@ -31,6 +31,7 @@ from conversation_analysis_tools_spark.functions.text import (
     raw_tokens_expr,
 )
 from conversation_analysis_tools_spark.queries.registry import register
+from conversation_analysis_tools_spark.functions.lits import array_lit
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,7 +626,7 @@ def quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     raw = raw_tokens_expr("text")
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_arr = array_lit(sorted(STOPWORDS))
     n_tokens = F.size(raw).cast("bigint")
     n_stop = F.size(F.filter(raw, lambda t: F.array_contains(stop_arr, t)))
     feats = docs.select(

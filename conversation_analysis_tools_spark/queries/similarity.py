@@ -13,6 +13,7 @@ from conversation_analysis_tools_spark.catalog import table as _catalog_table
 from conversation_analysis_tools_spark.operators import ann as A
 from conversation_analysis_tools_spark.operators import cache
 from conversation_analysis_tools_spark.queries.registry import REGISTRY, register
+from conversation_analysis_tools_spark.fitcache import cached_fit
 
 N_QUERIES = 5  # vec_id 0..4 used as the query batch
 EMB_DIM = 64
@@ -90,7 +91,9 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (k-means float iteration is engine-specific).
     """
     emb = _emb(spark, sf_dir)
-    cents = A.kmeans_centroids(emb, n_centroids=16)
+    cents = cached_fit(
+        "ivf_centroids", (16,), sf_dir, lambda: A.kmeans_centroids(emb, n_centroids=16)
+    )
     assigned = A.ivf_assign(emb, cents)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -256,7 +259,9 @@ def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    codebooks = A.pq_train(emb, EMB_DIM)
+    codebooks = cached_fit(
+        "pq_codebooks", (EMB_DIM,), sf_dir, lambda: A.pq_train(emb, EMB_DIM)
+    )
     # persist: the per-query ADC frames each rescan the encoded table
     encoded = cache.track(A.pq_encode(emb, codebooks))
     # Re-rank depth scales with corpus size: these synthetic
@@ -308,22 +313,32 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     The literal-SELECT oracle pins the floors, so a silent recall
     regression in ANY of the four indexes turns this row red.
     """
+    # persisted across the four method joins: without it every
+    # broadcast(exact) re-runs the brute-force scan
     exact = (
         REGISTRY["ann_bruteforce_knn"].fn(spark, sf_dir)
         .select("query_id", "vec_id")
+        .persist()
     )
-    # guard: regenerated testdata with < N_QUERIES vectors would make
-    # the baseline empty -- emit a diagnosable all-false frame, never
-    # a ZeroDivisionError at registry execution time
-    n_truth = exact.count()
-    rows = []
-    for method, floor in RECALL_FLOORS.items():
-        if n_truth == 0:
-            rows.append((method, int(floor * 100), False))
-            continue
-        approx = REGISTRY[method].fn(spark, sf_dir).select("query_id", "vec_id")
-        hits = approx.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
-        rows.append((method, int(floor * 100), hits / n_truth >= floor))
+    try:
+        # guard: regenerated testdata with < N_QUERIES vectors would
+        # make the baseline empty -- emit a diagnosable all-false
+        # frame, never a ZeroDivisionError at registry execution time
+        n_truth = exact.count()
+        rows = []
+        for method, floor in RECALL_FLOORS.items():
+            if n_truth == 0:
+                rows.append((method, int(floor * 100), False))
+                continue
+            approx = REGISTRY[method].fn(spark, sf_dir).select(
+                "query_id", "vec_id"
+            )
+            hits = approx.join(
+                F.broadcast(exact), ["query_id", "vec_id"]
+            ).count()
+            rows.append((method, int(floor * 100), hits / n_truth >= floor))
+    finally:
+        exact.unpersist()
     return spark.createDataFrame(
         rows, "method string, floor_x100 int, recall_ok boolean"
     )

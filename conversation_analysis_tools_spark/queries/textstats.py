@@ -24,6 +24,7 @@ from conversation_analysis_tools_spark.functions.text import (
     ws_trim_expr,
 )
 from conversation_analysis_tools_spark.queries.registry import register
+from conversation_analysis_tools_spark.functions.lits import array_lit
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +67,7 @@ def word_frequency_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = F.filter(
         F.regexp_extract_all(F.lower("text"), F.lit(r"\b[a-z]{4,}\b"), 0),
-        lambda t: ~F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS]), t),
+        lambda t: ~F.array_contains(array_lit(sorted(STOPWORDS)), t),
     )
     counts = (
         docs.select("lang", F.explode(toks).alias("term"))
@@ -425,7 +426,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-punct-stopword heuristics family)."""
     docs = _docs(spark, sf_dir)
     raw = raw_tokens_expr("text")
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_arr = array_lit(sorted(STOPWORDS))
     feats = docs.select(
         "doc_id",
         "n_chars",
@@ -577,7 +578,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     raw = raw_tokens_expr("text")
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_arr = array_lit(sorted(STOPWORDS))
     feats = docs.select(
         "doc_id",
         "lang",
@@ -707,7 +708,7 @@ def gopher_metrics(docs: DataFrame) -> DataFrame:
     n_stops = F.size(
         F.array_intersect(
             F.transform("words", lambda w: F.lower(w)),
-            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            array_lit(sorted(_GOPHER_STOPS)),
         )
     )
     bullet_frac = F.round(
