@@ -78,6 +78,13 @@ HEADLINE = [
     # and Morton z-order layout footprints (2-D prune demo)
     "rollup_heavy_hitters_cms",
     "zorder_clustered_scan",
+    # round-4 additions: the production ANN index shapes (train-once
+    # artifacts via fitcache; best-of-5 therefore reports steady-state
+    # query latency, trial 1 carries the one-time index build) and the
+    # cluster-then-pairs semantic dedup
+    "ann_ivf_knn",
+    "ann_pq_knn",
+    "semdedup_prune",
 ]
 
 

@@ -920,7 +920,10 @@ def semdedup_prune(
 
     Returns (id, centroid_id, centroid_dist, component, keep).
     """
-    from conversation_analysis_tools_spark.functions.vector import cosine_expr
+    from conversation_analysis_tools_spark.functions.vector import (
+        dot_expr,
+        norm_expr,
+    )
     from conversation_analysis_tools_spark.operators.ann import _centroid_dist_array
     from conversation_analysis_tools_spark.operators.components import (
         connected_components,
@@ -942,16 +945,28 @@ def semdedup_prune(
         )
     )
 
+    # norms hoisted to per-row (no CSE inside lambda bodies: inline
+    # cosine_expr re-folds both norms per PAIR) -- same fold order,
+    # bit-identical sims, 3 interpreted folds/pair -> 1
     a = assigned.select(
-        "centroid_id", F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+        "centroid_id",
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        norm_expr(vec_col).alias("_n1"),
     )
     b = assigned.select(
-        "centroid_id", F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+        "centroid_id",
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        norm_expr(vec_col).alias("_n2"),
     )
+    sim = F.when(
+        (F.col("_n1") == 0) | (F.col("_n2") == 0), F.lit(0.0)
+    ).otherwise(dot_expr("v1", "v2") / (F.col("_n1") * F.col("_n2")))
     edges = (
         a.join(b, ["centroid_id"])
         .where(F.col("id1") < F.col("id2"))
-        .where(cosine_expr("v1", "v2") >= threshold)
+        .where(sim >= threshold)
         .select("id1", "id2")
     )
     comps = connected_components(edges)

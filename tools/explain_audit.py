@@ -98,6 +98,12 @@ AUDIT = [
     "zorder_clustered_scan",
     # importance sampling: map-only hash threshold + one source agg
     "weighted_bernoulli_sample",
+    # round-4 plan-build fixes: IVF distances are ONE transform over a
+    # folded centroid-matrix literal (no per-centroid re-inline);
+    # embedding dedup hoists norms to per-row projections so the pair
+    # select folds only the dot product
+    "ann_ivf_knn",
+    "dedup_embedding_cosine",
 ]
 
 
