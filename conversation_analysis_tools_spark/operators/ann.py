@@ -91,15 +91,30 @@ def brute_force_topk(
     (self-search); leave False for external queries, where a synthetic
     query id could silently shadow an unrelated corpus vector.
     """
-    pairs = emb.crossJoin(F.broadcast(queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qv")
-    )))
+    from conversation_analysis_tools_spark.functions.vector import (
+        dot_expr,
+        norm_expr,
+    )
+
+    # norms hoisted per ROW on each side (no CSE inside lambda bodies:
+    # inline cosine_expr would re-fold both norms for every
+    # corpus x query pair) -- same fold order, bit-identical sims
+    pairs = emb.withColumn("_nv", norm_expr(vec_col)).crossJoin(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col), F.col(vec_col).alias("_qv")
+            ).withColumn("_nq", norm_expr("_qv"))
+        )
+    )
     if exclude_self:
         pairs = pairs.where(F.col(id_col) != F.col(query_id_col))
+    cos = F.when(
+        (F.col("_nv") == 0) | (F.col("_nq") == 0), F.lit(0.0)
+    ).otherwise(dot_expr(vec_col, "_qv") / (F.col("_nv") * F.col("_nq")))
     sims = pairs.select(
         query_id_col,
         id_col,
-        F.round(cosine_expr(vec_col, "_qv"), 6).alias("sim"),
+        F.round(cos, 6).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (

@@ -62,6 +62,11 @@ CENSUS = [
     "rollup_heavy_hitters_cms",
     "zorder_clustered_scan",
     "weighted_bernoulli_sample",
+    # round-4 bench additions: IVF probe join, PQ ADC scan, and the
+    # per-cluster SemDeDup pair space -- candidate-bounded exchanges
+    "ann_ivf_knn",
+    "ann_pq_knn",
+    "semdedup_prune",
 ]
 
 
