@@ -128,14 +128,28 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_median": medians,
         "sf": sf,
     }
     if n_docs:
         out["pipeline_docs_per_sec"] = round(
             n_docs / timings["pipeline_analysis_results"], 1
         )
-    print(json.dumps(out))
+
+    # Full per-query detail (incl. medians) goes to a side file; the
+    # driver only captures the last ~2000 bytes of stdout, so the final
+    # printed line must stay comfortably under that. If the per-query
+    # map itself outgrows the budget, point at the detail file instead.
+    detail = dict(out, queries_median=medians, total_median=round(sum(medians.values()), 3))
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    line = json.dumps(out)
+    if len(line) > 1800:
+        out.pop("queries")
+        out["queries_detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -304,6 +304,91 @@ def jaccard_verify(
     )
 
 
+# ---------------------------------------------------------------------------
+# identical-content representative-collapse (dup-cluster blowup guard)
+#
+# The scale regime dedup exists for is dup-DENSE corpora, where the
+# overwhelmingly common duplicate is byte- or set-identical replicas.
+# Without a guard, a replica cluster of size m lands in the same LSH
+# buckets and the candidate join goes O(m^2) INSIDE the candidate
+# stage (measured: 3.2x wall at 10x rows for MinHash, 9.1x for the
+# edit-distance consumer, SCALE.md). The guard collapses each
+# identical-content group to one representative (min id) before
+# signatures/banding, runs the candidate+verify plan on
+# representatives only, then re-expands member pairs afterward -- the
+# quadratic moves from the join into a linear expansion of the OUTPUT,
+# which is the lower bound anyway. Same proof shape as the SimHash
+# collapse above (simhash_pairs): members of one group pair among
+# themselves at the self-similarity (Jaccard/edit 1.0), and a
+# cross-group member pair is a candidate iff its representative pair
+# is (identical content => identical signatures => identical bands)
+# with the identical verified score (identical arrays/texts).
+# ---------------------------------------------------------------------------
+
+
+def _set_fp(arrs: DataFrame, id_col: str) -> DataFrame:
+    """(id, _fp): md5 fingerprint of each doc's shingle SET (sorted
+    newline-join of the per-doc distinct array; shingles are
+    ``[a-z ]``-only, so the separator is unambiguous). Shingle-less
+    docs are dropped -- they emit no signature rows in the direct plan
+    (explode of an empty array) and so can never be candidates."""
+    return arrs.where(F.size("sh_arr") > 0).select(
+        F.col(id_col),
+        F.md5(F.concat_ws("\n", F.array_sort("sh_arr")).cast("binary")).alias("_fp"),
+    )
+
+
+def _group_reps(members: DataFrame, id_col: str) -> DataFrame:
+    """One representative (min id) per fingerprint group. The groupBy
+    partial-aggregates map-side, so a replica cluster of any size is
+    skew-safe; rows are (32-hex, id) -- tiny."""
+    return members.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    id_col: str,
+    value_col: str,
+    self_value,
+) -> DataFrame:
+    """Representative pairs -> member pairs.
+
+    within-group: every member pair of one fingerprint group, scored
+    ``self_value`` (identical content => self-similarity, exactly what
+    the direct plan's verify computes for such a pair). cross-group:
+    each rep pair expands over member sets of its two groups,
+    inheriting the rep pair's verified value (identical arrays/texts
+    => identical score). A member belongs to exactly one group, so the
+    union is duplicate-free by construction. The joins are keyed on
+    the fingerprint; multiplicity only arises inside true dup
+    clusters, so join output tracks the final output size."""
+    w1 = members.select(F.col(id_col).alias("id1"), "_fp")
+    w2 = members.select(F.col(id_col).alias("id2"), "_fp")
+    within = (
+        w1.join(w2, "_fp")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.lit(self_value).cast("double").alias(value_col))
+    )
+    f1 = members.select(F.col(id_col).alias("id1"), F.col("_fp").alias("_fp1"))
+    f2 = members.select(F.col(id_col).alias("id2"), F.col("_fp").alias("_fp2"))
+    m1 = members.select(F.col(id_col).alias("_m1"), F.col("_fp").alias("_fp1"))
+    m2 = members.select(F.col(id_col).alias("_m2"), F.col("_fp").alias("_fp2"))
+    cross = (
+        rep_pairs.join(f1, "id1")
+        .join(f2, "id2")
+        .drop("id1", "id2")
+        .join(m1, "_fp1")
+        .join(m2, "_fp2")
+        .select(
+            F.least("_m1", "_m2").alias("id1"),
+            F.greatest("_m1", "_m2").alias("id2"),
+            value_col,
+        )
+    )
+    return within.unionByName(cross)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -311,15 +396,29 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """MinHash LSH candidates -> exact-Jaccard verified pairs."""
-    # persist: the array table feeds signatures AND the verify joins
+    """MinHash LSH candidates -> exact-Jaccard verified pairs.
+
+    Identical-shingle-SET groups are collapsed to one representative
+    before banding and re-expanded after verify (see the collapse
+    block above) -- output-exact for any threshold <= 1, since a
+    within-group pair's exact Jaccard is 1.0 and a cross-group member
+    pair has the same arrays (hence candidates and Jaccard) as its rep
+    pair. ``max_bucket`` remains the residual recall-trading skew
+    valve for buckets of NON-identical docs (boilerplate collisions);
+    default None keeps the operator exact / oracle-matched.
+    """
+    # persist: the array table feeds fingerprints AND the verify joins
     arrs = track(shingle_arrays(df, id_col, text_col))
+    members = track(_set_fp(arrs, id_col))
+    reps = _group_reps(members, id_col)
+    rep_arrs = track(arrs.join(reps.select(id_col), id_col, "left_semi"))
     cands = minhash_candidates(
-        lsh_bands(minhash_signatures_from_arrays(arrs, id_col), id_col),
+        lsh_bands(minhash_signatures_from_arrays(rep_arrs, id_col), id_col),
         id_col,
         max_bucket,
     )
-    return jaccard_verify(cands, arrs, threshold, id_col)
+    rep_pairs = jaccard_verify(cands, rep_arrs, threshold, id_col)
+    return _expand_rep_pairs(rep_pairs, members, id_col, "jaccard", 1.0)
 
 
 def cross_corpus_minhash_pairs(
@@ -336,28 +435,37 @@ def cross_corpus_minhash_pairs(
     survives token insertions/deletions.
 
     Scale shape: benchmark/eval corpora are tiny next to a 100 TB
-    train corpus, so the eval band table is broadcast -- the train
-    side is scanned ONCE to build its signatures row-locally (array
-    MinHash, no shuffle at all on the train side before the map-side
-    candidate join). Returns (eval_id, train_id, jaccard).
+    train corpus, so the eval band table is broadcast. The train side
+    is collapsed to one representative per identical shingle set
+    before banding (the dup-cluster blowup guard -- see the collapse
+    block above): a replica cluster of m train docs costs ONE
+    candidate row instead of m, and the verified pairs re-expand to
+    members afterward (identical sets => identical candidates and
+    Jaccard, so the expansion is output-exact). The fingerprint
+    groupBy ships (32-hex, id) rows and partial-aggregates map-side --
+    negligible next to the signature pass it already pays. Returns
+    (eval_id, train_id, jaccard).
     """
     e_arrs = track(shingle_arrays(eval_df, id_col, text_col))
     t_arrs = track(shingle_arrays(train_df, id_col, text_col))
+    t_members = track(_set_fp(t_arrs, id_col))
+    t_reps = _group_reps(t_members, id_col)
+    t_rep_arrs = track(t_arrs.join(t_reps.select(id_col), id_col, "left_semi"))
     e_bands = lsh_bands(minhash_signatures_from_arrays(e_arrs, id_col), id_col).select(
         F.col(id_col).alias("eval_id"), "band", "key"
     )
-    t_bands = lsh_bands(minhash_signatures_from_arrays(t_arrs, id_col), id_col).select(
-        F.col(id_col).alias("train_id"), "band", "key"
-    )
+    t_bands = lsh_bands(
+        minhash_signatures_from_arrays(t_rep_arrs, id_col), id_col
+    ).select(F.col(id_col).alias("train_id"), "band", "key")
     cands = (
         t_bands.join(F.broadcast(e_bands), ["band", "key"])
         .select("eval_id", "train_id")
         .distinct()
     )
     a1 = e_arrs.select(F.col(id_col).alias("eval_id"), F.col("sh_arr").alias("a1"))
-    a2 = t_arrs.select(F.col(id_col).alias("train_id"), F.col("sh_arr").alias("a2"))
+    a2 = t_rep_arrs.select(F.col(id_col).alias("train_id"), F.col("sh_arr").alias("a2"))
     inter = F.size(F.array_intersect("a1", "a2"))
-    return (
+    rep_pairs = (
         cands.join(F.broadcast(a1), "eval_id")
         .join(a2, "train_id")
         .select(
@@ -368,6 +476,15 @@ def cross_corpus_minhash_pairs(
             ),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+    # expand train representatives back to every member of their group
+    return (
+        rep_pairs.join(
+            t_reps.withColumnRenamed(id_col, "train_id"), "train_id"
+        )
+        .drop("train_id")
+        .join(t_members.withColumnRenamed(id_col, "train_id"), "_fp")
+        .select("eval_id", "train_id", "jaccard")
     )
 
 
@@ -394,24 +511,46 @@ def edit_distance_pairs(
     pair is ever banded away; -1 rows are exactly the sim < threshold
     rejects. F.levenshtein runs JVM-side inside codegen -- no Python
     in the loop. Returns (id1, id2, edit_sim).
+
+    Byte-identical-TEXT groups are collapsed to one representative
+    before banding and re-expanded after verify (the dup-cluster
+    blowup guard; see the collapse block above). The group key here is
+    md5 of the FULL text, not the shingle set: identical text implies
+    identical shingles (=> identical candidates) AND identical
+    truncated strings (=> identical Levenshtein), so the expansion is
+    output-exact; a merely set-identical pair could differ in
+    character order and must stay in the direct verify. Docs with no
+    shingles are excluded from grouping -- they can never be
+    candidates in the direct plan.
     """
-    arrs = shingle_arrays(df, id_col, text_col)
-    cands = minhash_candidates(
-        lsh_bands(minhash_signatures_from_arrays(arrs, id_col), id_col), id_col
+    arrs = track(shingle_arrays(df, id_col, text_col))
+    nonempty = arrs.where(F.size("sh_arr") > 0).select(id_col)
+    members = track(
+        df.join(nonempty, id_col, "left_semi").select(
+            F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_fp")
+        )
     )
-    t = df.select(F.col(id_col), F.substring(F.col(text_col), 1, max_chars).alias("_t"))
+    reps = _group_reps(members, id_col)
+    rep_arrs = arrs.join(reps.select(id_col), id_col, "left_semi")
+    cands = minhash_candidates(
+        lsh_bands(minhash_signatures_from_arrays(rep_arrs, id_col), id_col), id_col
+    )
+    t = df.join(reps.select(id_col), id_col, "left_semi").select(
+        F.col(id_col), F.substring(F.col(text_col), 1, max_chars).alias("_t")
+    )
     t1 = t.select(F.col(id_col).alias("id1"), F.col("_t").alias("t1"))
     t2 = t.select(F.col(id_col).alias("id2"), F.col("_t").alias("t2"))
     bound = int((1 - threshold) * max_chars) + 1
     dist = F.levenshtein("t1", "t2", bound)
     sim = 1 - dist / F.greatest(F.length("t1"), F.length("t2"))
-    return (
+    rep_pairs = (
         cands.join(t1, "id1")
         .join(t2, "id2")
         .select("id1", "id2", dist.alias("_d"), sim.alias("edit_sim"))
         .where((F.col("_d") >= 0) & (F.col("edit_sim") >= threshold))
         .drop("_d")
     )
+    return _expand_rep_pairs(rep_pairs, members, id_col, "edit_sim", 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -600,11 +739,27 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via inverted shingle index:
-    only pairs sharing a shingle are generated."""
+    only pairs sharing a shingle are generated.
+
+    Identical-shingle-SET groups are collapsed to one representative
+    before the index join and re-expanded after (the dup-cluster
+    blowup guard; see the collapse block above). The inverted index is
+    EXACT, so the blowup here is worse than LSH's: a replica cluster
+    of m docs with s shingles each costs m^2*s/2 rows out of the
+    shingle self-join (measured 53.6 s / 5.7x wall on the 10x
+    dup-heavy probe); collapsed, it costs s rows plus a linear
+    expansion of the m^2/2 OUTPUT pairs, which the pair-set contract
+    emits regardless. Output-exact: within-group exact Jaccard is 1.0
+    and a cross-group member pair shares shingles (and sizes) with its
+    rep pair.
+    """
     arrs = track(shingle_arrays(df, id_col, text_col, n))
-    sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    members = track(_set_fp(arrs, id_col))
+    reps = _group_reps(members, id_col)
+    rep_arrs = track(arrs.join(reps.select(id_col), id_col, "left_semi"))
+    sh = rep_arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     # sizes from the array stage: narrow projection, no extra groupBy
-    sizes = arrs.select(F.col(id_col), F.size("sh_arr").alias("sz"))
+    sizes = rep_arrs.select(F.col(id_col), F.size("sh_arr").alias("sz"))
     s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
     s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
     inter = (
@@ -615,7 +770,7 @@ def ngram_jaccard_pairs(
     )
     z1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
     z2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
-    return (
+    rep_pairs = (
         inter.join(F.broadcast(z1), "id1")
         .join(F.broadcast(z2), "id2")
         .select(
@@ -627,6 +782,7 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    return _expand_rep_pairs(rep_pairs, members, id_col, "jaccard", 1.0)
 
 
 # ---------------------------------------------------------------------------

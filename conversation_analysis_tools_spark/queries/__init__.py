@@ -45,34 +45,22 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # small. Keeping this list to genuinely-changed plans IS the cadence
 # discipline.
 #
-# Round-4 window: the 13 oracled queries with no driver row through r3
-# (rollup_quantiles_binned, semdedup_fixed, boilerplate_line_removal,
-# rollup_heavy_hitters_cms, zorder_clustered_scan, pca_fixed_projection,
-# streaming_hll_maintenance, image_phash_dedup, weighted_bernoulli_sample,
-# shard_manifest, data_recipe_epochs, audience_overlap_theta,
-# corpus_version_diff) auto-promote first, then the 39 r1-green names
-# backfill oldest-first; the handful that spill carry to round 5 at the
-# top of the age ranking. The manual list below holds only the queries
-# whose PHYSICAL PLAN changed this round (exact-duplicate
-# representative-collapse in simhash_pairs / duplicate_pairs): their
-# outputs are proven locally oracle-identical, but the driver row is
-# the hard signal.
+# Round-5 window: the r4 pins are cleared (all five got green r4 rows),
+# so the 8 r1-stale names (cube_rollup_counts, join_enrich_pct, nlp_idf,
+# nlp_tf_max, nlp_tf_sum, nlp_token_stats, sql_endpoint_rollup,
+# stats_summary) and the oldest r2-greens auto-promote. The manual list
+# below holds only queries whose PHYSICAL PLAN changed in round 5
+# (MinHash-candidate representative-collapse and its consumers).
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
-    # round-4 changed plans: representative-collapse before the pair
-    # joins (operators/dedup.py simhash_pairs, operators/similarity.py
-    # duplicate_pairs) -- these four consume the changed operators with
-    # distinct downstream shapes (raw pairs, hamming pairs, CC over
-    # pairs, full pipeline)
-    "nlp_duplicate_pairs",
-    "dedup_simhash",
-    "nlp_connected_components",
-    "pipeline_analysis_results",
-    # round-4 late change: per-row norm hoist in embedding_dup_pairs
-    # (operators/dedup.py) -- bit-identical arithmetic, but the
-    # projection shape changed, so the driver row is the hard signal
-    "dedup_embedding_cosine",
+    # round-5 changed plans: identical-signature representative-collapse
+    # in minhash_candidates (operators/dedup.py) -- these consume the
+    # changed candidate stage with distinct downstream shapes
+    "dedup_minhash_lsh",
+    "dedup_edit_distance",
+    "dedup_ngram_jaccard",
+    "decontamination_minhash",
 ]
 
 

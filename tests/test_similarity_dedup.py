@@ -321,3 +321,104 @@ def test_span_removal_cuts_shared_spans_only(spark):
     # cleaned text is the [a-z]{3,} token stream, not surface bytes
     expected = " ".join(w for w in rows[2][1].split() if len(w) >= 3)
     assert out[3]["cleaned_text"] == expected
+
+
+def _replicate(sample_docs, k=5):
+    """Every sample doc replicated k times byte-exact (ids spread by
+    +100*r) -- the dup-dense corpus that must trip the
+    identical-content representative-collapse."""
+    return sample_docs.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("r")
+    ).select((F.col("doc_id") + F.col("r") * F.lit(100)).alias("doc_id"), "text")
+
+
+def test_minhash_collapse_matches_direct(spark, sample_docs):
+    """minhash_dedup_pairs' representative-collapse must yield the
+    identical (pair, jaccard) set as the direct bands-over-all-docs
+    plan on a dup-heavy corpus."""
+    reps = _replicate(sample_docs)
+    collapsed = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in D.minhash_dedup_pairs(reps, threshold=0.2).collect()
+    }
+    arrs = D.shingle_arrays(reps)
+    direct_pairs = D.jaccard_verify(
+        D.minhash_candidates(
+            D.lsh_bands(D.minhash_signatures_from_arrays(arrs)), "doc_id"
+        ),
+        arrs,
+        0.2,
+    )
+    direct = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9) for r in direct_pairs.collect()
+    }
+    assert set(collapsed) == set(direct)
+    for k in collapsed:
+        assert abs(collapsed[k] - direct[k]) < 1e-9, k
+    # replicas pair at jaccard exactly 1
+    assert collapsed[(0, 100)] == 1.0
+
+
+def test_ngram_collapse_matches_direct(spark, sample_docs):
+    """ngram_jaccard_pairs' collapse vs the direct inverted-index join."""
+    reps = _replicate(sample_docs)
+    collapsed = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(reps, threshold=0.15).collect()
+    }
+    # direct: inverted index over ALL docs (the pre-collapse plan)
+    arrs = D.shingle_arrays(reps)
+    sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    sizes = arrs.select("doc_id", F.size("sh_arr").alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("id1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("id2"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    direct_df = (
+        inter.join(z1, "id1")
+        .join(z2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= 0.15)
+    )
+    direct = {(r["id1"], r["id2"]): round(r["jaccard"], 9) for r in direct_df.collect()}
+    assert set(collapsed) == set(direct)
+    for k in collapsed:
+        assert abs(collapsed[k] - direct[k]) < 1e-9, k
+
+
+def test_edit_distance_collapse_self_and_cross(spark, sample_docs):
+    """edit_distance_pairs on the replicated corpus: within-group pairs
+    score exactly 1.0; near-identical cross-group pairs inherit the rep
+    pair's exact banded-Levenshtein similarity."""
+    base = _replicate(sample_docs, k=3)
+    # a case-variant of doc 0: identical lowercased token set (so LSH
+    # candidacy with the doc-0 group is GUARANTEED -- identical
+    # signatures share every band) but different bytes, hence a
+    # distinct text group for the character-grain verify
+    near = spark.createDataFrame(
+        [(999, "MACHINE LEARNING is a subset of artificial intelligence.")],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(near)
+    pairs = {
+        (r["id1"], r["id2"]): r["edit_sim"]
+        for r in D.edit_distance_pairs(docs, threshold=0.7, max_chars=1000).collect()
+    }
+    assert pairs[(0, 100)] == 1.0 and pairs[(0, 200)] == 1.0
+    # cross-group: every replica of doc 0 pairs with 999 at the SAME sim
+    sims = {pairs.get((0, 999)), pairs.get((100, 999)), pairs.get((200, 999))}
+    assert len(sims) == 1 and None not in sims
+    (s,) = sims
+    assert 0.7 <= s < 1.0
