@@ -73,8 +73,12 @@ DUP_COLLAPSE_MIN_FRAC = 0.05
 
 #: Memoized dup-density decisions keyed by the semantic hash of the
 #: input plan (bounded; evicts oldest). The DECISION is cached, never
-#: data: a stale hit after the underlying files changed can only pick
-#: the slower-but-identical plan.
+#: data. A reader re-created over the same path after the files were
+#: regenerated hashes identically and can serve a stale decision --
+#: safe BY INVARIANT: both plans are output-identical for every
+#: parameterization that reaches the probe (max_df, which would break
+#: the equivalence, forces the direct plan before probing), so a stale
+#: hit can only cost performance, never correctness.
 _DUP_DECISION_CACHE: dict[int, bool] = {}
 _DUP_DECISION_CACHE_MAX = 64
 
@@ -124,7 +128,18 @@ def pairwise_cosine(
       when the vocabulary is tiny and shared (every pair overlaps, so
       the inverted index degenerates to O(vocab * n^2) join rows).
     * ``auto``: count distinct terms, pick accordingly.
+
+    ``max_df`` (drop terms appearing in more than max_df docs) is
+    applied HERE, before the strategy probe, so every physical
+    strategy sees the same filtered corpus -- previously only the
+    inverted plan honored it, and the auto probe could silently route
+    a max_df request onto the unfiltered dense plan.
     """
+    if max_df is not None:
+        doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        tf = tf.join(
+            F.broadcast(doc_freq.where(F.col("df") <= max_df)), "term", "left_semi"
+        )
     vocab = None
     if strategy == "auto":
         from conversation_analysis_tools_spark.operators.cache import track
@@ -160,7 +175,7 @@ def pairwise_cosine(
             strategy = "inverted"
     if strategy == "dense":
         return _pairwise_cosine_dense(tf, id_col, threshold, vocab)
-    return _pairwise_cosine_inverted(tf, id_col, max_df)
+    return _pairwise_cosine_inverted(tf, id_col)
 
 
 def _dense_doc_vectors(
@@ -336,7 +351,9 @@ def _pairwise_cosine_inverted(
     (pipeline/duplicate_detector.py:74-107) and removes two per-doc
     norm joins (previously O(n_docs) broadcasts -- an at-scale
     killer). Only pairs sharing a term appear (exact w.r.t. any
-    threshold > 0).
+    threshold > 0). ``max_df`` is applied by :func:`pairwise_cosine`
+    before dispatch (strategy-independent); the parameter here is kept
+    for direct callers.
     """
     if max_df is not None:
         doc_freq = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -367,6 +384,7 @@ def duplicate_pairs(
     max_df: int | None = None,
     strategy: str = "auto",
     counts: DataFrame | None = None,
+    collapse: str = "auto",
 ) -> DataFrame:
     """N17: pairs with cosine >= threshold (default 0.8,
     pipeline/duplicate_detector.py:127-167).
@@ -383,23 +401,41 @@ def duplicate_pairs(
     self-cosine (1 up to fp noise; docs whose text yields no terms
     have no vector and never pair, same as the direct plan).
 
-    The collapse is ADAPTIVE (a physical-strategy probe, like the
-    dense-vs-inverted choice in pairwise_cosine): one map-side job
-    estimates the exact-dup count via approx_count_distinct over
-    md5(text); below DUP_COLLAPSE_MIN_FRAC the direct plan runs -- on
+    ``collapse`` selects the plan: ``'auto'`` (default) runs ONE
+    EAGER map-side probe job AT PLAN-BUILD TIME -- an
+    approx_count_distinct over md5(text) estimating the exact-dup
+    count; below DUP_COLLAPSE_MIN_FRAC the direct plan runs, since on
     a dup-light corpus the rep semi-joins and expansion joins are pure
-    overhead (~+30% measured at sf0.1's 8 dups / 5k docs). The
+    overhead (~+30% measured at sf0.1's 8 dups / 5k docs). Callers
+    that only build or explain the plan (audits, dry runs) should pass
+    ``collapse='never'`` (direct plan, fully lazy) or ``'always'``
+    (collapse plan, fully lazy) to skip the probe. The probe's
     decision (NOT the result) is memoized per semantic plan of
     ``docs``, so re-running the same corpus -- the bench/pipeline
-    steady state -- pays the probe scan once per session. Either path
+    steady state -- pays the probe scan once per session; a stale hit
+    (same plan hash over regenerated files) can only pick between the
+    two OUTPUT-IDENTICAL plans, never change results. Either path
     yields the identical pair set.
+
+    ``max_df`` forces the direct plan: the collapse would compute
+    per-term document frequency over the collapsed representative
+    corpus (df drops by cluster_size-1 per dup cluster), surviving
+    terms the full-corpus filter drops, and its within-group selfdot
+    would ignore the filter entirely -- not output-identical.
     """
     from conversation_analysis_tools_spark.operators.cache import track
 
+    if collapse not in ("auto", "never", "always"):
+        raise ValueError(f"collapse must be auto|never|always, got {collapse!r}")
     member = docs.select(
         F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_tsig")
     )
-    do_collapse = _dup_density_decision(docs, member)
+    if max_df is not None or collapse == "never":
+        do_collapse = False
+    elif collapse == "always":
+        do_collapse = True
+    else:
+        do_collapse = _dup_density_decision(docs, member)
     if not do_collapse:
         sims = pairwise_cosine(
             tf_vectors(docs, id_col, text_col, counts),

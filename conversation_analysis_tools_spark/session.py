@@ -47,27 +47,19 @@ def _local_scratch() -> str | None:
             return None
         # per-process scratch dir + sweep of dead sessions' debris:
         # crashed JVMs leave blockmgr-*/spark-* trees that would pin
-        # RAM until reboot. Each session owns root/pid-<pid>; a
-        # sibling whose pid is gone is guaranteed stale.
+        # RAM until reboot. Each session owns root/pid-<pid>, stamped
+        # with the owner's /proc start time so a RECYCLED pid (same
+        # number, different process -- os.kill(pid, 0) would call it
+        # alive, or EPERM for another user's process) is still
+        # reclaimed: the stamp and the current /proc starttime can
+        # only differ if the original owner died.
         d = os.path.join(root, f"pid-{os.getpid()}")
         os.makedirs(d, exist_ok=True)
-        for entry in os.listdir(root):
-            if not entry.startswith("pid-"):
-                continue
-            try:
-                pid = int(entry[4:])
-            except ValueError:
-                continue
-            if pid == os.getpid():
-                continue
-            try:
-                os.kill(pid, 0)  # raises if the owning process is dead
-            except ProcessLookupError:
-                import shutil
-
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
-            except OSError:
-                pass  # alive but not ours (EPERM) -- leave it
+        own = _proc_starttime(os.getpid())
+        if own is not None:
+            with open(os.path.join(d, ".owner-start"), "w") as f:
+                f.write(own)
+        _sweep_stale_scratch(root)
         probe = os.path.join(d, ".probe")
         with open(probe, "w"):
             pass
@@ -75,6 +67,75 @@ def _local_scratch() -> str | None:
         return d
     except OSError:
         return None
+
+
+def _proc_starttime(pid: int) -> str | None:
+    """The process's start time in clock ticks since boot
+    (/proc/<pid>/stat field 22) -- the (pid, starttime) pair uniquely
+    names a process for the life of a boot, unlike the recyclable pid
+    alone. None when the process is gone or /proc is unavailable
+    (non-Linux); comm is parsed by splitting after the LAST ')', the
+    standard defense against spaces/parens in the executable name."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            rest = f.read().rsplit(")", 1)[1].split()
+        return rest[19]
+    except (OSError, IndexError):
+        return None
+
+
+def _sweep_stale_scratch(root: str) -> None:
+    """Reclaim scratch dirs whose owning session is provably gone.
+
+    pid-* entries: dead when /proc/<pid> is absent, or present with a
+    DIFFERENT start time than the dir's stamp (recycled pid). An
+    unstamped dir (written by a pre-stamp version) with a live pid is
+    left alone. Without /proc (non-Linux), falls back to the
+    os.kill(pid, 0) liveness probe, treating only ProcessLookupError
+    as dead. Entries NOT named pid-* are legacy flat-layout debris
+    (blockmgr-*/spark-* from before per-pid dirs); tmpfs never
+    survives reboot, so anything older than an hour this boot is an
+    orphan and is reclaimed."""
+    import shutil
+    import time
+
+    have_proc = os.path.exists("/proc/self/stat")
+    for entry in os.listdir(root):
+        path = os.path.join(root, entry)
+        if not entry.startswith("pid-"):
+            try:
+                if time.time() - os.path.getmtime(path) > 3600:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
+            continue
+        try:
+            pid = int(entry[4:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        dead = False
+        if have_proc:
+            st = _proc_starttime(pid)
+            if st is None:
+                dead = True  # no /proc/<pid>/stat: process gone
+            else:
+                try:
+                    with open(os.path.join(path, ".owner-start")) as f:
+                        stamp = f.read().strip()
+                    dead = stamp != "" and stamp != st  # recycled pid
+                except OSError:
+                    pass  # unstamped dir, live pid: leave it
+        else:
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                dead = True
+            except OSError:
+                pass  # EPERM: alive but not ours
+        if dead:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def get_spark(

@@ -422,3 +422,39 @@ def test_edit_distance_collapse_self_and_cross(spark, sample_docs):
     assert len(sims) == 1 and None not in sims
     (s,) = sims
     assert 0.7 <= s < 1.0
+
+
+def test_duplicate_pairs_collapse_modes_and_max_df(spark, sample_docs):
+    """collapse='always' and 'never' are output-identical (no probe
+    job on either), and max_df forces the direct plan whose df filter
+    counts the FULL corpus -- on the replicated corpus every term's df
+    is >= 5, so max_df=4 yields no pairs at all (the collapsed corpus
+    would have df=1 per term and wrongly keep everything)."""
+    reps = _replicate(sample_docs)
+    always = {
+        (r["id1"], r["id2"]): round(r["sim"], 9)
+        for r in S.duplicate_pairs(reps, 0.3, collapse="always").collect()
+    }
+    never = {
+        (r["id1"], r["id2"]): round(r["sim"], 9)
+        for r in S.duplicate_pairs(reps, 0.3, collapse="never").collect()
+    }
+    assert set(always) == set(never) and always
+    for k in always:
+        assert abs(always[k] - never[k]) < 1e-6, k
+    # every doc has 5 byte-exact replicas -> every term df >= 5
+    assert S.duplicate_pairs(reps, 0.3, max_df=4).count() == 0
+    # df just above the replica count: behaves like the unfiltered run
+    # for terms unique to one doc-group, still df-filters shared terms
+    filtered = {
+        (r["id1"], r["id2"])
+        for r in S.duplicate_pairs(reps, 0.3, max_df=5).collect()
+    }
+    assert filtered  # replica pairs survive (their unique terms have df=5)
+
+
+def test_duplicate_pairs_rejects_bad_collapse(spark, sample_docs):
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.duplicate_pairs(sample_docs, 0.5, collapse="sometimes")
