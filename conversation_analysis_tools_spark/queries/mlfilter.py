@@ -174,6 +174,79 @@ def classifier_accuracy_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed 12-doc training corpus for the strict driver certificate:
+#: two perfectly separated token families ("quality-marker" prose vs
+#: junk/spam markers), labels assigned directly -- the cert pins the
+#: TRAIN+SCORE machinery (hashed featurization, distributed L-BFGS,
+#: closed-form literal-coefficient scoring), not the Gopher teacher.
+_FIXED_DOCS: list[tuple[int, str, float]] = [
+    (0, "clear structured prose with coherent informative sentences", 1.0),
+    (1, "informative coherent writing with clear structured paragraphs", 1.0),
+    (2, "well researched informative structured coherent analysis prose", 1.0),
+    (3, "coherent clear analysis with structured informative detail", 1.0),
+    (4, "structured prose detail coherent informative writing analysis", 1.0),
+    (5, "clear informative detail structured writing researched prose", 1.0),
+    (6, "spam spam click here buy now cheap deals", 0.0),
+    (7, "buy cheap deals now click spam here offer", 0.0),
+    (8, "click buy offer cheap spam deals now now", 0.0),
+    (9, "cheap offer spam buy click now deals here", 0.0),
+    (10, "deals now cheap click offer buy spam spam", 0.0),
+    (11, "offer here now buy deals spam cheap click", 0.0),
+]
+
+#: Pinned scores: computed by the operator below, verified identical
+#: at local[8] and local[32] (1e-16 intercept noise, 5e-6+ clearance
+#: from every 1e-4 rounding boundary). A drift here is a real change
+#: in featurization, optimization, or the closed-form scoring path.
+_FIXED_EXPECTED: list[tuple[int, int, int]] = [
+    (0, 9954, 1), (1, 9952, 1), (2, 9950, 1), (3, 9955, 1),
+    (4, 9955, 1), (5, 9950, 1), (6, 54, 0), (7, 45, 0),
+    (8, 46, 0), (9, 45, 0), (10, 50, 0), (11, 45, 0),
+]
+
+
+@register(
+    "quality_classifier_fixed",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"({i}, {p}, {c})" for i, p, c in _FIXED_EXPECTED)
+    + ") AS t(doc_id, p_good_x1e4, pred)",
+)
+def quality_classifier_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict driver certificate for the distilled-classifier path:
+    the REAL distributed pipeline (hashed featurization ->
+    LogisticRegression -> literal-coefficient closed-form sigmoid) on
+    the fixed corpus, scores pinned as 1e-4-scaled ints (the
+    pagerank_fixed / kmeans_fixed playbook). Float-order determinism:
+    the 12-row feature frame is ``coalesce(1)``'d, so the L-BFGS
+    gradient folds sequentially in row order at any cluster
+    parallelism; features themselves are exact integer counts.
+    sf_dir unused (fixed corpus). Complements
+    classifier_accuracy_cert (testdata-grain accuracy bound) and the
+    rows-only quality_classifier_scores (testdata-grain raw scores).
+    """
+    data = spark.createDataFrame(_FIXED_DOCS, "doc_id long, text string, label double")
+    toks = data.select("doc_id", raw_tokens_expr("text").alias("toks"), "label")
+    feat = _dense_features(toks.withColumn("split", F.lit("train"))).coalesce(1)
+    from pyspark.ml.classification import LogisticRegression
+
+    lr = LogisticRegression(
+        maxIter=25, regParam=0.01, labelCol="label", featuresCol="features"
+    )
+    model = lr.fit(feat)
+    weights = array_lit([float(w) for w in model.coefficients])
+    margin = F.aggregate(
+        F.transform("toks", _bucket),
+        F.lit(float(model.intercept)),
+        lambda acc, b: acc + F.element_at(weights, b + F.lit(1)),
+    )
+    p_good = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return toks.select(
+        "doc_id",
+        F.round(p_good * 10000).cast("bigint").alias("p_good_x1e4"),
+        (p_good > 0.5).cast("bigint").alias("pred"),
+    )
+
+
 @register("quality_classifier_scores", oracle=None)
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distilled quality classifier scored over every document:
