@@ -85,6 +85,12 @@ HEADLINE = [
     "ann_ivf_knn",
     "ann_pq_knn",
     "semdedup_prune",
+    # round-5 additions: the remaining slow pair-family operators,
+    # tracked per-round now that their candidate stages carry the
+    # identical-content representative-collapse
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "near_dup_canonicalize",
 ]
 
 

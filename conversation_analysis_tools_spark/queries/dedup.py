@@ -245,7 +245,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard >= 0.15 via inverted shingle index
     (only pairs sharing >= 1 shingle are generated; rare-shingle
-    corpora make this near-linear)."""
+    corpora make this near-linear).
+
+    Scale guidance: identical-set replicas are representative-collapsed
+    (operators/dedup.py ngram_jaccard_pairs), so byte-exact dup density
+    no longer inflates the index join. On corpora dense in NEAR- (not
+    exact-) duplicates the remaining cost is the true pair set itself
+    -- inherent to the exact contract; the LSH-gated variant of the
+    same computation (dedup_minhash_lsh: identical shingles, identical
+    exact-Jaccard verify, candidates bounded by banding) is the
+    100-TB operator for that regime, trading bounded recall near the
+    threshold for candidate-volume control. At 0.15 a prefix-filter
+    (ppjoin) index would not help: the required prefix is 1-t = 85%
+    of each shingle set."""
     pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.15)
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 

@@ -101,6 +101,7 @@ def fold_neardup_batch(
     ).persist()
     bands = D.lsh_bands(D.minhash_signatures_from_arrays(arrs, id_col), id_col)
     survivors = None
+    rep_surv = None
     try:
         # -- cross: batch vs admitted store --------------------------
         # Only partitions from EARLIER batches: a replayed fold must
@@ -138,14 +139,33 @@ def fold_neardup_batch(
         else:
             survivors = arrs
 
-        # -- internal: batch vs itself, greedy by id -----------------
-        surv_bands = bands.join(survivors.select(id_col), id_col, "left_semi")
+        # -- exact-dup collapse inside the batch ---------------------
+        # Identical shingle sets are mutual near-dups at Jaccard 1.0
+        # (threshold <= 1) with IDENTICAL pair relations, so greedy
+        # admission provably keeps exactly the min-id representative
+        # of every identical group: a non-rep is blocked by its rep if
+        # the rep is admitted, else by whatever admitted doc blocked
+        # the rep (same relations). Folding that outcome in directly
+        # keeps a replica BURST batch (the adversarial streaming case)
+        # from going quadratic in the internal candidate join AND from
+        # collecting m^2/2 pairs to the driver. Docs with no shingles
+        # are absent from ``members`` and pass through untouched,
+        # exactly as in the uncollapsed plan (they have no bands).
+        members = D._set_fp(survivors, id_col)
+        reps = D._group_reps(members, id_col)
+        non_reps = members.join(reps.select(id_col), id_col, "left_anti")
+        rep_surv = survivors.join(
+            non_reps.select(id_col), id_col, "left_anti"
+        ).persist()
+        # -- internal: representatives vs themselves, greedy by id ---
+        surv_bands = bands.join(rep_surv.select(id_col), id_col, "left_semi")
         cand_int = D.minhash_candidates(surv_bands, id_col)
-        verified = D.jaccard_verify(cand_int, survivors, threshold, id_col)
+        verified = D.jaccard_verify(cand_int, rep_surv, threshold, id_col)
         # the ONLY collect: one micro-batch's verified candidate
-        # pairs. Greedy admission only needs the pair-involved ids (a
-        # survivor in no pair is admitted and blocks nobody), so the
-        # local resolution is candidate-sized, never batch-sized.
+        # pairs at REPRESENTATIVE grain. Greedy admission only needs
+        # the pair-involved ids (a survivor in no pair is admitted and
+        # blocks nobody), so the local resolution is candidate-sized,
+        # never batch-sized.
         pairs = [
             (r["id1"], r["id2"]) for r in verified.select("id1", "id2").collect()
         ]
@@ -153,13 +173,13 @@ def fold_neardup_batch(
         dropped_int = set(involved) - _greedy_admit(involved, pairs)
 
         if dropped_int:
-            id_type = survivors.schema[id_col].dataType.simpleString()
+            id_type = rep_surv.schema[id_col].dataType.simpleString()
             drop_df = spark.createDataFrame(
                 [(i,) for i in sorted(dropped_int)], f"{id_col} {id_type}"
             )
-            kept = survivors.join(F.broadcast(drop_df), id_col, "left_anti")
+            kept = rep_surv.join(F.broadcast(drop_df), id_col, "left_anti")
         else:
-            kept = survivors
+            kept = rep_surv
         kept_bands = surv_bands.join(kept.select(id_col), id_col, "left_semi")
         kept.write.mode("overwrite").parquet(
             os.path.join(arrs_path, f"batch={batch_id}")
@@ -171,6 +191,8 @@ def fold_neardup_batch(
         arrs.unpersist()
         if survivors is not None and survivors is not arrs:
             survivors.unpersist()
+        if rep_surv is not None:
+            rep_surv.unpersist()
 
 
 def stream_neardup_dedup(

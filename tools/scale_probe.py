@@ -67,6 +67,21 @@ BIG = [
     "dedup_simhash",
     "decontamination_bloom",
     "dedup_span_removal",
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "near_dup_canonicalize",
+]
+
+#: Byte-exact replication probes: the representative-collapse target
+#: case. Every operator with an identical-content collapse stage must
+#: hold near-flat here (candidates run on ~n/10 reps; wall tracks the
+#: linear output expansion).
+BIG_EXACT = [
+    "dedup_simhash",
+    "nlp_duplicate_pairs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
 ]
 
 
@@ -201,7 +216,7 @@ def main() -> None:
             "| query | sf0.1 (5k docs) | 10x exact (50k docs) | x10 rows -> x wall |",
             "|---|---|---|---|",
         ]
-        for name in ["dedup_simhash", "nlp_duplicate_pairs"]:
+        for name in BIG_EXACT:
             t_small = best_of(lambda: qs[name](spark, SF_DIRS[2]).count())
             t_big = best_of(lambda: qs[name](spark, ex_dir).count())
             lines.append(
