@@ -345,6 +345,53 @@ def _group_reps(members: DataFrame, id_col: str) -> DataFrame:
     return members.groupBy("_fp").agg(F.min(id_col).alias(id_col))
 
 
+def _maybe_collapse(
+    df: DataFrame,
+    arrs: DataFrame,
+    id_col: str,
+    text_col: str,
+    collapse: str,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Collapse-plan dispatch shared by the MinHash/Jaccard consumers:
+    returns (work_arrs, members). ``members`` is None when the direct
+    plan should run (candidates over every doc, no expansion);
+    otherwise work_arrs holds one representative per identical
+    shingle set and the caller re-expands its verified pairs with
+    ``_expand_rep_pairs(..., members, ...)``.
+
+    ``collapse``: 'auto' (default) runs the shared eager dup-density
+    probe (operators/density.py -- one map-side job per corpus plan
+    per process, memoized) and collapses only when dup clusters would
+    materially inflate the candidate join; 'never'/'always' pin the
+    plan and stay fully lazy, for plan-only consumers and tests.
+    Either plan is output-exact, so the probe can only trade wall
+    clock (~+30-70% fixed stage overhead at dup-light sf0.1 vs
+    quadratic candidate blowup on dup-dense corpora)."""
+    if not _collapse_engaged(df, id_col, text_col, collapse):
+        return arrs, None
+    members = track(_set_fp(arrs, id_col))
+    reps = _group_reps(members, id_col)
+    return track(arrs.join(reps.select(id_col), id_col, "left_semi")), members
+
+
+def _collapse_engaged(
+    df: DataFrame, id_col: str, text_col: str, collapse: str
+) -> bool:
+    """Validate the ``collapse`` mode and resolve 'auto' through the
+    shared density probe."""
+    from conversation_analysis_tools_spark.operators.density import (
+        dup_density_decision,
+    )
+
+    if collapse not in ("auto", "never", "always"):
+        raise ValueError(f"collapse must be auto|never|always, got {collapse!r}")
+    if collapse == "never":
+        return False
+    if collapse == "always":
+        return True
+    return dup_density_decision(df, id_col, text_col)
+
+
 def _expand_rep_pairs(
     rep_pairs: DataFrame,
     members: DataFrame,
@@ -395,29 +442,31 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = None,
+    collapse: str = "auto",
 ) -> DataFrame:
     """MinHash LSH candidates -> exact-Jaccard verified pairs.
 
     Identical-shingle-SET groups are collapsed to one representative
-    before banding and re-expanded after verify (see the collapse
-    block above) -- output-exact for any threshold <= 1, since a
-    within-group pair's exact Jaccard is 1.0 and a cross-group member
-    pair has the same arrays (hence candidates and Jaccard) as its rep
-    pair. ``max_bucket`` remains the residual recall-trading skew
-    valve for buckets of NON-identical docs (boilerplate collisions);
-    default None keeps the operator exact / oracle-matched.
+    before banding and re-expanded after verify (adaptively -- see
+    ``_maybe_collapse``) -- output-exact for any threshold <= 1, since
+    a within-group pair's exact Jaccard is 1.0 and a cross-group
+    member pair has the same arrays (hence candidates and Jaccard) as
+    its rep pair. ``max_bucket`` remains the residual recall-trading
+    skew valve for buckets of NON-identical docs (boilerplate
+    collisions); default None keeps the operator exact /
+    oracle-matched.
     """
     # persist: the array table feeds fingerprints AND the verify joins
     arrs = track(shingle_arrays(df, id_col, text_col))
-    members = track(_set_fp(arrs, id_col))
-    reps = _group_reps(members, id_col)
-    rep_arrs = track(arrs.join(reps.select(id_col), id_col, "left_semi"))
+    work, members = _maybe_collapse(df, arrs, id_col, text_col, collapse)
     cands = minhash_candidates(
-        lsh_bands(minhash_signatures_from_arrays(rep_arrs, id_col), id_col),
+        lsh_bands(minhash_signatures_from_arrays(work, id_col), id_col),
         id_col,
         max_bucket,
     )
-    rep_pairs = jaccard_verify(cands, rep_arrs, threshold, id_col)
+    rep_pairs = jaccard_verify(cands, work, threshold, id_col)
+    if members is None:
+        return rep_pairs
     return _expand_rep_pairs(rep_pairs, members, id_col, "jaccard", 1.0)
 
 
@@ -427,6 +476,7 @@ def cross_corpus_minhash_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    collapse: str = "auto",
 ) -> DataFrame:
     """Eval-vs-train contamination at MinHash grain: LSH band join
     strictly ACROSS the two corpora (never within either side), then
@@ -437,8 +487,8 @@ def cross_corpus_minhash_pairs(
     Scale shape: benchmark/eval corpora are tiny next to a 100 TB
     train corpus, so the eval band table is broadcast. The train side
     is collapsed to one representative per identical shingle set
-    before banding (the dup-cluster blowup guard -- see the collapse
-    block above): a replica cluster of m train docs costs ONE
+    before banding (adaptively, behind the shared dup-density probe --
+    the dup-cluster blowup guard): a replica cluster of m train docs costs ONE
     candidate row instead of m, and the verified pairs re-expand to
     members afterward (identical sets => identical candidates and
     Jaccard, so the expansion is output-exact). The fingerprint
@@ -448,9 +498,9 @@ def cross_corpus_minhash_pairs(
     """
     e_arrs = track(shingle_arrays(eval_df, id_col, text_col))
     t_arrs = track(shingle_arrays(train_df, id_col, text_col))
-    t_members = track(_set_fp(t_arrs, id_col))
-    t_reps = _group_reps(t_members, id_col)
-    t_rep_arrs = track(t_arrs.join(t_reps.select(id_col), id_col, "left_semi"))
+    t_rep_arrs, t_members = _maybe_collapse(
+        train_df, t_arrs, id_col, text_col, collapse
+    )
     e_bands = lsh_bands(minhash_signatures_from_arrays(e_arrs, id_col), id_col).select(
         F.col(id_col).alias("eval_id"), "band", "key"
     )
@@ -477,7 +527,10 @@ def cross_corpus_minhash_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    if t_members is None:
+        return rep_pairs
     # expand train representatives back to every member of their group
+    t_reps = _group_reps(t_members, id_col)
     return (
         rep_pairs.join(
             t_reps.withColumnRenamed(id_col, "train_id"), "train_id"
@@ -494,6 +547,7 @@ def edit_distance_pairs(
     max_chars: int = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    collapse: str = "auto",
 ) -> DataFrame:
     """Near-dup pairs verified by exact Levenshtein similarity:
     MinHash-LSH candidate generation, then
@@ -519,29 +573,35 @@ def edit_distance_pairs(
     prefilter stack). Returns (id1, id2, edit_sim).
 
     Byte-identical-TEXT groups are collapsed to one representative
-    before banding and re-expanded after verify (the dup-cluster
-    blowup guard; see the collapse block above). The group key here is
-    md5 of the FULL text, not the shingle set: identical text implies
-    identical shingles (=> identical candidates) AND identical
-    truncated strings (=> identical Levenshtein), so the expansion is
-    output-exact; a merely set-identical pair could differ in
-    character order and must stay in the direct verify. Docs with no
-    shingles are excluded from grouping -- they can never be
-    candidates in the direct plan.
+    before banding and re-expanded after verify (adaptively, behind
+    the shared dup-density probe -- the dup-cluster blowup guard).
+    The group key here is md5 of the FULL text, not the shingle set:
+    identical text implies identical shingles (=> identical
+    candidates) AND identical truncated strings (=> identical
+    Levenshtein), so the expansion is output-exact; a merely
+    set-identical pair could differ in character order and must stay
+    in the direct verify. Docs with no shingles are excluded from
+    grouping -- they can never be candidates in the direct plan.
     """
     arrs = track(shingle_arrays(df, id_col, text_col))
-    nonempty = arrs.where(F.size("sh_arr") > 0).select(id_col)
-    members = track(
-        df.join(nonempty, id_col, "left_semi").select(
-            F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_fp")
+    if _collapse_engaged(df, id_col, text_col, collapse):
+        nonempty = arrs.where(F.size("sh_arr") > 0).select(id_col)
+        members = track(
+            df.join(nonempty, id_col, "left_semi").select(
+                F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_fp")
+            )
         )
-    )
-    reps = _group_reps(members, id_col)
-    rep_arrs = arrs.join(reps.select(id_col), id_col, "left_semi")
+        reps = _group_reps(members, id_col)
+        work_arrs = arrs.join(reps.select(id_col), id_col, "left_semi")
+        t_base = df.join(reps.select(id_col), id_col, "left_semi")
+    else:
+        members = None
+        work_arrs = arrs
+        t_base = df
     cands = minhash_candidates(
-        lsh_bands(minhash_signatures_from_arrays(rep_arrs, id_col), id_col), id_col
+        lsh_bands(minhash_signatures_from_arrays(work_arrs, id_col), id_col), id_col
     )
-    t = df.join(reps.select(id_col), id_col, "left_semi").select(
+    t = t_base.select(
         F.col(id_col), F.substring(F.col(text_col), 1, max_chars).alias("_t")
     )
     t1 = t.select(F.col(id_col).alias("id1"), F.col("_t").alias("t1"))
@@ -571,6 +631,8 @@ def edit_distance_pairs(
         .where((F.col("_d") >= 0) & (F.col("edit_sim") >= threshold))
         .drop("_d")
     )
+    if members is None:
+        return rep_pairs
     return _expand_rep_pairs(rep_pairs, members, id_col, "edit_sim", 1.0)
 
 
@@ -758,26 +820,24 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    collapse: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via inverted shingle index:
     only pairs sharing a shingle are generated.
 
     Identical-shingle-SET groups are collapsed to one representative
-    before the index join and re-expanded after (the dup-cluster
-    blowup guard; see the collapse block above). The inverted index is
-    EXACT, so the blowup here is worse than LSH's: a replica cluster
-    of m docs with s shingles each costs m^2*s/2 rows out of the
-    shingle self-join (measured 53.6 s / 5.7x wall on the 10x
-    dup-heavy probe); collapsed, it costs s rows plus a linear
-    expansion of the m^2/2 OUTPUT pairs, which the pair-set contract
-    emits regardless. Output-exact: within-group exact Jaccard is 1.0
-    and a cross-group member pair shares shingles (and sizes) with its
-    rep pair.
+    before the index join and re-expanded after (adaptively -- see
+    ``_maybe_collapse``). The inverted index is EXACT, so the blowup
+    here is worse than LSH's: a replica cluster of m docs with s
+    shingles each costs m^2*s/2 rows out of the shingle self-join
+    (measured 53.6 s / 5.7x wall on the 10x dup-heavy probe);
+    collapsed, it costs s rows plus a linear expansion of the m^2/2
+    OUTPUT pairs, which the pair-set contract emits regardless.
+    Output-exact: within-group exact Jaccard is 1.0 and a cross-group
+    member pair shares shingles (and sizes) with its rep pair.
     """
     arrs = track(shingle_arrays(df, id_col, text_col, n))
-    members = track(_set_fp(arrs, id_col))
-    reps = _group_reps(members, id_col)
-    rep_arrs = track(arrs.join(reps.select(id_col), id_col, "left_semi"))
+    rep_arrs, members = _maybe_collapse(df, arrs, id_col, text_col, collapse)
     sh = rep_arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     # sizes from the array stage: narrow projection, no extra groupBy
     sizes = rep_arrs.select(F.col(id_col), F.size("sh_arr").alias("sz"))
@@ -803,6 +863,8 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    if members is None:
+        return rep_pairs
     return _expand_rep_pairs(rep_pairs, members, id_col, "jaccard", 1.0)
 
 

@@ -64,51 +64,17 @@ DENSE_MAX_N = 100_000
 #: volume is n * B vector rows.
 DENSE_BLOCK_ROWS = 2_000
 
-#: Exact-duplicate fraction below which duplicate_pairs skips the
-#: representative-collapse rewrite: the rep semi-joins + expansion
-#: joins only pay for themselves once dup clusters materially inflate
-#: the pair join (approx_count_distinct probe, so an absolute floor of
-#: 16 also absorbs HLL estimation error on dup-free corpora).
-DUP_COLLAPSE_MIN_FRAC = 0.05
-
-#: Memoized dup-density decisions keyed by the semantic hash of the
-#: input plan (bounded; evicts oldest). The DECISION is cached, never
-#: data. A reader re-created over the same path after the files were
-#: regenerated hashes identically and can serve a stale decision --
-#: safe BY INVARIANT: both plans are output-identical for every
-#: parameterization that reaches the probe (max_df, which would break
-#: the equivalence, forces the direct plan before probing), so a stale
-#: hit can only cost performance, never correctness.
-_DUP_DECISION_CACHE: dict[int, bool] = {}
-_DUP_DECISION_CACHE_MAX = 64
+#: Collapse decision + threshold live in operators/density.py now,
+#: shared with the dedup-family collapse consumers; re-exported here
+#: for call-site and test continuity.
+from conversation_analysis_tools_spark.operators.density import (  # noqa: E402
+    DUP_COLLAPSE_MIN_FRAC,
+    dup_density_decision as _dup_density_decision_shared,
+)
 
 
 def _dup_density_decision(docs: DataFrame, member: DataFrame) -> bool:
-    """True when the exact-dup density of ``docs`` warrants the
-    representative-collapse plan. One map-side probe job, memoized per
-    semantic plan (internal semanticHash via py4j; on any failure the
-    probe simply runs uncached)."""
-    key = None
-    try:
-        key = docs._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:  # noqa: BLE001 -- internal API; probe uncached
-        key = None
-    if key is not None and key in _DUP_DECISION_CACHE:
-        return _DUP_DECISION_CACHE[key]
-    stats = member.agg(
-        F.count("*").alias("n"),
-        # rsd 0.01: keeps the HLL's 1-sigma error ~5x below the 5%
-        # decision threshold, so a dup-free corpus never trips it
-        F.approx_count_distinct("_tsig", 0.01).alias("nd"),
-    ).first()
-    decision = stats["n"] - stats["nd"] > max(
-        16, DUP_COLLAPSE_MIN_FRAC * stats["n"]
-    )
-    if key is not None:
-        if len(_DUP_DECISION_CACHE) >= _DUP_DECISION_CACHE_MAX:
-            _DUP_DECISION_CACHE.pop(next(iter(_DUP_DECISION_CACHE)))
-        _DUP_DECISION_CACHE[key] = decision
-    return decision
+    return _dup_density_decision_shared(docs, member=member)
 
 
 def pairwise_cosine(

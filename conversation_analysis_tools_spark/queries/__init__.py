@@ -54,13 +54,16 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
-    # round-5 changed plans: identical-signature representative-collapse
-    # in minhash_candidates (operators/dedup.py) -- these consume the
-    # changed candidate stage with distinct downstream shapes
+    # round-5 changed plans: adaptive identical-content
+    # representative-collapse around the MinHash/Jaccard candidate
+    # stages (operators/dedup.py _maybe_collapse + the shared density
+    # probe) -- every oracled query consuming a changed operator
     "dedup_minhash_lsh",
     "dedup_edit_distance",
     "dedup_ngram_jaccard",
     "decontamination_minhash",
+    "dedup_recall_eval",
+    "near_dup_canonicalize",
 ]
 
 

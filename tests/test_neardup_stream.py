@@ -98,3 +98,36 @@ def test_fold_replay_overwrites_not_appends(spark, sample_docs, tmp_path):
     got = spark.read.parquet(f"{store}/arrs").select("doc_id").collect()
     ids = sorted(r[0] for r in got)
     assert ids == [0, 1, 2]  # no duplicates, nothing lost
+
+
+def test_replica_burst_batch_admits_one_rep(spark, tmp_path):
+    """A byte-identical replica BURST inside one micro-batch (the
+    adversarial case for the internal batch-vs-itself join) admits
+    exactly the min-id representative; a later batch of more replicas
+    is then blocked by the store. The collapse that makes the burst
+    candidate join representative-sized must not change greedy
+    semantics: dissimilar docs and no-shingle docs pass untouched."""
+    t_dup = "the quick brown fox jumps over the lazy dog again and again"
+    t_other = "completely unrelated text about spark shuffle partitions here"
+    burst = spark.createDataFrame(
+        [(i, t_dup) for i in range(30)]
+        + [(100, t_other), (101, "")],  # empty text: no shingles
+        "doc_id long, text string",
+    )
+    later = spark.createDataFrame(
+        [(200 + i, t_dup) for i in range(10)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for k, df in enumerate((burst, later)):
+        part = str(tmp_path / f"part{k}")
+        df.coalesce(1).write.parquet(part)
+        f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+        dst = os.path.join(src, f"{k:02d}.parquet")
+        os.rename(os.path.join(part, f), dst)
+        os.utime(dst, (1_000_000 + k, 1_000_000 + k))
+    kept = stream_neardup_dedup(
+        spark, src, str(tmp_path / "store"), threshold=0.5
+    )
+    ids = sorted(r[0] for r in kept.collect())
+    assert ids == [0, 100, 101]

@@ -458,3 +458,71 @@ def test_duplicate_pairs_rejects_bad_collapse(spark, sample_docs):
 
     with pytest.raises(ValueError):
         S.duplicate_pairs(sample_docs, 0.5, collapse="sometimes")
+
+
+def test_edit_distance_threshold_boundary_with_pair_band(spark):
+    """The per-pair Levenshtein band must be exact at the threshold
+    boundary: a pair whose edit_sim is EXACTLY the threshold survives
+    (its distance floor((1-t)*L) sits strictly inside the band
+    floor((1-t)*L)+1), and one more edit is rejected via the banded
+    -1, never by accidental band truncation of a qualifying pair.
+    Texts share ~90% of their word shingles so LSH candidacy is not
+    the discriminator."""
+    words = [
+        "".join(chr(ord("a") + d) for d in (i // 26 // 26, i // 26 % 26, i % 26))
+        for i in range(75)
+    ]
+    base = " ".join(words)  # 'z' never appears: 75 words < 26*26
+    L = len(base)
+    k = int(0.1 * L)  # max edits still >= threshold 0.9
+    at = base[: L - k] + "z" * k          # dist exactly k (subs only)
+    over = base[: L - k - 1] + "z" * (k + 1)  # dist exactly k + 1
+    df = spark.createDataFrame(
+        [(1, base), (2, at), (3, over)], "doc_id long, text string"
+    )
+    got = {
+        (r["id1"], r["id2"]): r["edit_sim"]
+        for r in D.edit_distance_pairs(df, threshold=0.9).collect()
+    }
+    # (1,2) at the boundary: kept with sim == 1 - k/L exactly
+    assert (1, 2) in got and abs(got[(1, 2)] - (1 - k / L)) < 1e-12
+    # (1,3) one edit past the budget: rejected
+    assert (1, 3) not in got
+    # (2,3): single-substitution pair, trivially kept
+    assert (2, 3) in got and got[(2, 3)] > 0.99
+
+
+def test_dedup_collapse_modes_and_density_probe(spark, sample_docs):
+    """The dedup-family collapse gate: 'always' and 'never' are
+    output-identical (the adaptive probe may only ever pick between
+    these two), the shared density probe fires True on the replicated
+    corpus and False on the 6-doc sample (1 dup pair < the 16-dup
+    floor), and a bad mode raises."""
+    import pytest
+
+    from conversation_analysis_tools_spark.operators.density import (
+        dup_density_decision,
+    )
+
+    reps = _replicate(sample_docs)
+    assert dup_density_decision(reps) is True
+    assert dup_density_decision(sample_docs) is False
+    for fn, kw in (
+        (D.minhash_dedup_pairs, dict(threshold=0.2)),
+        (D.ngram_jaccard_pairs, dict(threshold=0.15)),
+        (D.edit_distance_pairs, dict(threshold=0.7)),
+    ):
+        val = "edit_sim" if fn is D.edit_distance_pairs else "jaccard"
+        always = {
+            (r["id1"], r["id2"]): round(r[val], 9)
+            for r in fn(reps, collapse="always", **kw).collect()
+        }
+        never = {
+            (r["id1"], r["id2"]): round(r[val], 9)
+            for r in fn(reps, collapse="never", **kw).collect()
+        }
+        assert set(always) == set(never) and always, fn.__name__
+        for key in always:
+            assert abs(always[key] - never[key]) < 1e-9, (fn.__name__, key)
+        with pytest.raises(ValueError):
+            fn(sample_docs, collapse="sometimes", **kw)

@@ -166,8 +166,43 @@ def build_10x_exact(spark, sf_dir: str) -> str:
     return out
 
 
+def build_100x_exact(spark, sf_dir: str) -> str:
+    """500k-doc byte-exact replication (documents sf0.1 x100): the
+    dup-cluster stress level above build_10x_exact. Groups of 100
+    identical texts mean ~4950 true pairs per group (~25M output
+    pairs corpus-wide); any operator whose candidate stage is NOT
+    representative-collapsed would generate 100^2-scale join rows per
+    shared term/band and fall over here, so near-flat candidate time
+    plus output-linear expansion is the pass criterion."""
+    out = staging_dir("docs100xex", sf_dir)
+    marker = os.path.join(out, "_SUCCESS_100xex")
+    if not os.path.exists(marker):
+        docs = table(spark, "documents", sf_dir)
+        n = docs.count()
+        reps = (
+            docs.select(
+                "doc_id",
+                "text",
+                F.explode(F.sequence(F.lit(0), F.lit(99))).alias("rep"),
+            )
+            .select(
+                (F.col("doc_id") + F.col("rep") * F.lit(n * 100)).alias("doc_id"),
+                F.col("text"),
+            )
+            .withColumn("source", F.lit("replica"))
+            .withColumn("lang", F.lit("en"))
+            .withColumn("n_chars", F.length("text"))
+        )
+        reps.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        open(marker, "w").close()
+    return out
+
+
 def main() -> None:
     skip_10x = "--skip-10x" in sys.argv
+    skip_100x = "--skip-100x" in sys.argv
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     qs = entrymod.queries()
     qs["group_counts"](spark, SF_DIRS[1]).collect()  # warmup
@@ -219,6 +254,26 @@ def main() -> None:
         for name in BIG_EXACT:
             t_small = best_of(lambda: qs[name](spark, SF_DIRS[2]).count())
             t_big = best_of(lambda: qs[name](spark, ex_dir).count())
+            lines.append(
+                f"| {name} | {t_small} s | {t_big} s | {round(t_big / max(t_small, 0.01), 1)}x |"
+            )
+            print(lines[-1], flush=True)
+
+    if not (skip_10x or skip_100x):
+        ex100 = build_100x_exact(spark, SF_DIRS[2])
+        lines += [
+            "",
+            "Byte-exact replication x100 (documents sf0.1 x100, 500k "
+            "docs, dup clusters of 100): ~25M true pairs corpus-wide. "
+            "Candidate stages run on the ~5k collapsed representatives; "
+            "wall is the linear output expansion (best-of-2):",
+            "",
+            "| query | sf0.1 (5k docs) | 100x exact (500k docs) | x100 rows -> x wall |",
+            "|---|---|---|---|",
+        ]
+        for name in BIG_EXACT:
+            t_small = best_of(lambda: qs[name](spark, SF_DIRS[2]).count(), n=2)
+            t_big = best_of(lambda: qs[name](spark, ex100).count(), n=2)
             lines.append(
                 f"| {name} | {t_small} s | {t_big} s | {round(t_big / max(t_small, 0.01), 1)}x |"
             )
