@@ -366,10 +366,29 @@ def _maybe_collapse(
     plan and stay fully lazy, for plan-only consumers and tests.
     Either plan is output-exact, so the probe can only trade wall
     clock (~+30-70% fixed stage overhead at dup-light sf0.1 vs
-    quadratic candidate blowup on dup-dense corpora)."""
-    if not _collapse_engaged(df, id_col, text_col, collapse):
+    quadratic candidate blowup on dup-dense corpora).
+
+    The probe runs over the SHINGLE-SET fingerprint -- the key this
+    collapse actually groups on -- because token-invisible text drift
+    (version markers, punctuation) makes byte-distinct docs
+    set-identical; a md5(text) proxy probe missed exactly those and
+    cost ngram_jaccard_pairs 17.5 s vs 1.5 s on the 10x
+    word-perturbed corpus. Probing ``_set_fp`` of the track()'d
+    ``arrs`` also warms the persisted shingle cache every downstream
+    stage reuses, so the probe's scan is not wasted work."""
+    if collapse not in ("auto", "never", "always"):
+        raise ValueError(f"collapse must be auto|never|always, got {collapse!r}")
+    if collapse == "never":
         return arrs, None
-    members = track(_set_fp(arrs, id_col))
+    members = _set_fp(arrs, id_col)
+    if collapse == "auto":
+        from conversation_analysis_tools_spark.operators.density import (
+            dup_density_decision,
+        )
+
+        if not dup_density_decision(member=members, sig_col="_fp"):
+            return arrs, None
+    members = track(members)
     reps = _group_reps(members, id_col)
     return track(arrs.join(reps.select(id_col), id_col, "left_semi")), members
 
