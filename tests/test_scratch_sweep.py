@@ -40,17 +40,25 @@ def test_sweep_dead_recycled_live_and_legacy(tmp_path):
     # recycled pid: pid 1 is alive but its start time can never match
     # a bogus stamp -> swept (os.kill(1, 0) would have said EPERM/alive)
     recycled = _mk(root, "pid-1", stamp="999999999999")
-    # live pid, correct stamp: our own parent (this process is skipped
-    # by pid, so use the parent as an independent live process)
-    ppid = os.getppid()
-    live = _mk(root, f"pid-{ppid}", stamp=_proc_starttime(ppid) or "")
+    # live pid, correct stamp: a child we spawn (this process is
+    # skipped by pid, and the PARENT pid is unreliable -- a daemonized
+    # test runner reparents to pid 1 and would collide with the
+    # recycled entry above)
+    import subprocess
+
+    child = subprocess.Popen(["sleep", "60"])
+    live = _mk(root, f"pid-{child.pid}", stamp=_proc_starttime(child.pid) or "")
     # live pid, pre-stamp dir (no marker): must be left alone
     unstamped = _mk(root, "pid-1x")  # malformed -> ignored entirely
     legacy_old = _mk(root, "blockmgr-legacy")
     os.utime(legacy_old, (time.time() - 7200, time.time() - 7200))
     legacy_new = _mk(root, "spark-recent")
 
-    _sweep_stale_scratch(root)
+    try:
+        _sweep_stale_scratch(root)
+    finally:
+        child.terminate()
+        child.wait()
 
     assert not os.path.exists(dead)
     assert not os.path.exists(recycled)
