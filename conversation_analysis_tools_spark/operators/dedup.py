@@ -455,6 +455,41 @@ def _expand_rep_pairs(
     return within.unionByName(cross)
 
 
+def _expand_candidate_pairs(rep_pairs: DataFrame, members: DataFrame) -> DataFrame:
+    """Representative CANDIDATE pairs -> member candidate pairs, no
+    score attached: the downstream verify (e.g. the Levenshtein DP,
+    whose inputs differ per member even when shingle sets do not)
+    still runs per member pair. within-group: every member pair of a
+    fingerprint group is a direct-plan candidate (identical sets =>
+    identical signatures => it shares every band with its peers);
+    cross-group: a member pair shares a band bucket iff its rep pair
+    does. Both directions exact, so the expanded set equals the
+    direct plan's candidate set. Disjoint by construction (within =
+    same fingerprint, cross = different), and duplicate-free because
+    each member belongs to exactly one group."""
+    w1 = members.select(F.col(members.columns[0]).alias("id1"), "_fp")
+    w2 = members.select(F.col(members.columns[0]).alias("id2"), "_fp")
+    within = (
+        w1.join(w2, "_fp").where(F.col("id1") < F.col("id2")).select("id1", "id2")
+    )
+    f1 = members.select(F.col(members.columns[0]).alias("id1"), F.col("_fp").alias("_fp1"))
+    f2 = members.select(F.col(members.columns[0]).alias("id2"), F.col("_fp").alias("_fp2"))
+    m1 = members.select(F.col(members.columns[0]).alias("_m1"), F.col("_fp").alias("_fp1"))
+    m2 = members.select(F.col(members.columns[0]).alias("_m2"), F.col("_fp").alias("_fp2"))
+    cross = (
+        rep_pairs.join(f1, "id1")
+        .join(f2, "id2")
+        .drop("id1", "id2")
+        .join(m1, "_fp1")
+        .join(m2, "_fp2")
+        .select(
+            F.least("_m1", "_m2").alias("id1"),
+            F.greatest("_m1", "_m2").alias("id2"),
+        )
+    )
+    return within.unionByName(cross)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -601,6 +636,20 @@ def edit_distance_pairs(
     set-identical pair could differ in character order and must stay
     in the direct verify. Docs with no shingles are excluded from
     grouping -- they can never be candidates in the direct plan.
+
+    Independently of the VERIFY grain, the CANDIDATE stage collapses
+    on the shingle-SET fingerprint (``_maybe_collapse``, the same
+    adaptive probe the Jaccard family uses): identical sets produce
+    identical signatures and band keys, so a member pair is a direct-
+    plan candidate iff its representative pair is, and a within-group
+    pair always is (it shares every band). The rep-grain candidate
+    pairs re-expand to member pairs BEFORE the Levenshtein verify
+    (``_expand_candidate_pairs`` -- candidate-set-exact, carrying no
+    score), so the DP still runs per true pair while the signature +
+    band join stage runs once per distinct shingle set. On the 10x
+    word-perturbed probe (token-invisible markers: byte-distinct,
+    set-identical) the candidate stage was 9.1 s of the 17-20 s wall;
+    rep-grain candidates cut it to the collapsed corpus's cost.
     """
     arrs = track(shingle_arrays(df, id_col, text_col))
     if _collapse_engaged(df, id_col, text_col, collapse):
@@ -617,9 +666,12 @@ def edit_distance_pairs(
         members = None
         work_arrs = arrs
         t_base = df
+    cand_arrs, cand_members = _maybe_collapse(df, work_arrs, id_col, text_col, collapse)
     cands = minhash_candidates(
-        lsh_bands(minhash_signatures_from_arrays(work_arrs, id_col), id_col), id_col
+        lsh_bands(minhash_signatures_from_arrays(cand_arrs, id_col), id_col), id_col
     )
+    if cand_members is not None:
+        cands = _expand_candidate_pairs(cands, cand_members)
     t = t_base.select(
         F.col(id_col), F.substring(F.col(text_col), 1, max_chars).alias("_t")
     )
@@ -636,19 +688,35 @@ def edit_distance_pairs(
     #     O(band * L) run. F.levenshtein()'s wrapper takes only a
     #     Python-int threshold, so the column-valued band goes through
     #     call_function (same count verified both ways at 10x sf0.1).
+    #     A narrower "try a tiny band first, escalate on -1" tier was
+    #     measured and REJECTED: per-pair cost here is dominated by
+    #     row/expression fixed overhead, not DP cells (band/8 only ran
+    #     1.8x faster), and Catalyst freely duplicates the CaseWhen
+    #     into filter pushdowns (15 levenshtein sites in the inlined
+    #     plan), erasing the remainder.
     maxlen = F.greatest(F.length("t1"), F.length("t2"))
     pair_bound = (F.floor(F.lit(1 - threshold) * maxlen) + 1).cast("int")
     dist = F.call_function("levenshtein", F.col("t1"), F.col("t2"), pair_bound)
-    sim = 1 - dist / maxlen
-    rep_pairs = (
+    # The DP result materializes ONCE through a tiny persisted
+    # (id1, id2, _ml, _d) projection: downstream the same _d feeds
+    # both the qualifying filter and the emitted similarity, and
+    # Catalyst's alias inlining (filter pushdown through the project)
+    # would otherwise re-run the most expensive expression in the
+    # whole plan per reference. ~16 bytes/candidate of executor
+    # memory buys the guarantee.
+    verified = track(
         cands.join(t1, "id1")
         .join(t2, "id2")
         .where(
             F.abs(F.length("t1") - F.length("t2")) <= F.lit(1 - threshold) * maxlen
         )
-        .select("id1", "id2", dist.alias("_d"), sim.alias("edit_sim"))
-        .where((F.col("_d") >= 0) & (F.col("edit_sim") >= threshold))
-        .drop("_d")
+        .select("id1", "id2", maxlen.alias("_ml"), dist.alias("_d"))
+    )
+    rep_pairs = (
+        verified.where(
+            (F.col("_d") >= 0) & (1 - F.col("_d") / F.col("_ml") >= threshold)
+        )
+        .select("id1", "id2", (1 - F.col("_d") / F.col("_ml")).alias("edit_sim"))
     )
     if members is None:
         return rep_pairs
