@@ -526,3 +526,44 @@ def test_dedup_collapse_modes_and_density_probe(spark, sample_docs):
             assert abs(always[key] - never[key]) < 1e-9, (fn.__name__, key)
         with pytest.raises(ValueError):
             fn(sample_docs, collapse="sometimes", **kw)
+
+
+def test_density_probe_memo_file_backed(spark, sample_docs, tmp_path, monkeypatch):
+    """File-backed density decisions are content-keyed and
+    disk-persisted: a cold cache serves the stored decision without
+    running the probe job, and regenerating the files (same path,
+    different content) invalidates the key instead of serving stale."""
+    from pyspark.sql import DataFrame
+
+    from conversation_analysis_tools_spark.operators import density
+
+    monkeypatch.setenv("SPARK_GRAFT_FITCACHE_DIR", str(tmp_path / "fc"))
+    p = str(tmp_path / "docs.parquet")
+    sample_docs.write.mode("overwrite").parquet(p)
+
+    def probed():
+        return spark.read.parquet(p)
+
+    density._DECISION_CACHE.clear()
+    assert density.dup_density_decision(probed()) is False
+
+    # cold process simulation: process memo emptied, probe forbidden
+    density._DECISION_CACHE.clear()
+    real_agg = DataFrame.agg
+
+    def _boom(self, *a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("probe job ran despite disk-cached decision")
+
+    monkeypatch.setattr(DataFrame, "agg", _boom)
+    assert density.dup_density_decision(probed()) is False
+    monkeypatch.setattr(DataFrame, "agg", real_agg)
+
+    # regenerate the SAME path with a dup-heavy corpus: the leaf-file
+    # fingerprint changes, so the stale False must not be served
+    import time as _t
+
+    _t.sleep(0.05)  # distinct mtime_ns even on coarse filesystems
+    reps = _replicate(sample_docs)
+    reps.write.mode("overwrite").parquet(p)
+    density._DECISION_CACHE.clear()
+    assert density.dup_density_decision(probed()) is True
