@@ -104,6 +104,14 @@ AUDIT = [
     # select folds only the dot product
     "ann_ivf_knn",
     "dedup_embedding_cosine",
+    # round-5: the MinHash-candidate consumers after the adaptive
+    # representative-collapse -- on the dup-light sf0.1 corpus the
+    # probe must pick the DIRECT plan (no collapse stages inlined),
+    # and edit-distance must show the persisted verify projection
+    # (one levenshtein site, not one per pushed-down reference)
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "near_dup_canonicalize",
 ]
 
 
