@@ -567,3 +567,67 @@ def test_density_probe_memo_file_backed(spark, sample_docs, tmp_path, monkeypatc
     reps.write.mode("overwrite").parquet(p)
     density._DECISION_CACHE.clear()
     assert density.dup_density_decision(probed()) is True
+
+
+def test_collapse_parity_randomized_token_invisible_drift(spark):
+    """Randomized 'always' == 'never' parity on the regime the
+    candidate-grain collapse exploits: groups whose members share one
+    token stream but differ in BYTES (case flips, punctuation, extra
+    whitespace -- invisible to the [a-z]{3,} tokenizer). Set-grain
+    verifies must expand member pairs with the rep score; the
+    character-grain edit-distance verify must still run per member
+    pair (within-group sims < 1 and member-dependent), which only
+    holds if _expand_candidate_pairs reproduces the direct plan's
+    candidate set exactly."""
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"word{chr(97 + i)}{chr(97 + j)}" for i in range(5) for j in range(4)]
+    rows, did = [], 0
+
+    def decorate(words, j):
+        # j=0: pristine. j>0: token-invisible byte drift.
+        out = []
+        for k, w in enumerate(words):
+            if j and k % (j + 1) == 0:
+                w = w.capitalize() if j % 2 else w + ","
+            out.append(w)
+        return (" " * (1 + j % 3)).join(out) + ("!!" if j % 2 else "")
+
+    for _g in range(6):  # 6 groups x 4 members: set-identical clusters
+        words = [rng.choice(vocab) for _ in range(rng.randint(8, 16))]
+        for j in range(4):
+            rows.append((did, decorate(words, j)))
+            did += 1
+    base = [rng.choice(vocab) for _ in range(10)]
+    for _ in range(4):  # one byte-exact cluster
+        rows.append((did, " ".join(base)))
+        did += 1
+    for _ in range(20):  # unique noise docs
+        rows.append((did, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 20)))))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for fn, kw, val in (
+        (D.minhash_dedup_pairs, dict(threshold=0.2), "jaccard"),
+        (D.ngram_jaccard_pairs, dict(threshold=0.15), "jaccard"),
+        (D.edit_distance_pairs, dict(threshold=0.7), "edit_sim"),
+    ):
+        always = {
+            (r["id1"], r["id2"]): round(r[val], 9)
+            for r in fn(df, collapse="always", **kw).collect()
+        }
+        never = {
+            (r["id1"], r["id2"]): round(r[val], 9)
+            for r in fn(df, collapse="never", **kw).collect()
+        }
+        assert set(always) == set(never) and always, fn.__name__
+        for key in always:
+            assert abs(always[key] - never[key]) < 1e-9, (fn.__name__, key)
+    # the edit-distance within-group sims must reflect the BYTE drift
+    # (not a collapsed self-score): pristine vs drifted members < 1
+    ed = {
+        (r["id1"], r["id2"]): r["edit_sim"]
+        for r in D.edit_distance_pairs(df, threshold=0.7, collapse="always").collect()
+    }
+    assert any(0.7 <= v < 0.999999 for v in ed.values())

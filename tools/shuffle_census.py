@@ -67,6 +67,11 @@ CENSUS = [
     "ann_ivf_knn",
     "ann_pq_knn",
     "semdedup_prune",
+    # round-5 bench additions: the collapse-gated pair family on the
+    # dup-light corpus (direct plans; exchanges stay candidate-bounded)
+    "dedup_ngram_jaccard",
+    "dedup_edit_distance",
+    "near_dup_canonicalize",
 ]
 
 
