@@ -98,3 +98,79 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, content binary, mime string",
     )
     return M.image_neardup_pairs(media, max_hamming=3, fake=True)
+
+
+#: Fixed audio corpus (media_id, sample_rate, n_samples): three mono
+#: PCM16 WAVs with different rates/durations plus one shorter than a
+#: single 25 ms window (must appear in metadata, drop from energies).
+_AUDIO_CORPUS = [(1, 8000, 1600), (2, 8000, 1000), (3, 16000, 2400), (4, 8000, 120)]
+
+
+def _audio_media(spark: SparkSession) -> DataFrame:
+    from conversation_analysis_tools_spark.operators import audio as A
+
+    rows = [
+        (mid, A.wav_bytes(A.synth_pcm16(mid, n), sample_rate=sr), "audio/wav")
+        for mid, sr, n in _AUDIO_CORPUS
+    ]
+    return spark.createDataFrame(rows, "media_id bigint, content binary, mime string")
+
+
+@register(
+    "audio_wav_metadata",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 1, 8000,  16, CAST(1600 AS BIGINT), CAST(200 AS BIGINT)),
+        (CAST(2 AS BIGINT), 1, 8000,  16, CAST(1000 AS BIGINT), CAST(125 AS BIGINT)),
+        (CAST(3 AS BIGINT), 1, 16000, 16, CAST(2400 AS BIGINT), CAST(150 AS BIGINT)),
+        (CAST(4 AS BIGINT), 1, 8000,  16, CAST(120 AS BIGINT),  CAST(15 AS BIGINT))
+    ) AS t(media_id, channels, sample_rate, bits, n_samples, duration_ms)
+    """,
+)
+def audio_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio container metadata over a binary column: a REAL RIFF/WAVE
+    chunk-walk parse (operators/audio.parse_wav -- no codec library,
+    pure byte math) in one Arrow-batched mapInPandas stage. The fixed
+    in-query corpus makes the oracle a literal: the duration is
+    integer math the parse must reproduce from the packed bytes."""
+    from conversation_analysis_tools_spark.operators import audio as A
+
+    return A.audio_metadata(_audio_media(spark))
+
+
+@register(
+    "audio_energy_windows",
+    oracle="""
+    WITH params(media_id, sr, n) AS (
+        SELECT * FROM (VALUES (1, 8000, 1600), (2, 8000, 1000),
+                              (3, 16000, 2400), (4, 8000, 120)) v
+    ),
+    samples AS (
+        SELECT media_id,
+               sr * 25 // 1000 AS win,
+               n,
+               unnest(generate_series(0, n - 1)) AS k
+        FROM params
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(k // win AS INT) AS win_idx,
+           CAST(win AS INT) AS n,
+           CAST(SUM((((k*k*31 + k*7 + media_id*13) % 65521) - 32760)
+                  * (((k*k*31 + k*7 + media_id*13) % 65521) - 32760)) AS BIGINT) AS energy
+    FROM samples
+    WHERE k < (n // win) * win
+    GROUP BY media_id, k // win, win
+    """,
+)
+def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy features over binary WAV payloads:
+    pack -> RIFF parse -> numpy int64 sum-of-squares per 25 ms window
+    in ONE map-only mapInPandas stage (operators/audio.energy_windows).
+    The signal is the integer recurrence synth_pcm16, so DuckDB
+    re-derives every energy EXACTLY from generate_series arithmetic --
+    a computed oracle that proves the whole byte path (struct pack,
+    chunk walk, frombuffer, windowing) end-to-end, not a pinned
+    literal. Media shorter than one full window drop out (id 4)."""
+    from conversation_analysis_tools_spark.operators import audio as A
+
+    return A.energy_windows(_audio_media(spark), window_ms=25)

@@ -1,0 +1,84 @@
+"""Audio operator anchors: RIFF parse edges, stereo downmix, the
+silence-trim aggregation, and the synth/pack/parse roundtrip that the
+driver oracle relies on."""
+
+import struct
+
+import pytest
+
+from conversation_analysis_tools_spark.operators import audio as A
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    samples = A.synth_pcm16(7, 300)
+    content = A.wav_bytes(samples, sample_rate=8000)
+    parsed = A.parse_wav(content)
+    assert parsed is not None
+    channels, rate, bits, data = parsed
+    assert (channels, rate, bits) == (1, 8000, 16)
+    assert list(struct.unpack("<300h", data)) == samples
+    # chunk walk must skip unknown (odd-sized, word-padded) chunks
+    # injected between fmt and data, as real encoders emit
+    fmt_end = 12 + 8 + 16
+    junk = struct.pack("<4sI", b"LIST", 5) + b"abcde" + b"\x00"  # padded
+    assert A.parse_wav(content[:fmt_end] + junk + content[fmt_end:]) == parsed
+
+
+def test_parse_rejects_non_wav_and_gates_codecs():
+    assert A.parse_wav(b"") is None
+    assert A.parse_wav(b"RIFFxxxxJUNK") is None
+    assert A.parse_wav(b"not audio at all") is None
+    # non-PCM codec tag: explicit NotImplementedError (no codec libs
+    # in this environment), never a silent wrong parse
+    bad = bytearray(A.wav_bytes(A.synth_pcm16(1, 10)))
+    bad[20] = 2  # fmt tag -> ADPCM
+    with pytest.raises(NotImplementedError):
+        A.parse_wav(bytes(bad))
+
+
+def test_metadata_drops_unparseable_rows(spark):
+    media = spark.createDataFrame(
+        [
+            (1, A.wav_bytes(A.synth_pcm16(1, 800)), "audio/wav"),
+            (2, b"not a wav", "application/octet-stream"),
+        ],
+        "media_id bigint, content binary, mime string",
+    )
+    rows = {r["media_id"]: r for r in A.audio_metadata(media).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_samples"] == 800 and rows[1]["duration_ms"] == 100
+
+
+def test_energy_windows_stereo_downmix_and_ragged_tail(spark):
+    # stereo: channel pair (s, s+2) -> floor mono (2s+2)//2 = s+1
+    mono = A.synth_pcm16(3, 400)
+    stereo = []
+    for s in mono:
+        stereo += [s, s + 2 if s + 2 <= 32760 else s]
+    media = spark.createDataFrame(
+        [(1, A.wav_bytes(stereo, sample_rate=8000, channels=2), "audio/wav")],
+        "media_id bigint, content binary, mime string",
+    )
+    got = {r["win_idx"]: r["energy"] for r in A.energy_windows(media, window_ms=25).collect()}
+    win = 200
+    expect = {}
+    for i in range(len(mono) // win):  # ragged tail dropped
+        seg = mono[i * win : (i + 1) * win]
+        expect[i] = sum(
+            ((s + (s + 2 if s + 2 <= 32760 else s)) // 2) ** 2 for s in seg
+        )
+    assert got == expect
+
+
+def test_silence_trim_plan(spark):
+    rows = [
+        (1, 0, 200, 5),      # leading silence
+        (1, 1, 200, 9000),
+        (1, 2, 200, 8000),
+        (1, 3, 200, 3),      # trailing silence
+        (2, 0, 200, 1),      # fully silent: drops out
+    ]
+    en = spark.createDataFrame(rows, "media_id bigint, win_idx int, n int, energy bigint")
+    got = {r["media_id"]: r for r in A.silence_trim_plan(en, threshold=100).collect()}
+    assert set(got) == {1}
+    assert (got[1]["first_active"], got[1]["last_active"], got[1]["active_windows"]) == (1, 2, 2)
