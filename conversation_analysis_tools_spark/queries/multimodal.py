@@ -174,3 +174,37 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conversation_analysis_tools_spark.operators import audio as A
 
     return A.energy_windows(_audio_media(spark), window_ms=25)
+
+
+@register(
+    "video_mp4_metadata",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'isom', 1000,  CAST(5000 AS BIGINT),  CAST(5000 AS BIGINT), 2),
+        (CAST(2 AS BIGINT), 'mp42', 90000, CAST(63000 AS BIGINT), CAST(700 AS BIGINT),  1),
+        (CAST(3 AS BIGINT), 'isom', 600,   CAST(1234 AS BIGINT),  CAST(2056 AS BIGINT), 0)
+    ) AS t(media_id, major_brand, timescale, duration, duration_ms, n_tracks)
+    """,
+)
+def video_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container metadata over a binary column: a REAL ISO-BMFF
+    box walk (operators/video.parse_mp4 -- ftyp brand, mvhd
+    timescale/duration, trak count; pure byte math, no codec lib) in
+    one Arrow-batched mapInPandas stage. The fixed in-query corpus
+    (two brands, three timescales, a track-less container, one
+    non-BMFF payload that must drop) makes the oracle literal;
+    duration_ms = duration * 1000 // timescale is integer math the
+    parse must reproduce from the packed bytes (row 3: 1234 * 1000 //
+    600 = 2056, floor not round)."""
+    from conversation_analysis_tools_spark.operators import video as V
+
+    rows = [
+        (1, V.synth_mp4(b"isom", 1000, 5000, 2), "video/mp4"),
+        (2, V.synth_mp4(b"mp42", 90000, 63000, 1), "video/mp4"),
+        (3, V.synth_mp4(b"isom", 600, 1234, 0), "video/mp4"),
+        (4, b"certainly not a video container", "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, content binary, mime string"
+    )
+    return V.video_metadata(media)

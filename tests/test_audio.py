@@ -82,3 +82,43 @@ def test_silence_trim_plan(spark):
     got = {r["media_id"]: r for r in A.silence_trim_plan(en, threshold=100).collect()}
     assert set(got) == {1}
     assert (got[1]["first_active"], got[1]["last_active"], got[1]["active_windows"]) == (1, 2, 2)
+
+
+def test_mp4_box_walk_v0_v1_and_rejects():
+    import struct
+
+    from conversation_analysis_tools_spark.operators import video as V
+
+    meta = V.parse_mp4(V.synth_mp4(b"isom", 1000, 5000, 2))
+    assert meta == {
+        "major_brand": "isom", "timescale": 1000, "duration": 5000, "n_tracks": 2
+    }
+    # mvhd version 1 (64-bit creation/modification/duration)
+    mvhd1 = V.mp4_box(
+        b"mvhd",
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQIQ", 0, 0, 90000, 2**33)  # duration > 32 bits
+        + b"\x00" * 76,
+    )
+    content = V.mp4_box(b"ftyp", b"mp42" + b"\x00" * 4 + b"mp42") + V.mp4_box(
+        b"moov", mvhd1
+    )
+    meta1 = V.parse_mp4(content)
+    assert meta1["timescale"] == 90000 and meta1["duration"] == 2**33
+    # not BMFF / truncated / moov without mvhd -> None, never a throw
+    assert V.parse_mp4(b"") is None
+    assert V.parse_mp4(b"\x00\x00\x00\x08free") is None  # no ftyp first
+    assert V.parse_mp4(V.mp4_box(b"ftyp", b"isom" * 3)[:10]) is None
+    assert V.parse_mp4(V.mp4_box(b"ftyp", b"isom" * 3) + V.mp4_box(b"moov", b"")) is None
+
+
+def test_video_metadata_drops_non_bmff(spark):
+    from conversation_analysis_tools_spark.operators import video as V
+
+    media = spark.createDataFrame(
+        [(1, V.synth_mp4(b"isom", 600, 1234, 0), "video/mp4"), (2, b"junk", "x")],
+        "media_id bigint, content binary, mime string",
+    )
+    rows = {r["media_id"]: r for r in V.video_metadata(media).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["duration_ms"] == 2056 and rows[1]["n_tracks"] == 0
