@@ -1,6 +1,6 @@
-"""Audio operator anchors: RIFF parse edges, stereo downmix, the
-silence-trim aggregation, and the synth/pack/parse roundtrip that the
-driver oracle relies on."""
+"""Audio/video container-operator anchors: RIFF and ISO-BMFF parse
+edges, stereo downmix, the silence-trim aggregation, and the
+synth/pack/parse roundtrips the driver oracles rely on."""
 
 import struct
 
