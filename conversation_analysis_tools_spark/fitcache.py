@@ -121,6 +121,13 @@ def _disk_load(key_repr: str):
         return None
 
 
+#: Disk-store entry cap: content-keyed files orphan on every corpus
+#: regeneration (a new fingerprint can never hash to the old file),
+#: so without eviction the store grows monotonically. LRU-ish by
+#: mtime, enforced on store (the rare path).
+_DISK_STORE_MAX = 256
+
+
 def _disk_store(key_repr: str, value) -> None:
     try:
         enc = _encode(value)
@@ -134,6 +141,16 @@ def _disk_store(key_repr: str, value) -> None:
         with open(tmp, "w") as f:
             json.dump({"key": key_repr, "value": enc}, f)
         os.replace(tmp, path)
+        entries = [e for e in os.listdir(d) if e.endswith(".json")]
+        if len(entries) > _DISK_STORE_MAX:
+            aged = sorted(
+                (os.path.getmtime(os.path.join(d, e)), e) for e in entries
+            )
+            for _m, e in aged[: len(entries) - _DISK_STORE_MAX]:
+                try:
+                    os.remove(os.path.join(d, e))
+                except OSError:
+                    pass
     except OSError:
         pass  # read-only / full disk: cache stays process-local
 

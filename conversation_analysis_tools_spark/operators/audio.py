@@ -74,6 +74,8 @@ def parse_wav(content: bytes) -> tuple[int, int, int, bytes] | None:
         cid, size = content[pos : pos + 4], struct.unpack("<I", content[pos + 4 : pos + 8])[0]
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated mid-fmt: malformed, not a codec
+                return None
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -85,6 +87,8 @@ def parse_wav(content: bytes) -> tuple[int, int, int, bytes] | None:
         raise NotImplementedError(
             f"compressed WAV codec tag {tag}: no audio decoder in this environment"
         )
+    if channels < 1 or sample_rate < 1 or bits not in (8, 16, 24, 32):
+        return None  # zeroed/garbage header fields: drop, never divide by them
     return channels, sample_rate, bits, data
 
 
@@ -142,12 +146,19 @@ def energy_windows(
                 parsed = parse_wav(bytes(content))
                 if parsed is None:
                     continue
-                channels, rate, _bits, data = parsed
-                pcm = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                channels, rate, bits, data = parsed
+                if bits != 16:
+                    # 8/24/32-bit PCM needs width-specific decode;
+                    # pairing their bytes as int16 would be silently
+                    # wrong energies -- drop, same as unparseable rows
+                    continue
+                pcm = np.frombuffer(
+                    data[: len(data) - len(data) % (2 * channels)], dtype="<i2"
+                ).astype(np.int64)
                 if channels > 1:  # average down to mono, floor division
                     pcm = pcm.reshape(-1, channels).sum(axis=1) // channels
                 win = rate * window_ms // 1000
-                n_full = len(pcm) // win
+                n_full = len(pcm) // win if win else 0
                 if not n_full:
                     continue
                 e = (pcm[: n_full * win] ** 2).reshape(n_full, win).sum(axis=1)

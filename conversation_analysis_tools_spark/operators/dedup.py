@@ -346,10 +346,8 @@ def _group_reps(members: DataFrame, id_col: str) -> DataFrame:
 
 
 def _maybe_collapse(
-    df: DataFrame,
     arrs: DataFrame,
     id_col: str,
-    text_col: str,
     collapse: str,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Collapse-plan dispatch shared by the MinHash/Jaccard consumers:
@@ -408,15 +406,15 @@ def _collapse_engaged(
         return False
     if collapse == "always":
         return True
-    return dup_density_decision(df, id_col, text_col)
+    return dup_density_decision(df, text_col=text_col)
 
 
 def _expand_rep_pairs(
     rep_pairs: DataFrame,
     members: DataFrame,
     id_col: str,
-    value_col: str,
-    self_value,
+    value_col: str | None = None,
+    self_value=None,
 ) -> DataFrame:
     """Representative pairs -> member pairs.
 
@@ -428,14 +426,27 @@ def _expand_rep_pairs(
     => identical score). A member belongs to exactly one group, so the
     union is duplicate-free by construction. The joins are keyed on
     the fingerprint; multiplicity only arises inside true dup
-    clusters, so join output tracks the final output size."""
+    clusters, so join output tracks the final output size.
+
+    ``value_col=None`` expands CANDIDATE pairs instead -- no score
+    attached, because the downstream verify (e.g. the Levenshtein DP,
+    whose inputs differ per member even when shingle sets do not)
+    still runs per member pair. The set equivalence holds the same
+    way: a within-group pair is always a direct-plan candidate
+    (identical sets => identical signatures => it shares every band
+    with its peers), and a cross-group member pair shares a band
+    bucket iff its rep pair does."""
     w1 = members.select(F.col(id_col).alias("id1"), "_fp")
     w2 = members.select(F.col(id_col).alias("id2"), "_fp")
-    within = (
-        w1.join(w2, "_fp")
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", F.lit(self_value).cast("double").alias(value_col))
-    )
+    within = w1.join(w2, "_fp").where(F.col("id1") < F.col("id2"))
+    if value_col is None:
+        within = within.select("id1", "id2")
+        cross_cols = []
+    else:
+        within = within.select(
+            "id1", "id2", F.lit(self_value).cast("double").alias(value_col)
+        )
+        cross_cols = [value_col]
     f1 = members.select(F.col(id_col).alias("id1"), F.col("_fp").alias("_fp1"))
     f2 = members.select(F.col(id_col).alias("id2"), F.col("_fp").alias("_fp2"))
     m1 = members.select(F.col(id_col).alias("_m1"), F.col("_fp").alias("_fp1"))
@@ -449,42 +460,7 @@ def _expand_rep_pairs(
         .select(
             F.least("_m1", "_m2").alias("id1"),
             F.greatest("_m1", "_m2").alias("id2"),
-            value_col,
-        )
-    )
-    return within.unionByName(cross)
-
-
-def _expand_candidate_pairs(rep_pairs: DataFrame, members: DataFrame) -> DataFrame:
-    """Representative CANDIDATE pairs -> member candidate pairs, no
-    score attached: the downstream verify (e.g. the Levenshtein DP,
-    whose inputs differ per member even when shingle sets do not)
-    still runs per member pair. within-group: every member pair of a
-    fingerprint group is a direct-plan candidate (identical sets =>
-    identical signatures => it shares every band with its peers);
-    cross-group: a member pair shares a band bucket iff its rep pair
-    does. Both directions exact, so the expanded set equals the
-    direct plan's candidate set. Disjoint by construction (within =
-    same fingerprint, cross = different), and duplicate-free because
-    each member belongs to exactly one group."""
-    w1 = members.select(F.col(members.columns[0]).alias("id1"), "_fp")
-    w2 = members.select(F.col(members.columns[0]).alias("id2"), "_fp")
-    within = (
-        w1.join(w2, "_fp").where(F.col("id1") < F.col("id2")).select("id1", "id2")
-    )
-    f1 = members.select(F.col(members.columns[0]).alias("id1"), F.col("_fp").alias("_fp1"))
-    f2 = members.select(F.col(members.columns[0]).alias("id2"), F.col("_fp").alias("_fp2"))
-    m1 = members.select(F.col(members.columns[0]).alias("_m1"), F.col("_fp").alias("_fp1"))
-    m2 = members.select(F.col(members.columns[0]).alias("_m2"), F.col("_fp").alias("_fp2"))
-    cross = (
-        rep_pairs.join(f1, "id1")
-        .join(f2, "id2")
-        .drop("id1", "id2")
-        .join(m1, "_fp1")
-        .join(m2, "_fp2")
-        .select(
-            F.least("_m1", "_m2").alias("id1"),
-            F.greatest("_m1", "_m2").alias("id2"),
+            *cross_cols,
         )
     )
     return within.unionByName(cross)
@@ -512,7 +488,7 @@ def minhash_dedup_pairs(
     """
     # persist: the array table feeds fingerprints AND the verify joins
     arrs = track(shingle_arrays(df, id_col, text_col))
-    work, members = _maybe_collapse(df, arrs, id_col, text_col, collapse)
+    work, members = _maybe_collapse(arrs, id_col, collapse)
     cands = minhash_candidates(
         lsh_bands(minhash_signatures_from_arrays(work, id_col), id_col),
         id_col,
@@ -552,9 +528,7 @@ def cross_corpus_minhash_pairs(
     """
     e_arrs = track(shingle_arrays(eval_df, id_col, text_col))
     t_arrs = track(shingle_arrays(train_df, id_col, text_col))
-    t_rep_arrs, t_members = _maybe_collapse(
-        train_df, t_arrs, id_col, text_col, collapse
-    )
+    t_rep_arrs, t_members = _maybe_collapse(t_arrs, id_col, collapse)
     e_bands = lsh_bands(minhash_signatures_from_arrays(e_arrs, id_col), id_col).select(
         F.col(id_col).alias("eval_id"), "band", "key"
     )
@@ -644,12 +618,20 @@ def edit_distance_pairs(
     plan candidate iff its representative pair is, and a within-group
     pair always is (it shares every band). The rep-grain candidate
     pairs re-expand to member pairs BEFORE the Levenshtein verify
-    (``_expand_candidate_pairs`` -- candidate-set-exact, carrying no
-    score), so the DP still runs per true pair while the signature +
+    (``_expand_rep_pairs`` with ``value_col=None`` -- candidate-set-
+    exact, carrying no score), so the DP still runs per true pair while the signature +
     band join stage runs once per distinct shingle set. On the 10x
     word-perturbed probe (token-invisible markers: byte-distinct,
     set-identical) the candidate stage was 9.1 s of the 17-20 s wall;
     rep-grain candidates cut it to the collapsed corpus's cost.
+
+    'auto' therefore runs TWO eager probe jobs (text grain for the
+    verify collapse, set grain for the candidate collapse) -- an
+    accepted cost: both decisions are memoized per corpus content
+    fingerprint in the fitcache disk tier, so the pair of jobs runs
+    once per corpus LIFETIME, not per build, and folding them into
+    one scan would re-derive the shingle arrays outside the track()'d
+    relation the set probe deliberately warms.
     """
     arrs = track(shingle_arrays(df, id_col, text_col))
     if _collapse_engaged(df, id_col, text_col, collapse):
@@ -666,12 +648,12 @@ def edit_distance_pairs(
         members = None
         work_arrs = arrs
         t_base = df
-    cand_arrs, cand_members = _maybe_collapse(df, work_arrs, id_col, text_col, collapse)
+    cand_arrs, cand_members = _maybe_collapse(work_arrs, id_col, collapse)
     cands = minhash_candidates(
         lsh_bands(minhash_signatures_from_arrays(cand_arrs, id_col), id_col), id_col
     )
     if cand_members is not None:
-        cands = _expand_candidate_pairs(cands, cand_members)
+        cands = _expand_rep_pairs(cands, cand_members, id_col)
     t = t_base.select(
         F.col(id_col), F.substring(F.col(text_col), 1, max_chars).alias("_t")
     )
@@ -924,7 +906,7 @@ def ngram_jaccard_pairs(
     member pair shares shingles (and sizes) with its rep pair.
     """
     arrs = track(shingle_arrays(df, id_col, text_col, n))
-    rep_arrs, members = _maybe_collapse(df, arrs, id_col, text_col, collapse)
+    rep_arrs, members = _maybe_collapse(arrs, id_col, collapse)
     sh = rep_arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     # sizes from the array stage: narrow projection, no extra groupBy
     sizes = rep_arrs.select(F.col(id_col), F.size("sh_arr").alias("sz"))

@@ -97,7 +97,6 @@ def _memo_key(member: DataFrame) -> tuple[tuple | None, bool]:
 
 def dup_density_decision(
     docs: DataFrame | None = None,
-    id_col: str = "doc_id",
     text_col: str = "text",
     member: DataFrame | None = None,
     sig_col: str = "_tsig",

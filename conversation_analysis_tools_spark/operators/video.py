@@ -56,14 +56,20 @@ def parse_mp4(content: bytes) -> dict | None:
             if ctype == b"trak":
                 n_tracks += 1
             elif ctype == b"mvhd":
+                if cend - cbody < 20:  # undersized box: malformed, skip
+                    continue
                 version = content[cbody]
                 if version == 1:  # 64-bit times
+                    if cend - cbody < 32:
+                        continue
                     timescale = struct.unpack(">I", content[cbody + 20 : cbody + 24])[0]
                     duration = struct.unpack(">Q", content[cbody + 24 : cbody + 32])[0]
                 else:
                     timescale, duration = struct.unpack(
                         ">II", content[cbody + 12 : cbody + 20]
                     )
+                if timescale < 1:
+                    continue  # zeroed header: never divide by it
                 out["timescale"] = timescale
                 out["duration"] = duration
         out["n_tracks"] = n_tracks

@@ -84,6 +84,29 @@ def _proc_starttime(pid: int) -> str | None:
         return None
 
 
+def _touched_within(path: str, seconds: float) -> bool:
+    """True when ``path`` or anything under it has an mtime within the
+    last ``seconds``. Early-exits on the first fresh entry, so a live
+    scratch tree answers after a few stats; a true orphan pays one
+    full walk immediately before its removal."""
+    import time
+
+    cutoff = time.time() - seconds
+    try:
+        if os.path.getmtime(path) > cutoff:
+            return True
+    except OSError:
+        return True  # vanished mid-scan: do not treat as orphan
+    for dirpath, dirnames, filenames in os.walk(path):
+        for name in dirnames + filenames:
+            try:
+                if os.path.getmtime(os.path.join(dirpath, name)) > cutoff:
+                    return True
+            except OSError:
+                continue
+    return False
+
+
 def _sweep_stale_scratch(root: str) -> None:
     """Reclaim scratch dirs whose owning session is provably gone.
 
@@ -94,8 +117,11 @@ def _sweep_stale_scratch(root: str) -> None:
     os.kill(pid, 0) liveness probe, treating only ProcessLookupError
     as dead. Entries NOT named pid-* are legacy flat-layout debris
     (blockmgr-*/spark-* from before per-pid dirs); tmpfs never
-    survives reboot, so anything older than an hour this boot is an
-    orphan and is reclaimed."""
+    survives reboot, so an entry is an orphan only when NOTHING under
+    it (recursively, early-exit scan) was touched within the hour --
+    the top-level mtime alone goes quiet on a LIVE session whose
+    writes land deep inside blockmgr subdirs, and deleting a live
+    session's shuffle files mid-run is worse than leaving debris."""
     import shutil
     import time
 
@@ -104,7 +130,7 @@ def _sweep_stale_scratch(root: str) -> None:
         path = os.path.join(root, entry)
         if not entry.startswith("pid-"):
             try:
-                if time.time() - os.path.getmtime(path) > 3600:
+                if not _touched_within(path, 3600):
                     shutil.rmtree(path, ignore_errors=True)
             except OSError:
                 pass

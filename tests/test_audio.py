@@ -122,3 +122,53 @@ def test_video_metadata_drops_non_bmff(spark):
     rows = {r["media_id"]: r for r in V.video_metadata(media).collect()}
     assert set(rows) == {1}
     assert rows[1]["duration_ms"] == 2056 and rows[1]["n_tracks"] == 0
+
+
+def test_malformed_containers_drop_not_throw():
+    """Crash-class guards: corrupt-but-recognizable containers must
+    behave like non-containers (None / row drop), never fail the job."""
+    import struct
+
+    from conversation_analysis_tools_spark.operators import video as V
+
+    # WAV truncated mid-fmt (declares 16 fmt bytes, carries 4)
+    trunc = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + struct.pack("<4sI", b"fmt ", 16) + b"\x01\x00\x02\x00"
+    )
+    assert A.parse_wav(trunc) is None
+    # zeroed sample_rate / unsupported bit width: drop, no division
+    zeroed = bytearray(A.wav_bytes(A.synth_pcm16(1, 10)))
+    struct.pack_into("<I", zeroed, 24, 0)  # sample_rate = 0
+    assert A.parse_wav(bytes(zeroed)) is None
+    odd_bits = bytearray(A.wav_bytes(A.synth_pcm16(1, 10)))
+    struct.pack_into("<H", odd_bits, 34, 12)  # bits = 12
+    assert A.parse_wav(bytes(odd_bits)) is None
+    # undersized mvhd boxes: empty body and 12-byte body
+    for body in (b"", b"\x00" * 12):
+        content = V.mp4_box(b"ftyp", b"isom" * 3) + V.mp4_box(
+            b"moov", V.mp4_box(b"mvhd", body)
+        )
+        assert V.parse_mp4(content) is None
+    # zeroed timescale: skip, never divide
+    mvhd0 = V.mp4_box(
+        b"mvhd", b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 0, 99) + b"\x00" * 80
+    )
+    assert V.parse_mp4(
+        V.mp4_box(b"ftyp", b"isom" * 3) + V.mp4_box(b"moov", mvhd0)
+    ) is None
+
+
+def test_energy_windows_drops_non_16bit(spark):
+    """8-bit PCM parses as metadata but is dropped by the 16-bit
+    energy featurizer instead of mis-decoding byte pairs."""
+    import struct
+
+    content = bytearray(A.wav_bytes(A.synth_pcm16(1, 400)))
+    struct.pack_into("<H", content, 34, 8)  # bits = 8
+    media = spark.createDataFrame(
+        [(1, bytes(content), "audio/wav")],
+        "media_id bigint, content binary, mime string",
+    )
+    assert A.audio_metadata(media).count() == 1  # still valid metadata
+    assert A.energy_windows(media, window_ms=25).count() == 0
