@@ -129,12 +129,21 @@ def energy_windows(
     id_col: str = "media_id",
     content_col: str = "content",
 ) -> DataFrame:
-    """Windowed RMS-energy features: PCM16 frames bucketed into
-    ``window_ms`` windows, energy = exact int64 sum of squares per
-    window (full windows only -- the ragged tail is dropped, same rule
-    as any fixed-frame featurizer). One map-only mapInPandas stage;
-    the per-window expansion is linear in duration."""
-    out_schema = f"{id_col} bigint, win_idx int, n int, energy bigint"
+    """Windowed audio features: PCM16 frames bucketed into
+    ``window_ms`` windows; per full window (the ragged tail is
+    dropped, same rule as any fixed-frame featurizer):
+
+    * ``energy`` -- exact int64 sum of squares;
+    * ``zero_crossings`` -- count of within-window adjacent sample
+      pairs whose product is negative (the classic voiced/unvoiced
+      and noisiness discriminator). Integer-exact by construction,
+      so both features are externally re-derivable.
+
+    One map-only mapInPandas stage; the per-window expansion is
+    linear in duration."""
+    out_schema = (
+        f"{id_col} bigint, win_idx int, n int, energy bigint, zero_crossings int"
+    )
 
     def batches(it):
         import numpy as np
@@ -161,9 +170,15 @@ def energy_windows(
                 n_full = len(pcm) // win if win else 0
                 if not n_full:
                     continue
-                e = (pcm[: n_full * win] ** 2).reshape(n_full, win).sum(axis=1)
-                rows.extend((mid, i, win, int(e[i])) for i in range(n_full))
-            yield pd.DataFrame(rows, columns=[id_col, "win_idx", "n", "energy"])
+                w = pcm[: n_full * win].reshape(n_full, win)
+                e = (w**2).sum(axis=1)
+                zc = ((w[:, 1:] * w[:, :-1]) < 0).sum(axis=1)
+                rows.extend(
+                    (mid, i, win, int(e[i]), int(zc[i])) for i in range(n_full)
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "win_idx", "n", "energy", "zero_crossings"]
+            )
 
     return media.mapInPandas(batches, out_schema)
 

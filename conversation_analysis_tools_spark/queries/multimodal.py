@@ -145,32 +145,45 @@ def audio_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM (VALUES (1, 8000, 1600), (2, 8000, 1000),
                               (3, 16000, 2400), (4, 8000, 120)) v
     ),
-    samples AS (
+    idx AS (
         SELECT media_id,
                sr * 25 // 1000 AS win,
                n,
                unnest(generate_series(0, n - 1)) AS k
         FROM params
+    ),
+    samples AS (
+        SELECT media_id, win, n, k,
+               ((k*k*31 + k*7 + media_id*13) % 65521) - 32760 AS s
+        FROM idx
+    ),
+    lagged AS (
+        SELECT media_id, win, n, k, s,
+               lag(s) OVER (PARTITION BY media_id ORDER BY k) AS ps
+        FROM samples
     )
     SELECT CAST(media_id AS BIGINT) AS media_id,
            CAST(k // win AS INT) AS win_idx,
            CAST(win AS INT) AS n,
-           CAST(SUM((((k*k*31 + k*7 + media_id*13) % 65521) - 32760)
-                  * (((k*k*31 + k*7 + media_id*13) % 65521) - 32760)) AS BIGINT) AS energy
-    FROM samples
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN k % win <> 0 AND s * ps < 0 THEN 1 ELSE 0 END)
+                AS INT) AS zero_crossings
+    FROM lagged
     WHERE k < (n // win) * win
     GROUP BY media_id, k // win, win
     """,
 )
 def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed audio energy features over binary WAV payloads:
-    pack -> RIFF parse -> numpy int64 sum-of-squares per 25 ms window
-    in ONE map-only mapInPandas stage (operators/audio.energy_windows).
-    The signal is the integer recurrence synth_pcm16, so DuckDB
-    re-derives every energy EXACTLY from generate_series arithmetic --
+    """Windowed audio features over binary WAV payloads: pack -> RIFF
+    parse -> numpy int64 sum-of-squares + within-window zero-crossing
+    count per 25 ms window in ONE map-only mapInPandas stage
+    (operators/audio.energy_windows). The signal is the integer
+    recurrence synth_pcm16, so DuckDB re-derives BOTH features EXACTLY
+    from generate_series arithmetic (a lag window for the crossings) --
     a computed oracle that proves the whole byte path (struct pack,
-    chunk walk, frombuffer, windowing) end-to-end, not a pinned
-    literal. Media shorter than one full window drop out (id 4)."""
+    chunk walk, frombuffer, windowing, adjacent-pair sign logic)
+    end-to-end, not a pinned literal. Media shorter than one full
+    window drop out (id 4)."""
     from conversation_analysis_tools_spark.operators import audio as A
 
     return A.energy_windows(_audio_media(spark), window_ms=25)

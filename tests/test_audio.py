@@ -59,13 +59,20 @@ def test_energy_windows_stereo_downmix_and_ragged_tail(spark):
         [(1, A.wav_bytes(stereo, sample_rate=8000, channels=2), "audio/wav")],
         "media_id bigint, content binary, mime string",
     )
-    got = {r["win_idx"]: r["energy"] for r in A.energy_windows(media, window_ms=25).collect()}
+    got = {
+        r["win_idx"]: (r["energy"], r["zero_crossings"])
+        for r in A.energy_windows(media, window_ms=25).collect()
+    }
     win = 200
     expect = {}
     for i in range(len(mono) // win):  # ragged tail dropped
-        seg = mono[i * win : (i + 1) * win]
-        expect[i] = sum(
-            ((s + (s + 2 if s + 2 <= 32760 else s)) // 2) ** 2 for s in seg
+        seg = [
+            (s + (s + 2 if s + 2 <= 32760 else s)) // 2
+            for s in mono[i * win : (i + 1) * win]
+        ]
+        expect[i] = (
+            sum(s**2 for s in seg),
+            sum(1 for a, b in zip(seg, seg[1:]) if a * b < 0),
         )
     assert got == expect
 
