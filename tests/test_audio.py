@@ -179,3 +179,19 @@ def test_energy_windows_drops_non_16bit(spark):
     )
     assert A.audio_metadata(media).count() == 1  # still valid metadata
     assert A.energy_windows(media, window_ms=25).count() == 0
+
+
+def test_empty_and_all_drop_batches(spark):
+    """Empty media relations and batches where every row drops must
+    yield empty typed results, not Arrow conversion errors."""
+    from conversation_analysis_tools_spark.operators import video as V
+
+    empty = spark.createDataFrame([], "media_id bigint, content binary, mime string")
+    junk = spark.createDataFrame(
+        [(1, b"junk", "x"), (2, b"more", "y")],
+        "media_id bigint, content binary, mime string",
+    )
+    for media in (empty, junk):
+        assert A.audio_metadata(media).count() == 0
+        assert A.energy_windows(media).count() == 0
+        assert V.video_metadata(media).count() == 0
