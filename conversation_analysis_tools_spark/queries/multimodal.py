@@ -221,3 +221,52 @@ def video_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "media_id bigint, content binary, mime string"
     )
     return V.video_metadata(media)
+
+
+@register(
+    "audio_silence_trim",
+    oracle="""
+    WITH params(media_id, sr, n) AS (
+        SELECT * FROM (VALUES (1, 8000, 1600), (2, 8000, 1000),
+                              (3, 16000, 2400), (4, 8000, 120)) v
+    ),
+    idx AS (
+        SELECT media_id,
+               sr * 25 // 1000 AS win,
+               n,
+               unnest(generate_series(0, n - 1)) AS k
+        FROM params
+    ),
+    energies AS (
+        SELECT media_id,
+               k // win AS win_idx,
+               SUM((((k*k*31 + k*7 + media_id*13) % 65521) - 32760)
+                 * (((k*k*31 + k*7 + media_id*13) % 65521) - 32760)) AS energy
+        FROM idx
+        WHERE k < (n // win) * win
+        GROUP BY media_id, k // win
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(MIN(win_idx) AS INT) AS first_active,
+           CAST(MAX(win_idx) AS INT) AS last_active,
+           CAST(COUNT(*) AS BIGINT) AS active_windows
+    FROM energies
+    WHERE energy >= 73000000000
+    GROUP BY media_id
+    """,
+)
+def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-trim bounds over the windowed features: first/last
+    window clearing an energy threshold plus the active-window count,
+    composed as energy_windows (Arrow-batched byte path) -> a plain
+    JVM groupBy (operators/audio.silence_trim_plan). The threshold
+    (7.3e10) sits inside the fixed corpus's actual per-window energy
+    range (media 1 spans ~6.9-7.9e10 across its 8 windows), so several
+    windows genuinely drop and the bounds are non-trivial; the oracle re-derives everything from the
+    same integer recurrence."""
+    from conversation_analysis_tools_spark.operators import audio as A
+
+    return A.silence_trim_plan(
+        A.energy_windows(_audio_media(spark), window_ms=25),
+        threshold=73_000_000_000,
+    )
