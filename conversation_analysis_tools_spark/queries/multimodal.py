@@ -270,3 +270,86 @@ def audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         A.energy_windows(_audio_media(spark), window_ms=25),
         threshold=73_000_000_000,
     )
+
+
+@register(
+    "streaming_audio_features",
+    oracle="""
+    WITH params(media_id, sr, n) AS (
+        SELECT * FROM (VALUES (1, 8000, 1600), (2, 8000, 1000),
+                              (3, 16000, 2400), (4, 8000, 120)) v
+    ),
+    idx AS (
+        SELECT media_id,
+               sr * 25 // 1000 AS win,
+               n,
+               unnest(generate_series(0, n - 1)) AS k
+        FROM params
+    ),
+    samples AS (
+        SELECT media_id, win, n, k,
+               ((k*k*31 + k*7 + media_id*13) % 65521) - 32760 AS s
+        FROM idx
+    ),
+    lagged AS (
+        SELECT media_id, win, n, k, s,
+               lag(s) OVER (PARTITION BY media_id ORDER BY k) AS ps
+        FROM samples
+    ),
+    windows AS (
+        SELECT media_id, k // win AS win_idx,
+               SUM(s * s) AS energy,
+               SUM(CASE WHEN k % win <> 0 AND s * ps < 0 THEN 1 ELSE 0 END) AS zc
+        FROM lagged
+        WHERE k < (n // win) * win
+        GROUP BY media_id, k // win
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(SUM(zc) AS BIGINT) AS total_crossings
+    FROM windows
+    GROUP BY media_id
+    """,
+)
+def streaming_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal ingest: the fixed WAV corpus staged as
+    parquet, consumed via a REAL readStream, pushed through the SAME
+    Arrow-batched feature stage the batch path uses (mapInPandas is a
+    stateless map on the stream), then a stateful per-media rollup
+    (complete mode). The finite stream drains under availableNow, so
+    the result equals the batch aggregation -- strict oracle from the
+    integer recurrence. The shape a 100 TB ingest service runs:
+    feature-extract on arrival, maintain rolling per-asset stats,
+    payload bytes never enter the state store (only the KB-scale
+    feature rows shuffle)."""
+    import os
+    import uuid
+
+    from conversation_analysis_tools_spark.catalog import staging_dir
+    from conversation_analysis_tools_spark.operators import audio as A
+    from conversation_analysis_tools_spark.streaming.events import (
+        run_to_memory_sink,
+        scoped_session,
+    )
+
+    d = staging_dir("stream_audio", sf_dir)
+    marker = os.path.join(d, "_SUCCESS_audio")
+    if not os.path.exists(marker):
+        _audio_media(spark).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "media.parquet")
+        )
+        open(marker, "w").close()
+    s2 = scoped_session(spark, 8)
+    src = s2.readStream.schema("media_id bigint, content binary, mime string").parquet(
+        os.path.join(d, "media.parquet")
+    )
+    feats = A.energy_windows(src, window_ms=25)
+    agg = feats.groupBy("media_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("energy").alias("total_energy"),
+        F.sum("zero_crossings").cast("bigint").alias("total_crossings"),
+    )
+    name = f"audio_feat_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(agg, name)
+    return s2.table(name)
