@@ -128,6 +128,24 @@ def main() -> None:
         if name == "pipeline_analysis_results":
             n_docs = len(rows)
 
+    line, detail = emit_line(timings, medians, sf, n_docs)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(line)
+
+
+def emit_line(
+    timings: dict, medians: dict, sf, n_docs
+) -> tuple[str, dict]:
+    """(final stdout line, detail document). The driver captures only
+    the last ~2000 bytes of stdout and json-parses the final line, so
+    the line must stay under that budget at ANY headline size: if the
+    per-query map outgrows it, the line keeps the totals and points at
+    BENCH_DETAIL.json instead (which always carries the full per-query
+    best + median maps). Pinned by tests/test_metrics.py."""
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_headline_sec",
@@ -140,22 +158,15 @@ def main() -> None:
         out["pipeline_docs_per_sec"] = round(
             n_docs / timings["pipeline_analysis_results"], 1
         )
-
-    # Full per-query detail (incl. medians) goes to a side file; the
-    # driver only captures the last ~2000 bytes of stdout, so the final
-    # printed line must stay comfortably under that. If the per-query
-    # map itself outgrows the budget, point at the detail file instead.
-    detail = dict(out, queries_median=medians, total_median=round(sum(medians.values()), 3))
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1)
-
+    detail = dict(
+        out, queries_median=medians, total_median=round(sum(medians.values()), 3)
+    )
     line = json.dumps(out)
     if len(line) > 1800:
         out.pop("queries")
         out["queries_detail"] = "BENCH_DETAIL.json"
         line = json.dumps(out)
-    print(line)
+    return line, detail
 
 
 if __name__ == "__main__":

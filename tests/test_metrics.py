@@ -73,3 +73,34 @@ def test_observation_then_cached_ml_plan(spark):
         assert scored.count() == table(spark, "documents", SF_DIR).count()
     finally:
         scored.unpersist()
+
+
+def test_bench_emit_line_stays_parseable_at_any_size():
+    """The driver parses bench.py's LAST stdout line from a ~2000-byte
+    tail capture (round 4 lost its bench artifact to an oversized
+    line). The emit contract: valid JSON, under 1800 bytes, totals
+    always present -- even with 3x today's headline count."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    # today's size
+    timings = {q: 1.234 for q in bench.HEADLINE}
+    medians = {q: 1.345 for q in bench.HEADLINE}
+    line, detail = bench.emit_line(timings, medians, 0.1, 5000)
+    doc = _json.loads(line)
+    assert len(line) <= 1800 and doc["metric"] == "total_headline_sec"
+    assert doc["pipeline_docs_per_sec"] > 0
+    assert detail["queries_median"] == medians
+    # 3x the headline: the line must degrade to the pointer form, not grow
+    big_t = {f"very_long_query_name_number_{i:03d}": 1.234 for i in range(120)}
+    big_t["pipeline_analysis_results"] = 3.0
+    big_m = dict(big_t)
+    line2, detail2 = bench.emit_line(big_t, big_m, 0.1, 5000)
+    doc2 = _json.loads(line2)
+    assert len(line2) <= 1800
+    assert doc2.get("queries_detail") == "BENCH_DETAIL.json"
+    assert doc2["value"] == round(sum(big_t.values()), 3)
+    assert detail2["queries"] == big_t  # detail always carries the full map
