@@ -106,3 +106,23 @@ def test_disk_tier_corrupt_file_retrains(tmp_path, monkeypatch):
     fc._CACHE.clear()
     assert cached_fit("c", (), str(d), fit) == [1.0, 2.0]
     assert len(calls) == 2
+
+
+def test_disk_store_evicts_beyond_cap(tmp_path, monkeypatch):
+    """Content-keyed files orphan on every corpus regeneration, so the
+    disk tier must stay bounded: oldest entries evict past the cap."""
+    import os
+
+    from conversation_analysis_tools_spark import fitcache as fc
+
+    monkeypatch.setenv("SPARK_GRAFT_FITCACHE_DIR", str(tmp_path / "fc"))
+    monkeypatch.setattr(fc, "_DISK_STORE_MAX", 10)
+    for i in range(14):
+        fc._disk_store(repr(("k", i)), [float(i)])
+        os.utime(fc._disk_path(repr(("k", i))), (i + 1, i + 1))  # strict age order
+    files = [e for e in os.listdir(tmp_path / "fc") if e.endswith(".json")]
+    assert len(files) <= 10
+    # the newest entry survives and still loads
+    assert fc._disk_load(repr(("k", 13))) == [13.0]
+    # the oldest was evicted
+    assert fc._disk_load(repr(("k", 0))) is None
