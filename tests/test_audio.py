@@ -195,3 +195,30 @@ def test_empty_and_all_drop_batches(spark):
         assert A.audio_metadata(media).count() == 0
         assert A.energy_windows(media).count() == 0
         assert V.video_metadata(media).count() == 0
+
+
+def test_parsers_total_on_random_bytes():
+    """Totality fuzz: arbitrary byte strings (including RIFF/BMFF-
+    prefixed garbage) must parse to None/metadata or raise ONLY the
+    documented codec NotImplementedError -- any other exception means
+    one corrupt row can kill a whole Spark job."""
+    import random
+
+    from conversation_analysis_tools_spark.operators import video as V
+
+    rng = random.Random(1234)
+    prefixes = [
+        b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b"RIFF\xff\xff\xff\xffWAVE",
+        b"\x00\x00\x00\x08ftyp", b"\x00\x00\x00\x10ftypisom",
+        b"\xff\xff\xff\xffftyp", b"\x00\x00\x00\x01ftyp",
+    ]
+    for trial in range(300):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        payload = prefixes[trial % len(prefixes)] + body
+        try:
+            r = A.parse_wav(payload)
+            assert r is None or isinstance(r, tuple)
+        except NotImplementedError:
+            pass  # the documented codec gate
+        rv = V.parse_mp4(payload)
+        assert rv is None or isinstance(rv, dict)
