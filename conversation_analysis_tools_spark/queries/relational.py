@@ -1927,3 +1927,33 @@ def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("max_cy") >= 64)
         ).alias("overlaps_probe"),
     )
+
+
+@register(
+    "skyline_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (pattern: "Integration of Skyline
+    Queries into Spark SQL", EDBT 2023 -- PAPERS.md): the parts no
+    other part beats on BOTH price and size (minimize p_retailprice,
+    p_size; ties survive). The oracle is the quadratic NOT EXISTS
+    dominance self-join; the engine plan is the two-phase distributed
+    skyline (operators/skyline.py): per-partition Pareto filter, one
+    bounded exchange of frontier candidates, final filter -- the
+    self-join never materializes."""
+    from conversation_analysis_tools_spark.operators.skyline import skyline
+
+    parts = _catalog_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline(parts, ["p_retailprice", "p_size"])
