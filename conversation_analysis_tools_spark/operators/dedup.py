@@ -484,11 +484,18 @@ def minhash_dedup_pairs(
     its rep pair. ``max_bucket`` remains the residual recall-trading
     skew valve for buckets of NON-identical docs (boilerplate
     collisions); default None keeps the operator exact /
-    oracle-matched.
+    oracle-matched. A non-None ``max_bucket`` FORCES the direct plan
+    (collapse disengaged): the cutoff counts bucket rows, so applying
+    it at representative grain would recall-drop a *different* pair
+    set than the direct plan, and the adaptive probe would then make
+    the output depend on dup density -- mirroring ``duplicate_pairs``'
+    max_df handling.
     """
     # persist: the array table feeds fingerprints AND the verify joins
     arrs = track(shingle_arrays(df, id_col, text_col))
-    work, members = _maybe_collapse(arrs, id_col, collapse)
+    work, members = _maybe_collapse(
+        arrs, id_col, "never" if max_bucket is not None else collapse
+    )
     cands = minhash_candidates(
         lsh_bands(minhash_signatures_from_arrays(work, id_col), id_col),
         id_col,
@@ -686,12 +693,18 @@ def edit_distance_pairs(
     # would otherwise re-run the most expensive expression in the
     # whole plan per reference. ~16 bytes/candidate of executor
     # memory buys the guarantee.
+    # The prefilter compares against the INTEGER pair_bound, not the raw
+    # float product: Python's (1 - threshold) rounds DOWN for values
+    # like 0.8/0.9, and a boundary pair whose edits are pure insertions
+    # (dist == |len1-len2| == exact budget, e.g. lengths 40 vs 50 at
+    # t=0.8) passes the downstream 1-_d/_ml >= t filter but would be
+    # rejected by `lendiff <= (1-t)*maxlen` evaluated in floats.
+    # pair_bound = floor((1-t)*maxlen)+1 is provably >= any qualifying
+    # distance >= any qualifying length gap, so the cut stays sound.
     verified = track(
         cands.join(t1, "id1")
         .join(t2, "id2")
-        .where(
-            F.abs(F.length("t1") - F.length("t2")) <= F.lit(1 - threshold) * maxlen
-        )
+        .where(F.abs(F.length("t1") - F.length("t2")) <= pair_bound)
         .select("id1", "id2", maxlen.alias("_ml"), dist.alias("_d"))
     )
     rep_pairs = (

@@ -6,69 +6,225 @@ distributed skyline. A row p is in the skyline iff no other row q
 dominates it -- q <= p in every skyline dimension and q < p in at
 least one (ties/duplicates survive: neither dominates). The naive
 relational form is a quadratic NOT EXISTS self-join; the distributed
-form exploits that dominance is transitive-free to prune locally:
+form exploits that a point dominated anywhere is dominated globally:
 
-1. **Local phase** (map-only): each partition computes its own
-   skyline -- a point dominated within a partition is dominated
-   globally, so survivors are a superset of the global skyline.
-   Arrow-batched mapInPandas with a sort-then-scan Pareto filter
-   (sorted by the first dimension, a candidate can only be dominated
-   by already-kept points; the kept set is the partition skyline,
-   typically orders of magnitude smaller than the partition).
-2. **Global phase**: survivors (bounded by |skyline| x n_partitions,
-   KB-scale for realistic frontiers) shuffle to one task and the same
-   filter runs once more.
-
-At 100 TB the local phase does the heavy lifting on every executor
-and only frontier candidates move. If a pathological frontier (~all
-rows on the skyline) overwhelms the single global task, the standard
-fix is recursive halving (re-run phase 1 on the survivors at lower
-parallelism) or grid partitioning by quantiles of the first
-dimension; the output itself is the bottleneck in that regime, same
-as the dedup mega-cluster argument in SCALE.md.
+1. **Local phase** (map-only): each partition prunes its own
+   dominated points -- survivors are a superset of the global
+   skyline. Arrow-batched mapInPandas with a sort-then-scan Pareto
+   filter; the kept set accumulates ACROSS the partition's Arrow
+   batches (so a 10M-row partition still prunes against everything
+   kept so far, not just its current 10k-row batch).
+2. **Global phase**, sized by a count probe on the survivors:
+   - survivors <= ``global_cap``: one final task concatenates all
+     batches and runs the EXACT filter once (per-batch filtering
+     here would let cross-batch dominated rows leak through).
+   - survivors > ``global_cap`` (pathological, e.g. anti-correlated
+     dimensions where ~every row is Pareto-optimal): quantile-grid
+     fallback. Survivors are striped by quantiles of the first
+     non-constant skyline dimension; each stripe filters itself
+     (applyInPandas, ~n/R rows per task), then every (candidate
+     stripe i, dominator stripe j<i) pair is checked in its own
+     bounded task -- a dominator q of p has q.dim0 <= p.dim0, so
+     stripe(q) <= stripe(p) under the monotone stripe assignment,
+     and checking against within-stripe SURVIVORS suffices because
+     dominance is transitive (any remover's chain terminates at a
+     surviving global-skyline point in an earlier-or-same stripe).
+     No task ever receives ~n rows: stripes are ~n/R and pair tasks
+     are ~2n/R. The pairwise work is inherently ~quadratic in that
+     regime (the output IS ~the input), but it is spread over R^2/2
+     tasks instead of funneled through one.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
-def _pareto_filter(cols: list[str]):
-    """mapInPandas batch filter: keep the Pareto-minimal rows of each
-    batch (schema passthrough). Sort by the first dimension so each
-    candidate needs checking only against already-kept rows."""
+def _dominated_mask(dom, cand, chunk: int = 128):
+    """Boolean mask over ``cand`` rows: dominated by any ``dom`` row
+    (minimize every dimension; NaN never dominates or is dominated).
+    Chunked broadcast keeps the (chunk, |dom|, d) temporaries small."""
+    import numpy as np
+
+    out = np.zeros(len(cand), dtype=bool)
+    if len(dom) == 0 or len(cand) == 0:
+        return out
+    for s in range(0, len(cand), chunk):
+        c = cand[s : s + chunk]
+        le = (dom[None, :, :] <= c[:, None, :]).all(axis=2)
+        lt = (dom[None, :, :] < c[:, None, :]).any(axis=2)
+        out[s : s + chunk] = (le & lt).any(axis=1)
+    return out
+
+
+def _pareto_scan(pdf, cols, buf, k):
+    """Sort-then-scan Pareto filter over one pandas batch against an
+    (optionally pre-populated) kept buffer. Returns (filtered pdf,
+    buf, k). The buffer grows geometrically and is sliced as a VIEW
+    per check -- rebuilding the kept matrix with fancy indexing per
+    kept point would make the scan O(k^2 * d) in memory traffic for
+    frontier size k, exactly the anti-correlated regime this module
+    worries about."""
+    import numpy as np
+
+    pdf = pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    a = pdf[cols].to_numpy(dtype="float64")
+    keep_rows: list[int] = []
+    for i in range(len(a)):
+        p = a[i]
+        if k:
+            kept = buf[:k]
+            le = (kept <= p).all(axis=1)
+            lt = (kept < p).any(axis=1)
+            if bool((le & lt).any()):
+                continue
+        if buf is None:
+            buf = np.empty((256, a.shape[1]))
+        elif k == len(buf):
+            buf = np.concatenate([buf, np.empty_like(buf)])
+        buf[k] = p
+        k += 1
+        keep_rows.append(i)
+    return pdf.iloc[keep_rows], buf, k
+
+
+def _pareto_filter(cols: list[str], exact: bool = False):
+    """mapInPandas batch filter (schema passthrough).
+
+    ``exact=False`` (local phase): streams batches, pruning each
+    against itself and everything kept so far. Output is a SUPERSET
+    of the partition skyline (an early-batch row already emitted may
+    be dominated by a later batch) -- fine for phase 1, whose
+    contract is only "never drop a skyline point".
+
+    ``exact=True`` (final single-task phase): concatenates the whole
+    iterator first, so the one sorted scan sees every row and the
+    output is exactly the input's skyline. Only safe when the input
+    is bounded (the caller's count probe guarantees it)."""
 
     def batches(it):
-        import numpy as np
+        import pandas as pd
 
+        buf, k = None, 0
+        if exact:
+            pdfs = [pdf for pdf in it if len(pdf)]
+            if not pdfs:
+                return
+            whole = pd.concat(pdfs, ignore_index=True)
+            out, _, _ = _pareto_scan(whole, cols, buf, k)
+            yield out
+            return
         for pdf in it:
             if len(pdf) == 0:
-                yield pdf
                 continue
-            pdf = pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
-            a = pdf[cols].to_numpy(dtype="float64")
-            kept_idx: list[int] = []
-            kept = np.empty((0, a.shape[1]))
-            for i in range(len(a)):
-                p = a[i]
-                if len(kept_idx):
-                    le = (kept <= p).all(axis=1)
-                    lt = (kept < p).any(axis=1)
-                    if bool((le & lt).any()):
-                        continue
-                kept_idx.append(i)
-                kept = a[kept_idx]
-            yield pdf.iloc[kept_idx]
+            out, buf, k = _pareto_scan(pdf, cols, buf, k)
+            yield out
 
     return batches
 
 
-def skyline(df: DataFrame, cols: list[str]) -> DataFrame:
+def _grid_skyline(local: DataFrame, cols: list[str], stripes: int) -> DataFrame:
+    """Quantile-grid fallback for pathological frontiers: stripe the
+    phase-1 survivors on the first non-constant skyline dimension,
+    filter within stripes, then check every (candidate stripe i,
+    dominator stripe j<i) pair in its own task. Multiplicity-exact:
+    duplicates ride through the stripe filter (identical rows never
+    dominate each other) and ``exceptAll`` removes dominated rows by
+    multiset difference, so no synthetic row id is needed."""
+    # one agg probe picks the stripe dimension: the first skyline col
+    # with min < max on the survivors. All-constant dims => every row
+    # ties with every other => nothing dominates, return as-is.
+    ranges = local.agg(
+        *[f for c in cols for f in (F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}"))]
+    ).first()
+    dim0 = next(
+        (
+            c
+            for c in cols
+            if ranges[f"mn_{c}"] is not None and ranges[f"mn_{c}"] < ranges[f"mx_{c}"]
+        ),
+        None,
+    )
+    if dim0 is None:
+        return local
+    probs = [i / stripes for i in range(1, stripes)]
+    bounds = sorted(set(local.approxQuantile(dim0, probs, 0.001)))
+    if not bounds:  # quantiles all null: no usable grid, give up striping
+        return local.repartition(1).mapInPandas(
+            _pareto_filter(cols, exact=True), local.schema
+        )
+    # monotone stripe assignment: q.dim0 <= p.dim0 => stripe(q) <= stripe(p)
+    stripe = sum(
+        (F.col(dim0) > F.lit(b)).cast("int") for b in bounds
+    )
+    nstripes = len(bounds) + 1
+    data_cols = local.columns
+    tagged = local.withColumn("_stripe", stripe)
+    within = tagged.groupBy("_stripe").applyInPandas(
+        lambda pdf: _pareto_scan(pdf, cols, None, 0)[0], tagged.schema
+    )
+    from conversation_analysis_tools_spark.operators.cache import track
+
+    within = track(within)
+    # (i, j) pair tasks: candidates from stripe i copied to every j<i,
+    # dominators from stripe j copied to every i>j. when() guards keep
+    # sequence() from going DESCENDING at the edges (Spark's sequence
+    # defaults to step -1 when stop < start, it is never empty).
+    cand = within.withColumn(
+        "_pj",
+        F.explode(
+            F.when(
+                F.col("_stripe") > 0, F.sequence(F.lit(0), F.col("_stripe") - 1)
+            )
+        ),
+    ).select(*data_cols, F.col("_stripe").alias("_pi"), "_pj", F.lit(1).alias("_role"))
+    doms = within.withColumn(
+        "_pi",
+        F.explode(
+            F.when(
+                F.col("_stripe") < nstripes - 1,
+                F.sequence(F.col("_stripe") + 1, F.lit(nstripes - 1)),
+            )
+        ),
+    ).select(*data_cols, "_pi", F.col("_stripe").alias("_pj"), F.lit(0).alias("_role"))
+    paired = cand.unionByName(doms)
+
+    def emit_dominated(pdf):
+        d_rows = pdf[pdf["_role"] == 0]
+        c_rows = pdf[pdf["_role"] == 1]
+        if len(d_rows) == 0 or len(c_rows) == 0:
+            return c_rows.iloc[0:0][data_cols]
+        mask = _dominated_mask(
+            d_rows[cols].to_numpy(dtype="float64"),
+            c_rows[cols].to_numpy(dtype="float64"),
+        )
+        return c_rows.iloc[mask.nonzero()[0]][data_cols]
+
+    dominated = paired.groupBy("_pi", "_pj").applyInPandas(
+        emit_dominated, within.drop("_stripe").schema
+    )
+    return within.drop("_stripe").exceptAll(dominated)
+
+
+def skyline(
+    df: DataFrame,
+    cols: list[str],
+    global_cap: int = 200_000,
+    stripes: int = 32,
+) -> DataFrame:
     """Pareto-minimal rows of ``df`` over ``cols`` (minimize every
     dimension; to maximize a column, pass its negation as a derived
-    column). Two mapInPandas phases with one bounded exchange between
-    them; ``repartition(1)`` (not coalesce) forces the stage boundary
-    so the local phase keeps its full parallelism."""
-    filt = _pareto_filter(cols)
-    local = df.mapInPandas(filt, df.schema)
-    return local.repartition(1).mapInPandas(filt, df.schema)
+    column). Local phase at full parallelism, then a count probe on
+    the survivors decides the global phase: one exact task under
+    ``global_cap``, the quantile-grid fallback (no task receives ~n
+    rows) above it. ``repartition(1)`` (not coalesce) forces the
+    stage boundary so the local phase keeps its full parallelism."""
+    from conversation_analysis_tools_spark.operators.cache import track
+
+    local = track(df.mapInPandas(_pareto_filter(cols), df.schema))
+    if local.count() <= global_cap:
+        return local.repartition(1).mapInPandas(
+            _pareto_filter(cols, exact=True), df.schema
+        )
+    return _grid_skyline(local, cols, stripes)

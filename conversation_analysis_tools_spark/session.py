@@ -55,7 +55,10 @@ def _local_scratch() -> str | None:
         # only differ if the original owner died.
         d = os.path.join(root, f"pid-{os.getpid()}")
         os.makedirs(d, exist_ok=True)
-        own = _proc_starttime(os.getpid())
+        try:
+            own = _proc_starttime(os.getpid())
+        except PermissionError:  # pragma: no cover - hidepid self-read
+            own = None
         if own is not None:
             with open(os.path.join(d, ".owner-start"), "w") as f:
                 f.write(own)
@@ -73,13 +76,19 @@ def _proc_starttime(pid: int) -> str | None:
     """The process's start time in clock ticks since boot
     (/proc/<pid>/stat field 22) -- the (pid, starttime) pair uniquely
     names a process for the life of a boot, unlike the recyclable pid
-    alone. None when the process is gone or /proc is unavailable
-    (non-Linux); comm is parsed by splitting after the LAST ')', the
-    standard defense against spaces/parens in the executable name."""
+    alone. None when the process is GONE or /proc is unavailable
+    (non-Linux); PermissionError propagates -- on /proc mounted with
+    hidepid, another user's LIVE process reads as EACCES/EPERM, and
+    folding that into None would let the sweep rmtree a live foreign
+    session's scratch. comm is parsed by splitting after the LAST ')',
+    the standard defense against spaces/parens in the executable
+    name."""
     try:
         with open(f"/proc/{pid}/stat") as f:
             rest = f.read().rsplit(")", 1)[1].split()
         return rest[19]
+    except PermissionError:
+        raise
     except (OSError, IndexError):
         return None
 
@@ -113,7 +122,8 @@ def _sweep_stale_scratch(root: str) -> None:
     pid-* entries: dead when /proc/<pid> is absent, or present with a
     DIFFERENT start time than the dir's stamp (recycled pid). An
     unstamped dir (written by a pre-stamp version) with a live pid is
-    left alone. Without /proc (non-Linux), falls back to the
+    left alone, and so is one whose /proc stat read is DENIED
+    (hidepid: live process owned by another user). Without /proc (non-Linux), falls back to the
     os.kill(pid, 0) liveness probe, treating only ProcessLookupError
     as dead. Entries NOT named pid-* are legacy flat-layout debris
     (blockmgr-*/spark-* from before per-pid dirs); tmpfs never
@@ -143,7 +153,10 @@ def _sweep_stale_scratch(root: str) -> None:
             continue
         dead = False
         if have_proc:
-            st = _proc_starttime(pid)
+            try:
+                st = _proc_starttime(pid)
+            except PermissionError:
+                continue  # hidepid: alive but foreign -- leave it alone
             if st is None:
                 dead = True  # no /proc/<pid>/stat: process gone
             else:

@@ -73,3 +73,24 @@ def test_sweep_keeps_unstamped_live_pid(tmp_path):
     d = _mk(root, "pid-1")  # alive, no stamp -> cannot prove recycled
     _sweep_stale_scratch(root)
     assert os.path.exists(d)
+
+
+def test_sweep_leaves_permission_denied_pid(tmp_path, monkeypatch):
+    """hidepid-style /proc: a foreign user's LIVE process reads as
+    PermissionError from /proc/<pid>/stat. That must mean
+    alive-but-foreign (leave the dir), never dead -- folding it into
+    the None/gone case would rmtree a live session's shuffle scratch
+    mid-run."""
+    from conversation_analysis_tools_spark import session as sess
+
+    root = str(tmp_path)
+    d = _mk(root, "pid-2", stamp="123")
+
+    def denied(pid):
+        if pid == 2:
+            raise PermissionError(13, "Permission denied")
+        return _proc_starttime(pid)
+
+    monkeypatch.setattr(sess, "_proc_starttime", denied)
+    sess._sweep_stale_scratch(root)
+    assert os.path.exists(d)

@@ -492,6 +492,28 @@ def test_edit_distance_threshold_boundary_with_pair_band(spark):
     assert (2, 3) in got and got[(2, 3)] > 0.99
 
 
+def test_edit_distance_pure_insertion_boundary(spark):
+    """Length-gap prefilter must be integer-exact: a boundary pair
+    whose edits are PURE INSERTIONS has dist == |len1-len2| == the
+    exact budget (lengths 45 vs 50 at t=0.9 -> dist 5, sim 0.9), and
+    qualifies downstream (1 - 5/50 >= 0.9 in doubles), but Python's
+    float (1-0.9) rounds DOWN so `lendiff <= (1-t)*maxlen` evaluates
+    5 <= 4.999... and silently drops it. The prefilter must compare
+    against the integer pair_bound = floor((1-t)*maxlen)+1 instead."""
+    words = ["aaa", "bbb", "ccc", "ddd", "eee", "fff", "ggg", "hhh", "iii", "jjj"]
+    base = " ".join(words) + " kkkkk"  # 10*3 + 10 spaces + 5 = 45 chars
+    assert len(base) == 45
+    ext = base + "zzzzz"  # 5 trailing inserts: dist == lendiff == 5
+    df = spark.createDataFrame(
+        [(1, base), (2, ext)], "doc_id long, text string"
+    )
+    got = {
+        (r["id1"], r["id2"]): r["edit_sim"]
+        for r in D.edit_distance_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in got and abs(got[(1, 2)] - 0.9) < 1e-12
+
+
 def test_dedup_collapse_modes_and_density_probe(spark, sample_docs):
     """The dedup-family collapse gate: 'always' and 'never' are
     output-identical (the adaptive probe may only ever pick between
