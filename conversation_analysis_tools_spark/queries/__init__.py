@@ -45,25 +45,26 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # small. Keeping this list to genuinely-changed plans IS the cadence
 # discipline.
 #
-# Round-5 window: the r4 pins are cleared (all five got green r4 rows),
-# so the 8 r1-stale names (cube_rollup_counts, join_enrich_pct, nlp_idf,
-# nlp_tf_max, nlp_tf_sum, nlp_token_stats, sql_endpoint_rollup,
-# stats_summary) and the oldest r2-greens auto-promote. The manual list
-# below holds only queries whose PHYSICAL PLAN changed in round 5
-# (MinHash-candidate representative-collapse and its consumers).
+# Round-6 window: the r5 pins are cleared (all six got green r5 rows),
+# so the 15 r2-stale names (bm25_topk, corpus_ngram_top20, dq_audit,
+# event_transitions, funnel_view_click_purchase, hash_split, hybrid_rrf,
+# incremental_rollup, pii_scrub, quality_decile_bins, retention_cohorts,
+# source_mixing_sample, temperature_mixture, token_budget_pack,
+# unigram_logprob) auto-promote at the 3-round staleness bound. The
+# manual list below holds only round 6's new queries and changed plans:
+# the three NEW engaged-collapse certificates (fixed dup-dense corpora
+# pinning collapse='always' -- the first driver-oracled executions of
+# the _expand_rep_pairs plans), dedup_edit_distance (integer pair_bound
+# length prefilter replaced the float cut), and skyline_parts (count-
+# probed exact final phase + quantile-grid fallback).
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
-    # round-5 changed plans: adaptive identical-content
-    # representative-collapse around the MinHash/Jaccard candidate
-    # stages (operators/dedup.py _maybe_collapse + the shared density
-    # probe) -- every oracled query consuming a changed operator
-    "dedup_minhash_lsh",
+    "dedup_collapse_jaccard_fixed",
+    "dedup_collapse_minhash_fixed",
+    "dedup_collapse_editdist_fixed",
     "dedup_edit_distance",
-    "dedup_ngram_jaccard",
-    "decontamination_minhash",
-    "dedup_recall_eval",
-    "near_dup_canonicalize",
+    "skyline_parts",
 ]
 
 
