@@ -491,6 +491,31 @@ def minhash_dedup_pairs(
     the output depend on dup density -- mirroring ``duplicate_pairs``'
     max_df handling.
     """
+    rep_pairs, members = minhash_rep_pairs(
+        df, threshold, id_col, text_col, max_bucket, collapse
+    )
+    if members is None:
+        return rep_pairs
+    return _expand_rep_pairs(rep_pairs, members, id_col, "jaccard", 1.0)
+
+
+def minhash_rep_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+    collapse: str = "auto",
+) -> tuple[DataFrame, DataFrame | None]:
+    """The shared MinHash pipeline up to (but not including) member
+    expansion: (verified representative pairs, members). ``members``
+    is None when the direct plan ran (the pairs ARE member-grain);
+    otherwise consumers either expand to member pairs
+    (``_expand_rep_pairs`` -- what ``minhash_dedup_pairs`` returns) or
+    keep working at rep grain when their downstream is grain-agnostic
+    (``minhash_cluster_members``: connected components over rep pairs,
+    members inheriting through the fingerprint group -- the m^2
+    member-pair materialization never happens)."""
     # persist: the array table feeds fingerprints AND the verify joins
     arrs = track(shingle_arrays(df, id_col, text_col))
     work, members = _maybe_collapse(
@@ -501,10 +526,54 @@ def minhash_dedup_pairs(
         id_col,
         max_bucket,
     )
-    rep_pairs = jaccard_verify(cands, work, threshold, id_col)
+    return jaccard_verify(cands, work, threshold, id_col), members
+
+
+def minhash_cluster_members(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    collapse: str = "auto",
+) -> DataFrame:
+    """(id, component) for every doc in a near-dup cluster, component
+    = min member id -- EXACTLY ``connected_components`` over
+    ``minhash_dedup_pairs`` output, but without ever materializing the
+    expanded member-pair set. Identity argument: the member-grain edge
+    set is (within-group cliques for every >=2-member fingerprint
+    group) + (rep pairs expanded over their two groups' members), so a
+    member-grain component is the union of the groups whose reps form
+    a rep-grain component, plus isolated multi-member groups. Each rep
+    is its group's MIN id (``_group_reps``), hence min member id of a
+    component == min rep id of its rep-grain component == the label
+    both plans assign. Dup-dense cost: CC joins run over the collapsed
+    edge list and the expansion is replaced by one fingerprint-keyed
+    join at OUTPUT grain (one row per clustered doc, not per pair)."""
+    from conversation_analysis_tools_spark.operators.components import (
+        connected_components,
+    )
+
+    rep_pairs, members = minhash_rep_pairs(
+        df, threshold, id_col, text_col, None, collapse
+    )
+    comp_rep = connected_components(rep_pairs.select("id1", "id2"))
     if members is None:
-        return rep_pairs
-    return _expand_rep_pairs(rep_pairs, members, id_col, "jaccard", 1.0)
+        return comp_rep
+    groups = members.groupBy("_fp").agg(
+        F.min(id_col).alias("_rep"), F.count("*").alias("_gsz")
+    )
+    # no forced broadcast: groups is one row per DISTINCT fingerprint
+    # (corpus-scale at 100 TB), comp_rep one per clustered rep -- both
+    # equi-joins, AQE picks broadcast when they happen to be small
+    m = members.join(groups, "_fp").join(
+        comp_rep.withColumnRenamed("id", "_rep"), "_rep", "left"
+    )
+    return m.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(
+            "component", F.when(F.col("_gsz") >= 2, F.col("_rep"))
+        ).alias("component"),
+    ).where(F.col("component").isNotNull())
 
 
 def cross_corpus_minhash_pairs(

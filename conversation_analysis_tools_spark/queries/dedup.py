@@ -711,18 +711,19 @@ def near_dup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its cluster id and canonical flag; singletons (never
     candidate-paired) are not cluster members and are kept upstream.
 
-    Scale: reuses the bucketed MinHash candidate plan (linear), CC on
-    the tiny verified edge set, and the final window partitions by
-    cluster id -- cluster sizes bound the sort, never the corpus.
+    Scale: reuses the bucketed MinHash candidate plan (linear), and
+    clustering runs at REPRESENTATIVE grain (minhash_cluster_members):
+    on dup-dense corpora the m^2 expanded member-pair set is never
+    materialized -- CC sees collapsed edges and members inherit their
+    group's component through one fingerprint join at output grain.
+    The final window partitions by cluster id -- cluster sizes bound
+    the sort, never the corpus.
     Strict oracle: md5 signatures + recursive-CTE reachability.
     """
     from pyspark.sql.window import Window
 
-    from conversation_analysis_tools_spark.operators import components as C
-
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.2).select("id1", "id2")
-    comp = C.connected_components(pairs)
+    comp = D.minhash_cluster_members(docs, threshold=0.2)
     members = comp.join(
         docs.select(F.col("doc_id").alias("id"), F.col("n_chars").cast("bigint").alias("n_chars")),
         "id",

@@ -492,6 +492,55 @@ def test_edit_distance_threshold_boundary_with_pair_band(spark):
     assert (2, 3) in got and got[(2, 3)] > 0.99
 
 
+def test_minhash_cluster_members_rep_grain_parity(spark):
+    """minhash_cluster_members must equal connected_components over
+    the expanded minhash_dedup_pairs output -- for both the engaged
+    (rep-grain CC + fingerprint inheritance) and direct plans -- on a
+    corpus covering every membership shape: an isolated multi-member
+    identical-set clique (no cross edges), two clusters bridged by a
+    verified rep pair, a singleton with a cross pair, a singleton
+    without one, and a shingle-less doc (never clustered)."""
+    from conversation_analysis_tools_spark.operators import components as C
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    cross = base.rsplit(" ", 1)[0] + " mike"
+    iso = "zulu yankee xray whiskey victor uniform"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "!!"),          # set-identical to 1
+            (3, base.replace(" ", "  ")),
+            (4, cross),                # bridges into cluster {1,2,3}
+            (5, iso),
+            (6, iso + "..."),          # isolated 2-clique, no cross edge
+            (7, "nov oscar papa quebec romeo sierra"),  # singleton
+            (8, "xy"),                 # no trigrams at all
+        ],
+        "doc_id long, text string",
+    )
+    want = None
+    for mode in ("always", "never"):
+        got = sorted(
+            (r["id"], r["component"])
+            for r in D.minhash_cluster_members(
+                docs, threshold=0.4, collapse=mode
+            ).collect()
+        )
+        exp = sorted(
+            (r["id"], r["component"])
+            for r in C.connected_components(
+                D.minhash_dedup_pairs(docs, threshold=0.4, collapse=mode).select(
+                    "id1", "id2"
+                )
+            ).collect()
+        )
+        assert got == exp, mode
+        want = want or got
+        assert got == want  # both modes agree with each other too
+    assert (1, 1) in want and (4, 1) in want and (6, 5) in want
+    assert all(i != 7 and i != 8 for i, _ in want)
+
+
 def test_edit_distance_pure_insertion_boundary(spark):
     """Length-gap prefilter must be integer-exact: a boundary pair
     whose edits are PURE INSERTIONS has dist == |len1-len2| == the
