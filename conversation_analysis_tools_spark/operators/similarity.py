@@ -237,7 +237,10 @@ def grid_blocked_pairs(
 
     thr = threshold
 
-    def cell_product(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # deliberately UNannotated: applyInPandas only needs hints to
+    # infer the eval type, and a (key, pdf) pair with a partial hint
+    # set makes that inference fail with a UserWarning on every run
+    def cell_product(key, pdf):
         bi, bj = key
         if bi == bj:
             left = right = pdf

@@ -55,8 +55,11 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # the three NEW engaged-collapse certificates (fixed dup-dense corpora
 # pinning collapse='always' -- the first driver-oracled executions of
 # the _expand_rep_pairs plans), dedup_edit_distance (integer pair_bound
-# length prefilter replaced the float cut), and skyline_parts (count-
-# probed exact final phase + quantile-grid fallback).
+# length prefilter replaced the float cut), skyline_parts (count-
+# probed exact final phase + quantile-grid fallback), ann_recall_eval
+# (IVF floor raised 0.5 -> 0.9 with the n_probe=10 default -- the
+# oracle literal changed, so the r4 green row no longer certifies it),
+# and the NEW ann_ivf_probe_frontier (recall-vs-probe-count table).
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
@@ -65,6 +68,8 @@ VERIFY_PRIORITY: list[str] = [
     "dedup_collapse_editdist_fixed",
     "dedup_edit_distance",
     "skyline_parts",
+    "ann_recall_eval",
+    "ann_ivf_probe_frontier",
 ]
 
 

@@ -81,14 +81,20 @@ def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_ivf_knn", oracle=None)
 def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: k-means coarse quantizer (C=16 lists),
-    4-list probe per query, exact cosine re-rank of candidates.
+    10-list probe per query, exact cosine re-rank of candidates.
 
     The third standard ANN shape next to brute force and LSH: probe
-    fraction n_probe/C bounds the candidate scan (~25% here); recall
-    is tested against ann_bruteforce_knn. At 100 TB the assigned
-    table is written bucketed by centroid_id so each probed list is a
-    contiguous scan, and the quantizer is trained on a sample.
-    Rows-only (k-means float iteration is engine-specific).
+    fraction n_probe/C bounds the candidate scan; recall is certified
+    against ann_bruteforce_knn (floor 0.9 in ann_recall_eval). The
+    default probe count is picked off the measured frontier
+    (``ann_ivf_probe_frontier``): these synthetic near-isotropic
+    embeddings are IVF's worst case -- k-means lists carry little
+    signal, so clearing recall 0.9 costs 10/16 lists here (measured
+    0.96 at sf0.001 AND sf0.01), where real clustered embeddings
+    clear it at n_probe 1-2 of hundreds of lists. At 100 TB the
+    assigned table is written bucketed by centroid_id so each probed
+    list is a contiguous scan, and the quantizer is trained on a
+    sample. Rows-only (k-means float iteration is engine-specific).
     """
     emb = _emb(spark, sf_dir)
     cents = cached_fit(
@@ -98,7 +104,7 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return A.ivf_topk(assigned, queries, cents, k=5, n_probe=4, exclude_self=True)
+    return A.ivf_topk(assigned, queries, cents, k=5, n_probe=10, exclude_self=True)
 
 
 @register("kmeans_clusters", oracle=None)
@@ -283,7 +289,7 @@ def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: index regression.
 RECALL_FLOORS = {
     "ann_lsh_knn": 0.8,
-    "ann_ivf_knn": 0.5,
+    "ann_ivf_knn": 0.9,
     "ann_int8_knn": 0.8,
     "ann_pq_knn": 0.8,
 }
@@ -294,7 +300,7 @@ RECALL_FLOORS = {
     oracle="""
     SELECT * FROM (VALUES
         ('ann_lsh_knn',  80, TRUE),
-        ('ann_ivf_knn',  50, TRUE),
+        ('ann_ivf_knn',  90, TRUE),
         ('ann_int8_knn', 80, TRUE),
         ('ann_pq_knn',   80, TRUE)
     ) AS t(method, floor_x100, recall_ok)
@@ -341,4 +347,81 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.unpersist()
     return spark.createDataFrame(
         rows, "method string, floor_x100 int, recall_ok boolean"
+    )
+
+
+#: Measured IVF recall@5-vs-probe-count frontier floors (recall at
+#: sf0.001/sf0.01 shown; floors are the conservative certificate).
+#: n_probe=16 of C=16 lists probes EVERYTHING -- candidates are the
+#: whole corpus and the re-rank is exact cosine, so recall is 1.0 by
+#: construction, anchoring the frontier's top end provably.
+IVF_FRONTIER_FLOORS = [
+    (2, 0.15),   # measured 0.24 / 0.36
+    (4, 0.45),   # measured 0.52 / 0.72
+    (8, 0.70),   # measured 0.76 / 0.96
+    (10, 0.90),  # measured 0.96 / 0.96 -- the ann_ivf_knn default
+    (16, 1.00),  # exhaustive: provable, not just measured
+]
+
+
+@register(
+    "ann_ivf_probe_frontier",
+    oracle="""
+    SELECT * FROM (VALUES
+        ( 2, 12,  15, TRUE),
+        ( 4, 25,  45, TRUE),
+        ( 8, 50,  70, TRUE),
+        (10, 62,  90, TRUE),
+        (16, 100, 100, TRUE)
+    ) AS t(n_probe, probe_frac_x100, floor_x100, recall_ok)
+    """,
+)
+def ann_ivf_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-probe-count frontier for the IVF index: one row per
+    probe count with its candidate-scan fraction (n_probe/C), the
+    pinned recall floor, and whether measured recall@5 clears it.
+
+    This is the tuning table an IVF deployment publishes so users can
+    trade scan cost for recall deliberately instead of guessing: the
+    default (n_probe=10, the knee where recall crosses 0.9 on this
+    isotropic worst-case corpus) is one row of it. The centroid fit
+    and list assignment run ONCE and are shared across all probe
+    counts -- each frontier point only re-runs the probe-join + top-k
+    window, and every join against the exact baseline is a broadcast
+    of tiny top-k frames. The literal-VALUES oracle pins the floors,
+    so an index or quantizer regression shows up as a red row at the
+    exact probe count where the frontier sagged.
+    """
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = (
+        A.brute_force_topk(emb, queries, k=5, exclude_self=True)
+        .select("query_id", "vec_id")
+        .persist()
+    )
+    try:
+        n_truth = exact.count()
+        cents = cached_fit(
+            "ivf_centroids", (16,), sf_dir,
+            lambda: A.kmeans_centroids(emb, n_centroids=16),
+        )
+        assigned = cache.track(A.ivf_assign(emb, cents))
+        rows = []
+        for n_probe, floor in IVF_FRONTIER_FLOORS:
+            if n_truth == 0:
+                rows.append((n_probe, n_probe * 100 // 16, int(floor * 100), False))
+                continue
+            approx = A.ivf_topk(
+                assigned, queries, cents, k=5, n_probe=n_probe, exclude_self=True
+            ).select("query_id", "vec_id")
+            hits = approx.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
+            rows.append(
+                (n_probe, n_probe * 100 // 16, int(floor * 100), hits / n_truth >= floor)
+            )
+    finally:
+        exact.unpersist()
+    return spark.createDataFrame(
+        rows, "n_probe int, probe_frac_x100 int, floor_x100 int, recall_ok boolean"
     )

@@ -326,3 +326,20 @@ def test_pil_decode_path_when_available():
         assert M._pil_dimensions(bmp) is None
         with pytest.raises(NotImplementedError):
             M.decode_image(bmp, fake=False)
+
+
+def test_ivf_probe_frontier_certificate(spark):
+    # the published recall-vs-probe-count table must clear every
+    # pinned floor at test grain too, and the exhaustive row
+    # (n_probe = C = 16 -> candidates = whole corpus) is recall 1.0
+    # by construction, not just by measurement
+    from conversation_analysis_tools_spark.queries.similarity import (
+        ann_ivf_probe_frontier,
+    )
+
+    rows = {r["n_probe"]: r for r in ann_ivf_probe_frontier(spark, SF_DIR).collect()}
+    assert all(r["recall_ok"] for r in rows.values()), rows
+    assert rows[16]["floor_x100"] == 100 and rows[16]["probe_frac_x100"] == 100
+    # frontier floors are monotone nondecreasing in probe count
+    floors = [rows[p]["floor_x100"] for p in sorted(rows)]
+    assert floors == sorted(floors)
