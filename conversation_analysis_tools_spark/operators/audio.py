@@ -48,11 +48,25 @@ def synth_pcm16(media_id: int, n_samples: int) -> list[int]:
     ]
 
 
-def wav_bytes(samples: list[int], sample_rate: int = 8000, channels: int = 1) -> bytes:
+def synth_pcm16_np(media_id: int, n_samples: int):
+    """Vectorized ``synth_pcm16`` (same recurrence, same values --
+    pinned by tests/test_audio.py): int64 numpy evaluation so corpus
+    builders (tools/media_probe.py) can synthesize 10^8-sample
+    corpora without a Python per-sample loop."""
+    import numpy as np
+
+    k = np.arange(n_samples, dtype=np.int64)
+    return ((k * k * 31 + k * 7 + media_id * 13) % _SIG_P) - _SIG_SHIFT
+
+
+def wav_bytes(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
     """Minimal RIFF/WAVE container around little-endian PCM16 frames
     (fmt chunk 16 bytes, PCM tag 1) -- the layout every WAV reader
-    accepts."""
-    data = struct.pack(f"<{len(samples)}h", *samples)
+    accepts. ``samples`` is any int sequence (list or numpy array)
+    within int16 range; the payload is little-endian either way."""
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack(
         "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16

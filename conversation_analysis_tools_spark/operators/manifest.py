@@ -1,0 +1,176 @@
+"""Pointer-based media layout: packfiles + a byte-range manifest.
+
+The task-brief multimodal tables inline payloads in a ``binary``
+column -- fine up to a few MB per row, but a 100-TB media corpus
+cannot inline GB-scale videos in parquet row groups (a single row
+group must hold whole rows, so one 4 GB payload forces 4 GB scan
+units and breaks column pruning for every metadata-only query). The
+production layout separates PAYLOAD from POINTER:
+
+* **packfiles** -- payloads concatenated back-to-back into large
+  immutable blobs (here local files; at scale, object-store objects
+  sized to the store's sweet spot, 256 MB - 1 GB);
+* **manifest** -- a parquet table of ``(media_id, path, offset,
+  length)`` plus whatever typed metadata ingest extracted. KB-scale
+  rows: every relational operator (dedup joins, quality filters,
+  partition pruning) runs on the manifest alone and never touches a
+  payload byte.
+
+Reads are PARTIAL by construction: ``read_media`` seeks each row's
+``(offset, length)`` span -- a local ``seek``+``read`` here, an HTTP
+``Range:`` GET against an object store at scale -- so a query that
+filters the manifest to 0.1% of the corpus reads 0.1% of the bytes.
+Rows are served in (path, offset) order within each partition, so
+spans from the same packfile coalesce into one sequential pass, and
+repartitioning the manifest by ``path`` before reading turns the
+whole scan into one sequential sweep per packfile per task.
+
+The reference stores attachments as metadata only
+(/root/reference/uni_parse.py:313-314 ``has_attachments``); this
+module is the beyond-reference scale path the brief's multimodal
+section asks for.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pack_media(
+    media: DataFrame,
+    out_dir: str,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    n_packs: int = 4,
+) -> DataFrame:
+    """EAGERLY pack inline binary payloads into ``n_packs`` packfiles
+    under ``out_dir`` and return the manifest as a DataFrame read
+    back from parquet (so downstream plans scan a real table, not a
+    lazy lineage that would re-run the packing).
+
+    Each output partition writes exactly one packfile in one
+    sequential pass (payloads concatenated, offsets accumulated), via
+    ``mapInPandas`` so payload bytes move executor-side through Arrow
+    batches -- the driver never holds a payload. The write is atomic
+    per pack (tmp file + rename) so a re-run or a speculative
+    duplicate task never leaves a torn packfile; rows hash-partition
+    by id, making the (id -> pack) assignment deterministic.
+
+    Non-payload columns are carried into the manifest unchanged --
+    the typed-metadata home (mime, duration, width/height, ...).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    meta_cols = [c for c in media.columns if c != content_col]
+    meta_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in media.schema
+        if f.name != content_col
+    )
+    out_schema = f"{meta_schema}, path string, offset bigint, length bigint"
+
+    def write_pack(it):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"pack-{pid:05d}.bin")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        rows: list[tuple] = []
+        off = 0
+        with open(tmp, "wb") as fh:
+            for pdf in it:
+                contents = pdf[content_col]
+                metas = pdf[meta_cols]
+                for i in range(len(pdf)):
+                    b = bytes(contents.iloc[i])
+                    fh.write(b)
+                    rows.append(
+                        tuple(metas.iloc[i]) + (path, off, len(b))
+                    )
+                    off += len(b)
+        os.replace(tmp, path)  # atomic publish, safe under re-run
+        yield pd.DataFrame(
+            rows, columns=meta_cols + ["path", "offset", "length"]
+        )
+
+    manifest_path = os.path.join(out_dir, "manifest.parquet")
+    (
+        media.repartition(n_packs, F.col(id_col))
+        .mapInPandas(write_pack, out_schema)
+        .write.mode("overwrite")
+        .parquet(manifest_path)
+    )
+    spark = media.sparkSession
+    return spark.read.parquet(manifest_path)
+
+
+def read_media(
+    manifest: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Materialize payload bytes from a packed manifest: one map-only
+    Arrow stage that sorts its batch by (path, offset), opens each
+    packfile once, and seek-reads exactly the ``(offset, length)``
+    spans it was asked for. Filter/join the manifest FIRST -- the
+    byte cost of this stage is the sum of the surviving rows'
+    lengths, never the packfile sizes. At object-store scale the
+    seek+read pair becomes a ranged GET; nothing else changes.
+    """
+    meta_cols = [c for c in manifest.columns if c not in ("path", "offset", "length")]
+    meta_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in manifest.schema
+        if f.name in meta_cols
+    )
+    out_schema = f"{meta_schema}, {content_col} binary"
+
+    def fetch(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["path", "offset"], kind="mergesort")
+            blobs: list[bytes] = []
+            cur_path, fh = None, None
+            try:
+                for path, off, ln in zip(pdf["path"], pdf["offset"], pdf["length"]):
+                    if path != cur_path:
+                        if fh is not None:
+                            fh.close()
+                        fh = open(path, "rb")
+                        cur_path = path
+                    fh.seek(int(off))
+                    blobs.append(fh.read(int(ln)))
+            finally:
+                if fh is not None:
+                    fh.close()
+            out = pdf[meta_cols].copy()
+            out[content_col] = blobs
+            yield out
+
+    return manifest.mapInPandas(fetch, out_schema)
+
+
+def pack_and_manifest(
+    spark: SparkSession,
+    media: DataFrame,
+    staging_kind: str,
+    sf_dir: str,
+    id_col: str = "media_id",
+    n_packs: int = 4,
+) -> DataFrame:
+    """Memoized pack: build the packfiles + manifest once per
+    (staging_kind, sf_dir) and reuse across bench/verify loops (same
+    discipline as catalog.staging_dir layouts -- a marker file skips
+    the rebuild)."""
+    from conversation_analysis_tools_spark.catalog import staging_dir
+
+    out = staging_dir(staging_kind, sf_dir)
+    marker = os.path.join(out, "_SUCCESS_pack")
+    if not os.path.exists(marker):
+        pack_media(media, out, id_col=id_col, n_packs=n_packs)
+        open(marker, "w").close()
+    return spark.read.parquet(os.path.join(out, "manifest.parquet"))

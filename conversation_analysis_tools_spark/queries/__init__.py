@@ -34,15 +34,20 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # history -- never-checked oracled queries first, then oldest-green
 # ascending -- so rotation needs no manual bookkeeping.
 #
-# Rotation cadence rule (restated per VERDICT r3 item 5): with 151
+# Rotation cadence rule (restated per VERDICT r3 item 5): with 150+
 # oracled queries and a 50-slot window, a "<=2 rounds stale" cadence is
 # arithmetically impossible (needs >=76 slots/round). The guarantee the
 # auto-ranking actually provides -- enforced mechanically by
 # tests/test_rollup_audit.py::test_rotation_staleness_bound -- is that
 # an oracled query's driver row is refreshed at least every
-# ceil(O / (50 - len(VERIFY_PRIORITY))) rounds (O = oracled count),
-# i.e. <=3-round staleness at today's sizes when the manual list stays
-# small. Keeping this list to genuinely-changed plans IS the cadence
+# ceil(O / (50 - len(VERIFY_PRIORITY))) rounds (O = oracled count).
+# Round-6 note: O grew to ~161 (collapse certificates, IVF frontier,
+# manifest path), so the bound is now FOUR rounds, not three --
+# VERDICT r5's "nothing older than r4 after r6" needs 161 distinct
+# slots across r4-r6 but only 150 exist even with zero overlap; the
+# ~16 r3-green spillover queries are the oldest bucket and
+# auto-promote ahead of everything in r7. Keeping this list to
+# genuinely-changed plans IS the cadence
 # discipline.
 #
 # Round-6 window: the r5 pins are cleared (all six got green r5 rows),

@@ -353,3 +353,37 @@ def streaming_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"audio_feat_sink_{uuid.uuid4().hex[:8]}"
     run_to_memory_sink(agg, name)
     return s2.table(name)
+
+
+@register(
+    "audio_manifest_metadata",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 1, 8000,  16, CAST(1600 AS BIGINT), CAST(200 AS BIGINT)),
+        (CAST(2 AS BIGINT), 1, 8000,  16, CAST(1000 AS BIGINT), CAST(125 AS BIGINT)),
+        (CAST(3 AS BIGINT), 1, 16000, 16, CAST(2400 AS BIGINT), CAST(150 AS BIGINT)),
+        (CAST(4 AS BIGINT), 1, 8000,  16, CAST(120 AS BIGINT),  CAST(15 AS BIGINT))
+    ) AS t(media_id, channels, sample_rate, bits, n_samples, duration_ms)
+    """,
+)
+def audio_manifest_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pointer-based media layout, proven end-to-end: the fixed
+    audio corpus is PACKED into packfiles + a (path, offset, length)
+    manifest (operators/manifest.pack_media -- payload bytes move
+    executor-side, atomic per-pack publish), then payloads are
+    re-materialized via seek+read of exactly the manifest spans
+    (read_media) and fed to the same RIFF chunk-walk parse as
+    audio_wav_metadata. Matching that query's literal oracle
+    certifies every byte survived the pack -> pointer -> partial-read
+    round trip -- the layout a 100-TB media corpus needs when
+    payloads are too large to inline in a parquet binary column
+    (manifest rows stay KB-scale for relational work; payload bytes
+    are fetched only for manifest rows that survive filtering, as
+    ranged GETs at object-store scale)."""
+    from conversation_analysis_tools_spark.operators import audio as A
+    from conversation_analysis_tools_spark.operators import manifest as MF
+
+    man = MF.pack_and_manifest(
+        spark, _audio_media(spark), "audiopack", sf_dir, n_packs=2
+    )
+    return A.audio_metadata(MF.read_media(man))

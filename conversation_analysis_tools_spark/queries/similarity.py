@@ -350,17 +350,25 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Measured IVF recall@5-vs-probe-count frontier floors (recall at
-#: sf0.001/sf0.01 shown; floors are the conservative certificate).
-#: n_probe=16 of C=16 lists probes EVERYTHING -- candidates are the
-#: whole corpus and the re-rank is exact cosine, so recall is 1.0 by
-#: construction, anchoring the frontier's top end provably.
+#: Measured IVF recall@5 frontier floors across (n_assign, n_probe)
+#: operating points (recall at sf0.001/sf0.01 in the comments; floors
+#: are the conservative certificate). n_probe=16 of C=16 lists probes
+#: EVERYTHING -- candidates are the whole corpus and the re-rank is
+#: exact cosine, so recall is 1.0 by construction at ANY n_assign,
+#: anchoring the frontier's top end provably. The n_assign=2 rows are
+#: the soft-assignment (list replication) lever: recall at fixed
+#: probe count rises because a true neighbor must lose the query in
+#: BOTH its lists to be missed.
 IVF_FRONTIER_FLOORS = [
-    (2, 0.15),   # measured 0.24 / 0.36
-    (4, 0.45),   # measured 0.52 / 0.72
-    (8, 0.70),   # measured 0.76 / 0.96
-    (10, 0.90),  # measured 0.96 / 0.96 -- the ann_ivf_knn default
-    (16, 1.00),  # exhaustive: provable, not just measured
+    (1, 2, 0.15),   # measured 0.24 / 0.36
+    (1, 4, 0.45),   # measured 0.52 / 0.72
+    (1, 8, 0.70),   # measured 0.76 / 0.96
+    (1, 10, 0.90),  # measured 0.96 / 0.96 -- the ann_ivf_knn default
+    (1, 16, 1.00),  # exhaustive: provable, not just measured
+    (2, 2, 0.40),   # measured 0.64 / 0.60
+    (2, 4, 0.70),   # measured 0.80 / 0.96
+    (2, 6, 0.90),   # measured 0.96 / 1.00 -- replication's 0.9 knee
+    (2, 16, 1.00),  # exhaustive with replicas: still provable
 ]
 
 
@@ -368,29 +376,36 @@ IVF_FRONTIER_FLOORS = [
     "ann_ivf_probe_frontier",
     oracle="""
     SELECT * FROM (VALUES
-        ( 2, 12,  15, TRUE),
-        ( 4, 25,  45, TRUE),
-        ( 8, 50,  70, TRUE),
-        (10, 62,  90, TRUE),
-        (16, 100, 100, TRUE)
-    ) AS t(n_probe, probe_frac_x100, floor_x100, recall_ok)
+        (1,  2, 12,  15, TRUE),
+        (1,  4, 25,  45, TRUE),
+        (1,  8, 50,  70, TRUE),
+        (1, 10, 62,  90, TRUE),
+        (1, 16, 100, 100, TRUE),
+        (2,  2, 25,  40, TRUE),
+        (2,  4, 50,  70, TRUE),
+        (2,  6, 75,  90, TRUE),
+        (2, 16, 100, 100, TRUE)
+    ) AS t(n_assign, n_probe, scan_frac_x100, floor_x100, recall_ok)
     """,
 )
 def ann_ivf_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-vs-probe-count frontier for the IVF index: one row per
-    probe count with its candidate-scan fraction (n_probe/C), the
-    pinned recall floor, and whether measured recall@5 clears it.
+    """Recall-vs-cost frontier for the IVF index: one row per
+    (n_assign, n_probe) operating point with its expected
+    candidate-scan fraction (n_assign * n_probe / C, capped at 1),
+    the pinned recall floor, and whether measured recall@5 clears it.
 
     This is the tuning table an IVF deployment publishes so users can
     trade scan cost for recall deliberately instead of guessing: the
-    default (n_probe=10, the knee where recall crosses 0.9 on this
-    isotropic worst-case corpus) is one row of it. The centroid fit
-    and list assignment run ONCE and are shared across all probe
-    counts -- each frontier point only re-runs the probe-join + top-k
-    window, and every join against the exact baseline is a broadcast
-    of tiny top-k frames. The literal-VALUES oracle pins the floors,
-    so an index or quantizer regression shows up as a red row at the
-    exact probe count where the frontier sagged.
+    ann_ivf_knn default (single assignment, n_probe=10 -- the knee
+    where recall crosses 0.9 on this isotropic worst-case corpus) is
+    one row of it, and the n_assign=2 rows expose the soft-assignment
+    lever (operators/ann.ivf_assign) that reaches the same knee at 6
+    probes. The centroid fit runs ONCE; each assignment grain is
+    computed once and shared across its probe counts; every join
+    against the exact baseline is a broadcast of tiny top-k frames.
+    The literal-VALUES oracle pins the floors, so an index, quantizer,
+    or replica-dedup regression shows up as a red row at the exact
+    operating point where the frontier sagged.
     """
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -407,21 +422,28 @@ def ann_ivf_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivf_centroids", (16,), sf_dir,
             lambda: A.kmeans_centroids(emb, n_centroids=16),
         )
-        assigned = cache.track(A.ivf_assign(emb, cents))
+        assigned = {
+            na: cache.track(A.ivf_assign(emb, cents, n_assign=na))
+            for na in sorted({na for na, _, _ in IVF_FRONTIER_FLOORS})
+        }
         rows = []
-        for n_probe, floor in IVF_FRONTIER_FLOORS:
+        for n_assign, n_probe, floor in IVF_FRONTIER_FLOORS:
+            scan = min(100, n_assign * n_probe * 100 // 16)
             if n_truth == 0:
-                rows.append((n_probe, n_probe * 100 // 16, int(floor * 100), False))
+                rows.append((n_assign, n_probe, scan, int(floor * 100), False))
                 continue
             approx = A.ivf_topk(
-                assigned, queries, cents, k=5, n_probe=n_probe, exclude_self=True
+                assigned[n_assign], queries, cents, k=5,
+                n_probe=n_probe, exclude_self=True,
             ).select("query_id", "vec_id")
             hits = approx.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
             rows.append(
-                (n_probe, n_probe * 100 // 16, int(floor * 100), hits / n_truth >= floor)
+                (n_assign, n_probe, scan, int(floor * 100), hits / n_truth >= floor)
             )
     finally:
         exact.unpersist()
     return spark.createDataFrame(
-        rows, "n_probe int, probe_frac_x100 int, floor_x100 int, recall_ok boolean"
+        rows,
+        "n_assign int, n_probe int, scan_frac_x100 int, floor_x100 int,"
+        " recall_ok boolean",
     )

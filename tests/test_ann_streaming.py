@@ -329,17 +329,39 @@ def test_pil_decode_path_when_available():
 
 
 def test_ivf_probe_frontier_certificate(spark):
-    # the published recall-vs-probe-count table must clear every
-    # pinned floor at test grain too, and the exhaustive row
-    # (n_probe = C = 16 -> candidates = whole corpus) is recall 1.0
-    # by construction, not just by measurement
+    # the published recall-vs-cost table must clear every pinned
+    # floor at test grain too, and the exhaustive rows (n_probe = C =
+    # 16 -> candidates = whole corpus) are recall 1.0 by
+    # construction, not just by measurement
     from conversation_analysis_tools_spark.queries.similarity import (
         ann_ivf_probe_frontier,
     )
 
-    rows = {r["n_probe"]: r for r in ann_ivf_probe_frontier(spark, SF_DIR).collect()}
+    rows = {
+        (r["n_assign"], r["n_probe"]): r
+        for r in ann_ivf_probe_frontier(spark, SF_DIR).collect()
+    }
     assert all(r["recall_ok"] for r in rows.values()), rows
-    assert rows[16]["floor_x100"] == 100 and rows[16]["probe_frac_x100"] == 100
-    # frontier floors are monotone nondecreasing in probe count
-    floors = [rows[p]["floor_x100"] for p in sorted(rows)]
-    assert floors == sorted(floors)
+    for na in (1, 2):
+        assert rows[(na, 16)]["floor_x100"] == 100
+        assert rows[(na, 16)]["scan_frac_x100"] == 100
+        # floors are monotone nondecreasing in probe count per grain
+        pts = sorted(p for a, p in rows if a == na)
+        floors = [rows[(na, p)]["floor_x100"] for p in pts]
+        assert floors == sorted(floors)
+
+
+def test_ivf_soft_assign_replica_dedup_exact(spark):
+    # n_assign=2 with every list probed must equal the exact
+    # brute-force top-k: each vector appears in TWO probed lists, so
+    # without the replica-dedup inside the top-k window the dup rows
+    # would occupy two ranks and corrupt the result
+    emb = table(spark, "embeddings", SF_DIR)
+    q = _queries(emb)
+    exact = A.brute_force_topk(emb, q, k=5, exclude_self=True).collect()
+    cents = A.kmeans_centroids(emb, n_centroids=8)
+    soft = A.ivf_assign(emb, cents, n_assign=2)
+    approx = A.ivf_topk(soft, q, cents, k=5, n_probe=8, exclude_self=True).collect()
+    assert {(r["query_id"], r["vec_id"], r["rnk"]) for r in approx} == {
+        (r["query_id"], r["vec_id"], r["rnk"]) for r in exact
+    }

@@ -222,3 +222,19 @@ def test_parsers_total_on_random_bytes():
             pass  # the documented codec gate
         rv = V.parse_mp4(payload)
         assert rv is None or isinstance(rv, dict)
+
+
+def test_synth_np_matches_scalar():
+    # the vectorized synth must be value-identical to the scalar
+    # recurrence the oracles re-derive
+    from conversation_analysis_tools_spark.operators.audio import (
+        synth_pcm16,
+        synth_pcm16_np,
+        wav_bytes,
+    )
+
+    for mid in (1, 7, 123):
+        scalar = synth_pcm16(mid, 500)
+        vec = synth_pcm16_np(mid, 500)
+        assert list(vec) == scalar
+        assert wav_bytes(vec) == wav_bytes(scalar)
