@@ -112,6 +112,15 @@ AUDIT = [
     "dedup_ngram_jaccard",
     "dedup_edit_distance",
     "near_dup_canonicalize",
+    # round-6: skyline must show the count-probed single final task on
+    # realistic frontiers (no unbounded repartition(1) on adversarial
+    # ones -- that path is test-pinned instead); IVF top-k must show
+    # ONE exchange feeding the lag-filter + row_number window stack
+    # (the replica-dedup rides the window's own sort, no pair-grain
+    # distinct); the manifest read is one map-only Arrow stage over
+    # the manifest scan
+    "skyline_parts",
+    "audio_manifest_metadata",
 ]
 
 
