@@ -72,6 +72,11 @@ CENSUS = [
     "dedup_ngram_jaccard",
     "dedup_edit_distance",
     "near_dup_canonicalize",
+    # round-6: skyline (cached local phase + bounded final), the
+    # manifest byte path (map-only, zero exchanges), IVF top-k after
+    # the lag-dedup (still exactly one candidate exchange)
+    "skyline_parts",
+    "audio_manifest_metadata",
 ]
 
 
