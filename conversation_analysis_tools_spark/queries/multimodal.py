@@ -387,3 +387,87 @@ def audio_manifest_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _audio_media(spark), "audiopack", sf_dir, n_packs=2
     )
     return A.audio_metadata(MF.read_media(man))
+
+
+@register(
+    "streaming_audio_manifest",
+    oracle="""
+    WITH params(media_id, sr, n) AS (
+        SELECT * FROM (VALUES (1, 8000, 1600), (2, 8000, 1000),
+                              (3, 16000, 2400), (4, 8000, 120)) v
+    ),
+    idx AS (
+        SELECT media_id,
+               sr * 25 // 1000 AS win,
+               n,
+               unnest(generate_series(0, n - 1)) AS k
+        FROM params
+    ),
+    samples AS (
+        SELECT media_id, win, n, k,
+               ((k*k*31 + k*7 + media_id*13) % 65521) - 32760 AS s
+        FROM idx
+    ),
+    lagged AS (
+        SELECT media_id, win, n, k, s,
+               lag(s) OVER (PARTITION BY media_id ORDER BY k) AS ps
+        FROM samples
+    ),
+    windows AS (
+        SELECT media_id, k // win AS win_idx,
+               SUM(s * s) AS energy,
+               SUM(CASE WHEN k % win <> 0 AND s * ps < 0 THEN 1 ELSE 0 END) AS zc
+        FROM lagged
+        WHERE k < (n // win) * win
+        GROUP BY media_id, k // win
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(energy) AS BIGINT) AS total_energy,
+           CAST(SUM(zc) AS BIGINT) AS total_crossings
+    FROM windows
+    GROUP BY media_id
+    """,
+)
+def streaming_audio_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest over the POINTER layout: a REAL readStream on
+    the packed MANIFEST (KB-scale rows -- the stream carries pointers,
+    not payloads), payload bytes fetched per micro-batch by the same
+    seek+read Arrow stage the batch path uses (operators/manifest.
+    read_media is a stateless map on the stream), then the windowed
+    feature stage and a stateful per-media rollup in complete mode.
+    Drained under availableNow, the result must equal the batch
+    aggregation -- the SAME strict integer-recurrence oracle as
+    streaming_audio_features, which certifies byte-exactness through
+    pack -> manifest stream -> ranged read -> RIFF parse -> features.
+    This is the 100-TB ingest-service shape when payloads are too
+    large to inline: checkpointed progress and state track manifest
+    rows; packfiles are immutable blobs fetched on demand."""
+    import os
+    import uuid
+
+    from conversation_analysis_tools_spark.operators import audio as A
+    from conversation_analysis_tools_spark.operators import manifest as MF
+    from conversation_analysis_tools_spark.streaming.events import (
+        run_to_memory_sink,
+        scoped_session,
+    )
+
+    # same memoized packfiles as audio_manifest_metadata
+    man = MF.pack_and_manifest(
+        spark, _audio_media(spark), "audiopack", sf_dir, n_packs=2
+    )
+    man_dir = os.path.dirname(man.inputFiles()[0])
+    s2 = scoped_session(spark, 8)
+    src = s2.readStream.schema(
+        "media_id bigint, mime string, path string, offset bigint, length bigint"
+    ).parquet(man_dir)
+    feats = A.energy_windows(MF.read_media(src), window_ms=25)
+    agg = feats.groupBy("media_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("energy").alias("total_energy"),
+        F.sum("zero_crossings").cast("bigint").alias("total_crossings"),
+    )
+    name = f"audio_manifest_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(agg, name)
+    return s2.table(name)

@@ -447,3 +447,69 @@ def ann_ivf_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_assign int, n_probe int, scan_frac_x100 int, floor_x100 int,"
         " recall_ok boolean",
     )
+
+
+@register(
+    "ann_ivf_partitioned_parity",
+    oracle="""
+    SELECT 4 AS n_probe, 4 AS lists_probed, TRUE AS results_match
+    """,
+)
+def ann_ivf_partitioned_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF physical layout, exercised end-to-end: the assigned
+    table is WRITTEN partitioned by centroid_id (every inverted list
+    a directory -- the layout the ann_ivf_knn docstring prescribes for
+    100 TB), and a single-query search runs off the partitioned copy
+    with the probe set pushed as a static centroid_id IN-filter, so
+    the scan touches exactly n_probe of C list directories
+    (PartitionFilters pinned in tests/test_layout.py). The
+    certificate: the pruned-layout search returns EXACTLY the rows of
+    the inline-table search (layout changes bytes read, never
+    results), asserted via two exceptAll counts and emitted as a
+    literal-oracle boolean. At 100 TB this is the difference between
+    scanning ~n_probe/C of the corpus and all of it, with the same
+    declarative plan."""
+    import numpy as np
+
+    from conversation_analysis_tools_spark.catalog import staging_dir
+
+    emb = _emb(spark, sf_dir)
+    cents = cached_fit(
+        "ivf_centroids", (16,), sf_dir, lambda: A.kmeans_centroids(emb, n_centroids=16)
+    )
+    d = staging_dir("ivf_lists", sf_dir)
+    marker = f"{d}/_SUCCESS_lists"
+    import os
+
+    if not os.path.exists(marker):
+        A.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(f"{d}/assigned.parquet")
+        open(marker, "w").close()
+    part = spark.read.parquet(f"{d}/assigned.parquet")
+
+    q1 = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # probe set derived driver-side from the trained centroids (the
+    # same (distance, cid) ordering ivf_topk sorts by) -- one bounded
+    # single-row collect, then a STATIC partition filter
+    qv = np.array(q1.collect()[0]["embedding"], dtype="float64")
+    dists = ((cents - qv) ** 2).sum(axis=1)
+    probes = [int(c) for _, c in sorted(zip(dists, range(len(cents))))[:4]]
+
+    inline = A.ivf_topk(
+        A.ivf_assign(emb, cents), q1, cents, k=5, n_probe=4, exclude_self=True
+    )
+    pruned = A.ivf_topk(
+        part.where(F.col("centroid_id").isin(probes)),
+        q1, cents, k=5, n_probe=4, exclude_self=True,
+    )
+    match = (
+        inline.exceptAll(pruned).count() == 0
+        and pruned.exceptAll(inline).count() == 0
+    )
+    return spark.createDataFrame(
+        [(4, len(set(probes)), match)],
+        "n_probe int, lists_probed int, results_match boolean",
+    )

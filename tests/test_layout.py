@@ -145,3 +145,35 @@ def test_zorder_layout_prunes_2d_probe(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert "zfile" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_ivf_list_layout_prunes_partitions(spark, tmp_path):
+    # the IVF inverted-list layout: assigned table written partitioned
+    # by centroid_id, a static probe-set filter must prune at the
+    # DIRECTORY level (the ann_ivf_partitioned_parity plan shape)
+    import io
+    from contextlib import redirect_stdout
+
+    from conversation_analysis_tools_spark.operators import ann as A
+
+    emb = table(spark, "embeddings", SF_DIR)
+    cents = A.kmeans_centroids(emb, n_centroids=8)
+    out = str(tmp_path / "ivf_lists")
+    A.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(out)
+    part = spark.read.parquet(out)
+    probe = part.where(F.col("centroid_id").isin([0, 3]))
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    # pruned read returns exactly the rows of those lists
+    expected = A.ivf_assign(emb, cents).where(
+        F.col("centroid_id").isin([0, 3])
+    ).count()
+    assert probe.count() == expected

@@ -93,6 +93,9 @@ def test_bench_emit_line_stays_parseable_at_any_size():
     doc = _json.loads(line)
     assert len(line) <= 1800 and doc["metric"] == "total_headline_sec"
     assert doc["pipeline_docs_per_sec"] > 0
+    # BOTH statistics ride the parsed line (VERDICT r5 item 8)
+    assert doc["value"] == round(sum(timings.values()), 3)
+    assert doc["total_median"] == round(sum(medians.values()), 3)
     assert detail["queries_median"] == medians
     # 3x the headline: the line must degrade to the pointer form, not grow
     big_t = {f"very_long_query_name_number_{i:03d}": 1.234 for i in range(120)}
