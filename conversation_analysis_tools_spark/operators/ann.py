@@ -187,10 +187,18 @@ def lsh_topk(
         cands = cands.where(F.col(id_col) != F.col(query_id_col))
     sims = cands.select(
         query_id_col, id_col, F.round(cosine_expr(vec_col, "_qv"), 6).alias("sim")
-    ).dropDuplicates([query_id_col, id_col])
+    )
+    # multi-table/multiprobe dedup rides the top-k window's own sort
+    # (duplicate (query, vec) rows are value-identical, so they sort
+    # adjacent under (sim desc, id asc) and a lag(id) != id filter
+    # removes replica runs) -- a pair-grain distinct here would cost a
+    # SECOND exchange of the candidate frame, the big frame at scale.
+    # Same shape as ivf_topk's replica-dedup.
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
-        sims.withColumn("rnk", F.row_number().over(w))
+        sims.withColumn("_prev", F.lag(id_col).over(w))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col(id_col)))
+        .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select(query_id_col, id_col, "sim", "rnk")
     )

@@ -513,3 +513,136 @@ def ann_ivf_partitioned_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(4, len(set(probes)), match)],
         "n_probe int, lists_probed int, results_match boolean",
     )
+
+
+#: LSH recall@5 frontier floors across (n_planes, n_tables) with
+#: 1-bit multiprobe (recall at sf0.001/sf0.01 in comments). The
+#: (1, 1) anchor is PROVABLE: one plane splits the corpus into two
+#: buckets and multiprobe probes both, so candidates are the whole
+#: corpus and the exact re-rank makes recall 1.0 by construction.
+LSH_FRONTIER_FLOORS = [
+    (1, 1, 1.00),  # exhaustive by construction
+    (2, 1, 0.70),  # measured 0.92 / 0.84
+    (3, 1, 0.40),  # measured 0.64 / 0.60
+    (3, 3, 0.80),  # measured 0.96 / 1.00 -- the ann_lsh_knn default
+    (5, 3, 0.40),  # measured 0.60 / 0.72
+]
+
+
+@register(
+    "ann_lsh_plane_frontier",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 1, 100, TRUE),
+        (2, 1, 70,  TRUE),
+        (3, 1, 40,  TRUE),
+        (3, 3, 80,  TRUE),
+        (5, 3, 40,  TRUE)
+    ) AS t(n_planes, n_tables, floor_x100, recall_ok)
+    """,
+)
+def ann_lsh_plane_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-cost frontier for the hyperplane-LSH index: one row
+    per (n_planes, n_tables) operating point with its pinned recall
+    floor and whether measured recall@5 clears it. Plane count sets
+    bucket size (2^planes buckets -> smaller candidate sets, lower
+    recall); table count multiplies index size and buys back recall
+    exponentially (a miss must split from the query in EVERY table).
+    The default (3 planes x 3 tables) is one row; the (1, 1) row's
+    1.0 is provable (multiprobe covers both buckets of a single
+    plane), anchoring the certificate's top end like the IVF
+    frontier's exhaustive row. Broadcast top-k joins only."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = (
+        A.brute_force_topk(emb, queries, k=5, exclude_self=True)
+        .select("query_id", "vec_id")
+        .persist()
+    )
+    try:
+        n_truth = exact.count()
+        rows = []
+        for planes, tables, floor in LSH_FRONTIER_FLOORS:
+            if n_truth == 0:
+                rows.append((planes, tables, int(floor * 100), False))
+                continue
+            approx = A.lsh_topk(
+                emb, queries, dim=EMB_DIM, k=5, n_planes=planes,
+                exclude_self=True, n_tables=tables,
+            ).select("query_id", "vec_id")
+            hits = approx.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
+            rows.append((planes, tables, int(floor * 100), hits / n_truth >= floor))
+    finally:
+        exact.unpersist()
+    return spark.createDataFrame(
+        rows, "n_planes int, n_tables int, floor_x100 int, recall_ok boolean"
+    )
+
+
+#: PQ recall@5 floors per exact-re-rank depth (recall at
+#: sf0.001/sf0.01 in comments). 'all' re-ranks every encoded row by
+#: true cosine, so that row's 1.0 is provable regardless of codebook
+#: quality -- the ADC scan only orders candidates it all re-ranks.
+PQ_FRONTIER_FLOORS = [
+    ("50", 0.60),   # measured 0.80 / 0.84
+    ("100", 0.80),  # measured 0.96 / 0.96 -- the ann_pq_knn floor
+    ("400", 0.90),  # measured 1.00 / 1.00
+    ("all", 1.00),  # provable: exact re-rank of the whole corpus
+]
+
+
+@register(
+    "ann_pq_rerank_frontier",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('50', 60,  TRUE),
+        ('100', 80,  TRUE),
+        ('400', 90,  TRUE),
+        ('all', 100, TRUE)
+    ) AS t(rerank, floor_x100, recall_ok)
+    """,
+)
+def ann_pq_rerank_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-re-rank-depth frontier for the product-quantized
+    index: one row per ADC-candidate re-rank budget with its pinned
+    floor. Re-rank depth is PQ's recall lever at fixed codebook size
+    (these near-isotropic embeddings are PQ's worst case -- ADC
+    ordering degrades as the corpus outgrows m=8,k=32 resolution, so
+    production raises codebook bits instead of the re-rank fraction).
+    The 'all' row re-ranks every row by true cosine, so its 1.0 is
+    provable, anchoring the frontier. Codebooks come from the shared
+    disk fitcache; the encoded table is computed once and tracked."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = (
+        A.brute_force_topk(emb, queries, k=5, exclude_self=True)
+        .select("query_id", "vec_id")
+        .persist()
+    )
+    try:
+        n_truth = exact.count()
+        n = emb.count()
+        codebooks = cached_fit(
+            "pq_codebooks", (EMB_DIM,), sf_dir, lambda: A.pq_train(emb, EMB_DIM)
+        )
+        encoded = cache.track(A.pq_encode(emb, codebooks))
+        rows = []
+        for label, floor in PQ_FRONTIER_FLOORS:
+            if n_truth == 0:
+                rows.append((label, int(floor * 100), False))
+                continue
+            depth = n if label == "all" else int(label)
+            approx = A.pq_topk(
+                encoded, queries, codebooks, k=5, rerank=depth, exclude_self=True
+            ).select("query_id", "vec_id")
+            hits = approx.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
+            rows.append((label, int(floor * 100), hits / n_truth >= floor))
+    finally:
+        exact.unpersist()
+    return spark.createDataFrame(
+        rows, "rerank string, floor_x100 int, recall_ok boolean"
+    )

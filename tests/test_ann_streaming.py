@@ -365,3 +365,24 @@ def test_ivf_soft_assign_replica_dedup_exact(spark):
     assert {(r["query_id"], r["vec_id"], r["rnk"]) for r in approx} == {
         (r["query_id"], r["vec_id"], r["rnk"]) for r in exact
     }
+
+
+def test_lsh_and_pq_frontier_certificates(spark):
+    # every pinned floor clears at test grain; the provable anchors
+    # ((1,1) LSH multiprobe = both buckets probed; PQ rerank='all' =
+    # exact re-rank of the whole corpus) are exactly 1.0
+    from conversation_analysis_tools_spark.queries.similarity import (
+        ann_lsh_plane_frontier,
+        ann_pq_rerank_frontier,
+    )
+
+    lsh = {
+        (r["n_planes"], r["n_tables"]): r
+        for r in ann_lsh_plane_frontier(spark, SF_DIR).collect()
+    }
+    assert all(r["recall_ok"] for r in lsh.values()), lsh
+    assert lsh[(1, 1)]["floor_x100"] == 100
+
+    pq = {r["rerank"]: r for r in ann_pq_rerank_frontier(spark, SF_DIR).collect()}
+    assert all(r["recall_ok"] for r in pq.values()), pq
+    assert pq["all"]["floor_x100"] == 100

@@ -226,3 +226,45 @@ def test_minhash_signature_matches_python(spark):
         for r in D.minhash_signatures(df).collect()
     }
     assert got == expected
+
+
+def test_cluster_members_match_cc_over_expanded_pairs(spark):
+    """The round-6 canonicalize identity claim, property-tested: for a
+    randomized dup-dense corpus, minhash_cluster_members (rep-grain CC
+    + fingerprint inheritance) must assign exactly the labels
+    connected_components gets from the fully expanded member-pair set,
+    under BOTH the engaged and the direct plan."""
+    import random
+
+    from conversation_analysis_tools_spark.operators import dedup as D
+    from conversation_analysis_tools_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(13)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima"]
+    rows, did = [], 0
+    for _ in range(12):  # 12 base docs, each with 0-3 byte-distinct
+        base = " ".join(rng.choice(words) for _ in range(rng.randint(6, 12)))
+        variants = [base] + [
+            base + "!" * rng.randint(1, 3) for _ in range(rng.randint(0, 3))
+        ]
+        for v in variants:
+            rows.append((did, v))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for collapse in ("always", "never"):
+        got = {
+            (r["id"], r["component"])
+            for r in D.minhash_cluster_members(
+                docs, threshold=0.4, collapse=collapse
+            ).collect()
+        }
+        pairs = D.minhash_dedup_pairs(docs, threshold=0.4, collapse=collapse)
+        want = {
+            (r["id"], r["component"])
+            for r in connected_components(pairs.select("id1", "id2")).collect()
+        }
+        assert got == want, f"collapse={collapse}: {got ^ want}"

@@ -126,3 +126,22 @@ def test_skyline_null_dimension_rows_survive(spark):
     df = spark.createDataFrame(rows, "id long, x double, y double")
     got = sorted(r["id"] for r in skyline(df, ["x", "y"]).collect())
     assert got == [1, 2]
+
+
+def test_skyline_three_dimensions_known_frontier(spark):
+    # 3-D: (1,1,9) survives because nothing dominates it in ALL dims;
+    # (2,2,9) is dominated by (1,1,9); duplicates of a frontier point
+    # both survive (ties); a point minimal in one dim alone survives
+    from conversation_analysis_tools_spark.operators.skyline import skyline
+
+    rows = [
+        (1, 1.0, 1.0, 9.0),
+        (2, 2.0, 2.0, 9.0),   # dominated by id 1
+        (3, 9.0, 9.0, 0.0),   # unique min in z
+        (4, 1.0, 1.0, 9.0),   # tie of id 1: survives
+        (5, 0.0, 9.0, 9.0),   # unique min in x
+        (6, 1.0, 1.0, 10.0),  # dominated by id 1 (z strictly worse)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double, z double")
+    got = sorted(r["id"] for r in skyline(df, ["x", "y", "z"]).collect())
+    assert got == [1, 3, 4, 5]
