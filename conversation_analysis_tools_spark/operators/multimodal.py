@@ -341,3 +341,117 @@ def image_neardup_pairs(
     return D.simhash_pairs(
         phash_column(media, fake=fake), max_hamming=max_hamming, id_col="media_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed raster path: real decode + real resize, no codec library
+# ---------------------------------------------------------------------------
+#
+# Compressed codecs stay behind the PIL gate, but binary PGM (P5 --
+# the netpbm grayscale format: an ASCII header then raw 8-bit rows)
+# is pure byte math, exactly like the WAV path in audio.py. That
+# makes RESIZE a first-class, oracle-provable operator instead of
+# dhash-internal plumbing: block-mean pooling over the raw pixel grid
+# is integer-exact (sum // block_area), so an external engine can
+# re-derive every output pixel of a synthetic corpus.
+
+#: Modulus for the synthetic pixel recurrence; < 256 so values are
+#: valid 8-bit samples.
+_PIX_P = 251
+
+
+def synth_gray_np(media_id: int, width: int, height: int):
+    """Deterministic grayscale grid: pixel (r, c) of media m is
+    ``(r*31 + c*7 + m*13) % 251`` -- integer-only, engine-portable."""
+    import numpy as np
+
+    r = np.arange(height, dtype=np.int64)[:, None]
+    c = np.arange(width, dtype=np.int64)[None, :]
+    return ((r * 31 + c * 7 + media_id * 13) % _PIX_P).astype(np.uint8)
+
+
+def pgm_bytes(pixels) -> bytes:
+    """Binary PGM (P5) container around an (h, w) uint8 grid."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w = a.shape
+    return f"P5\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def parse_pgm(content: bytes):
+    """(width, height, (h, w) uint8 grid) from a binary PGM, or None
+    when the container is not P5 / is truncated. Header: magic,
+    whitespace-separated width height maxval, ONE whitespace byte,
+    then raw rows (the netpbm spec)."""
+    import numpy as np
+
+    if not content.startswith(b"P5"):
+        return None
+    # tokenize the header: three ints after the magic, skipping
+    # whitespace runs ('#' comments are legal PGM; unsupported here --
+    # synthetic corpora never emit them, foreign files fall to None)
+    pos, vals = 2, []
+    while len(vals) < 3 and pos < len(content):
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(content) and content[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            return None
+        vals.append(int(content[start:pos]))
+    if len(vals) < 3 or pos >= len(content):
+        return None
+    w, h, maxval = vals
+    pos += 1  # the single whitespace byte after maxval
+    if maxval != 255 or w < 1 or h < 1 or len(content) < pos + w * h:
+        return None
+    a = np.frombuffer(content[pos : pos + w * h], dtype=np.uint8).reshape(h, w)
+    return w, h, a
+
+
+def resize_pool(
+    media: DataFrame,
+    factor: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL image resize over a binary column: parse PGM, block-mean
+    downscale by ``factor`` (output pixel = integer mean, sum //
+    factor^2, of its factor x factor input block; ragged right/bottom
+    edges are dropped -- the fixed-grid rule every pooling featurizer
+    uses), re-encode as PGM. One Arrow-batched map-only stage; emits
+    (id, content, width, height) where content is the RESIZED
+    container, so downstream stages (thumbnail sinks, dhash, a second
+    pool) consume the same binary-column shape they were fed.
+    Non-PGM rows drop (the codec gate: compressed formats need PIL).
+    """
+    out_schema = f"{id_col} bigint, {content_col} binary, width int, height int"
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                parsed = parse_pgm(bytes(content))
+                if parsed is None:
+                    continue
+                w, h, a = parsed
+                ow, oh = w // factor, h // factor
+                if not ow or not oh:
+                    continue
+                pooled = (
+                    a[: oh * factor, : ow * factor]
+                    .astype("int64")
+                    .reshape(oh, factor, ow, factor)
+                    .sum(axis=(1, 3))
+                    // (factor * factor)
+                ).astype("uint8")
+                rows.append((mid, pgm_bytes(pooled), ow, oh))
+            yield pd.DataFrame(
+                rows, columns=[id_col, content_col, "width", "height"]
+            )
+
+    return media.mapInPandas(batches, out_schema)

@@ -471,3 +471,89 @@ def streaming_audio_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"audio_manifest_sink_{uuid.uuid4().hex[:8]}"
     run_to_memory_sink(agg, name)
     return s2.table(name)
+
+
+#: Fixed raster corpus (media_id, width, height): two factor-4
+#: divisible grids and one ragged (18x10 -> the right/bottom edges
+#: drop, output 4x2 -- the fixed-grid pooling rule).
+_RASTER_CORPUS = [(1, 32, 16), (2, 20, 12), (3, 18, 10)]
+
+
+def _raster_media(spark: SparkSession) -> DataFrame:
+    rows = [
+        (mid, M.pgm_bytes(M.synth_gray_np(mid, w, h)), "image/x-portable-graymap")
+        for mid, w, h in _RASTER_CORPUS
+    ]
+    return spark.createDataFrame(rows, "media_id bigint, content binary, mime string")
+
+
+@register(
+    "image_resize_pool",
+    oracle="""
+    WITH params(media_id, w, h) AS (
+        SELECT * FROM (VALUES (1, 32, 16), (2, 20, 12), (3, 18, 10)) v
+    ),
+    dims AS (SELECT media_id, w, h, w // 4 AS ow, h // 4 AS oh FROM params),
+    cells AS (
+        SELECT media_id, ow, oh, gi.i, gj.j,
+               SUM(((4*gi.i+gb.br)*31 + (4*gj.j+gc.bc)*7 + media_id*13) % 251)
+                 // 16 AS p
+        FROM dims,
+             generate_series(0, 3) AS gi(i),
+             generate_series(0, 7) AS gj(j),
+             generate_series(0, 3) AS gb(br),
+             generate_series(0, 3) AS gc(bc)
+        WHERE gi.i < oh AND gj.j < ow
+        GROUP BY media_id, ow, oh, gi.i, gj.j
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(SUM(p * (i*ow + j + 1)) AS BIGINT) AS pos_checksum
+    FROM cells GROUP BY media_id, ow, oh
+    """,
+)
+def image_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize over a binary column, byte-path-proven: the
+    fixed grayscale corpus is packed as binary PGM (pure byte math,
+    no codec lib -- the raster analogue of the WAV path), block-mean
+    downscaled 4x by operators/multimodal.resize_pool (integer mean,
+    ragged edges dropped: media 3 is 18x10 -> 4x2), RE-ENCODED as
+    PGM, then this query re-parses the RESIZED BYTES and emits
+    integer-exact stats of the output grid (pixel sum + a
+    position-weighted checksum that catches any pixel misplacement).
+    The DuckDB oracle re-derives every pooled pixel from the synth
+    recurrence with generate_series arithmetic, so a match certifies
+    encode -> parse -> pool -> re-encode -> re-parse end-to-end.
+    Both mapInPandas stages are map-only Arrow islands -- the brief's
+    'resize' multimodal operator as a first-class citizen, not
+    dhash-internal plumbing. sf_dir unused (fixed corpus)."""
+    resized = M.resize_pool(_raster_media(spark), factor=4)
+
+    def stats(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                parsed = M.parse_pgm(bytes(content))
+                if parsed is None:
+                    continue
+                w, h, a = parsed
+                a = a.astype(np.int64)
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                rows.append(
+                    (mid, w, h, int(a.sum()), int((a * (i * w + j + 1)).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "pixel_sum", "pos_checksum"],
+            )
+
+    return resized.select("media_id", "content").mapInPandas(
+        stats,
+        "media_id bigint, width int, height int, pixel_sum bigint,"
+        " pos_checksum bigint",
+    )

@@ -54,3 +54,54 @@ def test_null_content_rows_dropped(spark):
     )
     pairs = M.image_neardup_pairs(media, fake=True).collect()
     assert [(r["id1"], r["id2"], r["hamming"]) for r in pairs] == [(1, 3, 0)]
+
+
+def test_pgm_roundtrip_and_parse_rejects():
+    from conversation_analysis_tools_spark.operators import multimodal as M
+
+    g = M.synth_gray_np(7, 20, 12)
+    w, h, a = M.parse_pgm(M.pgm_bytes(g))
+    assert (w, h) == (20, 12) and (a == g).all()
+    assert M.parse_pgm(b"P6\n1 1\n255\nx") is None  # PPM, not PGM
+    assert M.parse_pgm(b"P5\n4 4\n255\nxx") is None  # truncated raster
+    assert M.parse_pgm(b"P5\n4 4\n65535\n" + b"x" * 32) is None  # 16-bit
+
+
+def test_resize_pool_matches_numpy_and_drops_ragged(spark):
+    import numpy as np
+
+    from conversation_analysis_tools_spark.operators import multimodal as M
+
+    rows = [
+        (1, M.pgm_bytes(M.synth_gray_np(1, 32, 16)), "image/x-portable-graymap"),
+        (2, M.pgm_bytes(M.synth_gray_np(2, 18, 10)), "image/x-portable-graymap"),
+        (3, b"not a raster", "application/octet-stream"),  # drops
+        (4, M.pgm_bytes(M.synth_gray_np(4, 3, 3)), "image/x-portable-graymap"),
+        # 3x3 at factor 4 -> zero full blocks: drops
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary, mime string")
+    out = {r["media_id"]: r for r in M.resize_pool(media, factor=4).collect()}
+    assert sorted(out) == [1, 2]
+    for mid, w, h in [(1, 32, 16), (2, 18, 10)]:
+        a = M.synth_gray_np(mid, w, h).astype(np.int64)
+        ow, oh = w // 4, h // 4
+        want = (a[: oh * 4, : ow * 4].reshape(oh, 4, ow, 4).sum((1, 3)) // 16)
+        got = M.parse_pgm(bytes(out[mid]["content"]))
+        assert (out[mid]["width"], out[mid]["height"]) == (ow, oh)
+        assert got[0] == ow and got[1] == oh and (got[2] == want).all()
+
+
+def test_resize_pool_composes_with_dhash(spark):
+    # the resized binary column feeds the SAME downstream shape:
+    # dhash over resized thumbnails runs without reshaping anything
+    from conversation_analysis_tools_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [(1, M.pgm_bytes(M.synth_gray_np(1, 64, 48)), "image/x-portable-graymap")],
+        "media_id bigint, content binary, mime string",
+    )
+    from pyspark.sql import functions as F
+
+    thumbs = M.resize_pool(media, factor=2).select("media_id", "content")
+    hashed = M.phash_column(thumbs.withColumn("mime", F.lit("x")), fake=True)
+    assert hashed.count() == 1
