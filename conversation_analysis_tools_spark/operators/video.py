@@ -130,3 +130,81 @@ def video_metadata(
             )
 
     return media.mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real frame path: length-prefixed raw-frame container + frame sampling
+# ---------------------------------------------------------------------------
+#
+# Compressed video decode stays behind the codec gate, but a raw
+# frame container -- magic, frame count, then length-prefixed binary
+# PGM frames -- is pure byte math, like the RIFF walk above. That
+# upgrades frame SAMPLING from a plan shape
+# (multimodal.frame_sample_plan) to a real operator: parse the
+# container, slice every Nth frame's exact byte span, emit it as its
+# own binary column row. The layout mirrors raw-video interchange
+# (e.g. yuv4mpeg's FRAME-delimited stream) without needing a codec.
+
+_FRV_MAGIC = b"FRV1"
+
+
+def frv_bytes(frames: list[bytes]) -> bytes:
+    """Container around raw frame blobs: magic + u32 frame count +
+    per-frame u32 length prefix (big-endian) then the frame bytes."""
+    out = [_FRV_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def parse_frv(content: bytes) -> list[bytes] | None:
+    """Frame blobs from an FRV1 container, or None when the magic is
+    absent or any length prefix overruns the buffer (torn file)."""
+    if len(content) < 8 or content[:4] != _FRV_MAGIC:
+        return None
+    n = struct.unpack(">I", content[4:8])[0]
+    pos, frames = 8, []
+    for _ in range(n):
+        if pos + 4 > len(content):
+            return None
+        ln = struct.unpack(">I", content[pos : pos + 4])[0]
+        pos += 4
+        if pos + ln > len(content):
+            return None
+        frames.append(content[pos : pos + ln])
+        pos += ln
+    return frames
+
+
+def frame_sample(
+    media: DataFrame,
+    every_n: int = 10,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL frame sampling over a binary column: walk the FRV1
+    container and emit every ``every_n``-th frame (index 0, n, 2n...)
+    as its own row (id, frame_idx, frame binary). One map-only Arrow
+    stage; the expansion is bounded at frames/every_n rows per media,
+    and each emitted frame is an exact byte slice of the container --
+    downstream per-frame stages (resize_pool, dhash, a feature
+    extractor) consume the standard binary-column shape. Non-FRV rows
+    drop (compressed containers need the gated codec path)."""
+    out_schema = f"{id_col} bigint, frame_idx int, frame binary"
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                frames = parse_frv(bytes(content))
+                if frames is None:
+                    continue
+                rows.extend(
+                    (mid, i, frames[i]) for i in range(0, len(frames), every_n)
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
+
+    return media.mapInPandas(batches, out_schema)

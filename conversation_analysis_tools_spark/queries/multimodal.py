@@ -557,3 +557,93 @@ def image_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, width int, height int, pixel_sum bigint,"
         " pos_checksum bigint",
     )
+
+
+#: Fixed frame-container corpus (media_id, n_frames); every frame is
+#: an 8x4 PGM whose pixel (r, c) of frame f is
+#: (r*31 + c*7 + media_id*13 + f*17) % 251.
+_FRV_CORPUS = [(1, 7), (2, 3), (3, 10)]
+
+
+def _frv_media(spark: SparkSession) -> DataFrame:
+    import numpy as np
+
+    from conversation_analysis_tools_spark.operators import video as V
+
+    rows = []
+    for mid, nf in _FRV_CORPUS:
+        r = np.arange(4, dtype=np.int64)[:, None]
+        c = np.arange(8, dtype=np.int64)[None, :]
+        frames = [
+            M.pgm_bytes(((r * 31 + c * 7 + mid * 13 + f * 17) % 251).astype("uint8"))
+            for f in range(nf)
+        ]
+        rows.append((mid, V.frv_bytes(frames), "video/x-frv"))
+    return spark.createDataFrame(rows, "media_id bigint, content binary, mime string")
+
+
+@register(
+    "video_frame_sample",
+    oracle="""
+    WITH params(media_id, nf) AS (SELECT * FROM (VALUES (1,7),(2,3),(3,10)) v),
+    fr AS (
+        SELECT media_id, gf.f FROM params, generate_series(0, 9) AS gf(f)
+        WHERE gf.f < nf AND gf.f % 3 = 0
+    ),
+    cells AS (
+        SELECT media_id, f, gr.r, gc.c,
+               (gr.r*31 + gc.c*7 + media_id*13 + f*17) % 251 AS s
+        FROM fr, generate_series(0, 3) AS gr(r), generate_series(0, 7) AS gc(c)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id, CAST(f AS INT) AS frame_idx,
+           CAST(SUM(s) AS BIGINT) AS pixel_sum,
+           CAST(SUM(s * (r*8 + c + 1)) AS BIGINT) AS pos_checksum
+    FROM cells GROUP BY media_id, f
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling over a binary video column: the fixed
+    corpus packs per-frame PGM rasters into a length-prefixed FRV1
+    container (pure byte math -- raw-video interchange shape, no
+    codec), operators/video.frame_sample walks the container and
+    emits every 3rd frame as an exact byte slice, and this query
+    re-parses each EMITTED FRAME's bytes into integer-exact stats.
+    The DuckDB oracle re-derives every sampled frame's pixels from
+    the recurrence, so a match certifies container walk, sampling
+    stride, and frame byte slicing end-to-end (a misplaced length
+    prefix or off-by-one stride shifts pos_checksum). Both stages are
+    map-only Arrow islands; the expansion is bounded at
+    frames/every_n rows per media. Upgrades multimodal's
+    frame_sample_plan from a plan shape to a proven operator.
+    sf_dir unused (fixed corpus)."""
+    from conversation_analysis_tools_spark.operators import video as V
+
+    sampled = V.frame_sample(_frv_media(spark), every_n=3)
+
+    def stats(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, fidx, frame in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                parsed = M.parse_pgm(bytes(frame))
+                if parsed is None:
+                    continue
+                w, h, a = parsed
+                a = a.astype(np.int64)
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                rows.append(
+                    (mid, fidx, int(a.sum()), int((a * (i * w + j + 1)).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "pixel_sum", "pos_checksum"]
+            )
+
+    return sampled.mapInPandas(
+        stats,
+        "media_id bigint, frame_idx int, pixel_sum bigint, pos_checksum bigint",
+    )

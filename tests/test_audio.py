@@ -238,3 +238,40 @@ def test_synth_np_matches_scalar():
         vec = synth_pcm16_np(mid, 500)
         assert list(vec) == scalar
         assert wav_bytes(vec) == wav_bytes(scalar)
+
+
+def test_frv_container_fuzz_never_raises():
+    # totality: random bytes must parse to None, never raise (same
+    # contract as the WAV/BMFF fuzz in this file's family)
+    import random
+
+    from conversation_analysis_tools_spark.operators.video import (
+        frv_bytes,
+        parse_frv,
+    )
+
+    rng = random.Random(99)
+    for _ in range(300):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        parse_frv(blob)  # must not raise
+        parse_frv(b"FRV1" + blob)
+    # truncation anywhere inside a valid container -> None or a
+    # shorter valid prefix, never an exception
+    full = frv_bytes([b"abc", b"de", b"", b"fghi"])
+    for cut in range(len(full)):
+        parse_frv(full[:cut])
+
+
+def test_frame_sample_stride_and_bytes(spark):
+    from conversation_analysis_tools_spark.operators import video as V
+
+    frames = [bytes([i] * (i + 1)) for i in range(7)]
+    media = spark.createDataFrame(
+        [(1, V.frv_bytes(frames), "video/x-frv"), (2, b"junk", "x")],
+        "media_id bigint, content binary, mime string",
+    )
+    got = {
+        r["frame_idx"]: bytes(r["frame"])
+        for r in V.frame_sample(media, every_n=2).collect()
+    }
+    assert got == {0: frames[0], 2: frames[2], 4: frames[4], 6: frames[6]}
