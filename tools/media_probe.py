@@ -121,6 +121,73 @@ def build_mp4(spark, n_clips: int) -> str:
     return os.path.join(out, "media.parquet")
 
 
+def build_pgm(spark, n_imgs: int) -> str:
+    """n_imgs 128x128 binary PGM rasters (~16 KB each): the REAL
+    decode+resize byte path's input."""
+    out = os.path.join(staging_dir("mediaprobe", SF_ANCHOR), f"pgm{n_imgs}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        def gen(it):
+            import pandas as pd
+
+            for pdf in it:
+                rows = [
+                    (
+                        int(mid),
+                        M.pgm_bytes(M.synth_gray_np(int(mid), 128, 128)),
+                        "image/x-portable-graymap",
+                    )
+                    for mid in pdf["id"]
+                ]
+                yield pd.DataFrame(rows, columns=["media_id", "content", "mime"])
+
+        (
+            spark.range(n_imgs)
+            .repartition(32)
+            .mapInPandas(gen, "media_id bigint, content binary, mime string")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "media.parquet"))
+        )
+        open(marker, "w").close()
+    return os.path.join(out, "media.parquet")
+
+
+def build_frv(spark, n_vids: int) -> str:
+    """n_vids FRV1 frame containers (12 frames of 64x32 PGM each,
+    ~25 KB/video): the REAL frame-sampling byte path's input."""
+    out = os.path.join(staging_dir("mediaprobe", SF_ANCHOR), f"frv{n_vids}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        def gen(it):
+            import numpy as np
+            import pandas as pd
+
+            r = np.arange(32, dtype=np.int64)[:, None]
+            c = np.arange(64, dtype=np.int64)[None, :]
+            for pdf in it:
+                rows = []
+                for mid in pdf["id"]:
+                    m = int(mid)
+                    frames = [
+                        M.pgm_bytes(
+                            ((r * 31 + c * 7 + m * 13 + f * 17) % 251).astype("uint8")
+                        )
+                        for f in range(12)
+                    ]
+                    rows.append((m, V.frv_bytes(frames), "video/x-frv"))
+                yield pd.DataFrame(rows, columns=["media_id", "content", "mime"])
+
+        (
+            spark.range(n_vids)
+            .repartition(32)
+            .mapInPandas(gen, "media_id bigint, content binary, mime string")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "media.parquet"))
+        )
+        open(marker, "w").close()
+    return os.path.join(out, "media.parquet")
+
+
 def payload_mb(spark, path: str) -> float:
     b = spark.read.parquet(path).agg(F.sum(F.length("content"))).collect()[0][0]
     return round((b or 0) / 1e6, 1)
@@ -133,6 +200,8 @@ def main() -> None:
 
     audio = {s: build_audio(spark, BASE_CLIPS * s) for s in scales}
     mp4 = {s: build_mp4(spark, BASE_CLIPS * s) for s in scales}
+    pgm = {s: build_pgm(spark, BASE_CLIPS * s) for s in scales}
+    frv = {s: build_frv(spark, BASE_CLIPS * s) for s in scales}
     mb = {s: payload_mb(spark, audio[s]) for s in scales}
 
     #: (label, corpus dict, stage runner returning a materializable DF)
@@ -164,6 +233,16 @@ def main() -> None:
             mp4,
             lambda df: V.video_metadata(df),
         ),
+        (
+            "resize_pool 4x (PGM parse+pool+encode)",
+            pgm,
+            lambda df: M.resize_pool(df, factor=4),
+        ),
+        (
+            "frame_sample /4 (FRV walk + slice)",
+            frv,
+            lambda df: V.frame_sample(df, every_n=4),
+        ),
     ]
 
     lines = [
@@ -183,6 +262,8 @@ def main() -> None:
         ts = {}
         for s in scales:
             df = spark.read.parquet(corpus[s])
+            run(df).count()  # untimed warm pass: page cache + Arrow
+            release_all()    # worker spin-up are not the stage's cost
             ts[s] = best_of(lambda d=df: run(d).count())
         smax = scales[-1]
         vol = mb[smax] if corpus is audio else None
