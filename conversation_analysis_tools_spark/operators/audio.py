@@ -211,3 +211,53 @@ def silence_trim_plan(
         F.max("win_idx").alias("last_active"),
         F.count("*").alias("active_windows"),
     )
+
+
+def energy_fingerprint(
+    media: DataFrame,
+    window_ms: int = 25,
+    quant: int = 1,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Decode-grain audio fingerprint: md5 over the ordered sequence
+    of (window index, energy // quant) pairs from ``energy_windows``.
+    Two files fingerprint equal iff their DECODED PCM features match
+    -- byte-different containers with identical audio (an extra LIST
+    chunk, re-muxed metadata: the mirror/re-upload case) collide
+    here while md5-of-file dedup misses them. ``quant`` coarsens
+    energies for near-dup tolerance (1 = exact).
+
+    Plan: the Arrow feature stage, then ONE map-combined groupBy on
+    the media id -- fingerprint rows are (id, 32-hex) KB-scale, and
+    the digest is md5 over a canonical string, so external engines
+    reproduce it exactly (the cross-engine hash discipline every
+    MinHash path here uses)."""
+    feats = energy_windows(media, window_ms, id_col, content_col)
+    return (
+        feats.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("win_idx", "energy"))).alias("_w"))
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform(F.col("_w"), lambda x: F.concat_ws(
+                        ":",
+                        x["win_idx"].cast("string"),
+                        F.floor(x["energy"] / F.lit(quant)).cast("bigint").cast("string"),
+                    ))
+                ).cast("binary")
+            ).alias("fp"),
+        )
+    )
+
+
+def fingerprint_dup_pairs(
+    fps: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """(id1, id2) pairs sharing a fingerprint: equi-join on the
+    digest, id1 < id2 -- bucket sizes are dup-cluster sizes, never
+    corpus-scale."""
+    a = fps.select(F.col(id_col).alias("id1"), "fp")
+    b = fps.select(F.col(id_col).alias("id2"), "fp")
+    return a.join(b, "fp").where(F.col("id1") < F.col("id2")).select("id1", "id2")

@@ -647,3 +647,88 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "media_id bigint, frame_idx int, pixel_sum bigint, pos_checksum bigint",
     )
+
+
+#: Audio-dedup corpus: (media_id, signal_id, sample_rate, n_samples).
+#: Media 4 carries media 1's SIGNAL in a byte-DIFFERENT container (an
+#: extra LIST chunk before data): file-hash dedup misses it, the
+#: decoded-feature fingerprint catches it. Media 3 is the same signal
+#: truncated (different window count -> different fingerprint);
+#: media 6 repeats signal 2 byte-identically.
+_AFP_CORPUS = [
+    (1, 1, 8000, 1600),
+    (2, 2, 8000, 1600),
+    (3, 1, 8000, 1200),
+    (4, 1, 8000, 1600),  # LIST-chunk container variant of media 1
+    (5, 5, 16000, 2400),
+    (6, 2, 8000, 1600),
+]
+
+
+def _afp_media(spark: SparkSession) -> DataFrame:
+    import struct as _struct
+
+    from conversation_analysis_tools_spark.operators import audio as A
+
+    rows = []
+    for mid, sig, sr, n in _AFP_CORPUS:
+        wav = A.wav_bytes(A.synth_pcm16(sig, n), sample_rate=sr)
+        if mid == 4:
+            # splice an INFO LIST chunk between fmt and data and fix
+            # the RIFF size field -- decoded PCM identical, bytes not
+            extra = _struct.pack("<4sI4s", b"LIST", 10, b"INFO") + b"remux!"
+            wav = wav[:36] + extra + wav[36:]
+            wav = wav[:4] + _struct.pack("<I", len(wav) - 8) + wav[8:]
+        rows.append((mid, wav, "audio/wav"))
+    return spark.createDataFrame(rows, "media_id bigint, content binary, mime string")
+
+
+@register(
+    "audio_dedup_fingerprint",
+    oracle="""
+    WITH params(media_id, sig, sr, n) AS (
+        SELECT * FROM (VALUES (1, 1, 8000, 1600), (2, 2, 8000, 1600),
+                              (3, 1, 8000, 1200), (4, 1, 8000, 1600),
+                              (5, 5, 16000, 2400), (6, 2, 8000, 1600)) v
+    ),
+    idx AS (
+        SELECT media_id, sig, sr * 25 // 1000 AS win, n,
+               unnest(generate_series(0, n - 1)) AS k
+        FROM params
+    ),
+    energies AS (
+        SELECT media_id, k // win AS win_idx,
+               SUM((((k*k*31 + k*7 + sig*13) % 65521) - 32760)
+                 * (((k*k*31 + k*7 + sig*13) % 65521) - 32760)) AS energy
+        FROM idx WHERE k < (n // win) * win
+        GROUP BY media_id, k // win
+    ),
+    fps AS (
+        SELECT media_id,
+               md5(string_agg(win_idx || ':' || energy, ',' ORDER BY win_idx))
+                   AS fp
+        FROM energies GROUP BY media_id
+    )
+    SELECT CAST(a.media_id AS BIGINT) AS id1, CAST(b.media_id AS BIGINT) AS id2
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.media_id < b.media_id
+    """,
+)
+def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup at the DECODED-FEATURE grain: audio fingerprints are md5
+    over each clip's ordered window-energy sequence
+    (operators/audio.energy_fingerprint), pairs share a fingerprint.
+    The planted case is the one file-hash dedup cannot catch: media 4
+    is media 1's exact audio re-muxed with an extra LIST chunk --
+    byte-different container, identical PCM, so (1,4) pairs here and
+    would NOT pair under md5(content). The truncated clip (media 3,
+    same signal, fewer windows) correctly does NOT pair. Computed
+    oracle: DuckDB re-derives every window energy from the integer
+    recurrence and rebuilds the same canonical-string md5, while
+    Spark goes through the actual spliced container bytes -- proving
+    chunk-walk robustness AND the fingerprint discipline end-to-end.
+    Plan: one Arrow feature stage, one map-combined groupBy, one
+    KB-row digest equi-join. sf_dir unused (fixed corpus)."""
+    from conversation_analysis_tools_spark.operators import audio as A
+
+    fps = A.energy_fingerprint(_afp_media(spark), window_ms=25, quant=1)
+    return A.fingerprint_dup_pairs(fps)

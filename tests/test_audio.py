@@ -275,3 +275,32 @@ def test_frame_sample_stride_and_bytes(spark):
         for r in V.frame_sample(media, every_n=2).collect()
     }
     assert got == {0: frames[0], 2: frames[2], 4: frames[4], 6: frames[6]}
+
+
+def test_energy_fingerprint_container_invariant(spark):
+    # same PCM in a byte-different container (extra LIST chunk) must
+    # fingerprint equal; a truncated clip of the same signal must not
+    import struct
+
+    from conversation_analysis_tools_spark.operators import audio as A
+
+    base = A.wav_bytes(A.synth_pcm16(1, 1600))
+    extra = struct.pack("<4sI4s", b"LIST", 10, b"INFO") + b"remux!"
+    remux = base[:36] + extra + base[36:]
+    remux = remux[:4] + struct.pack("<I", len(remux) - 8) + remux[8:]
+    assert remux != base
+    media = spark.createDataFrame(
+        [
+            (1, base, "audio/wav"),
+            (2, remux, "audio/wav"),
+            (3, A.wav_bytes(A.synth_pcm16(1, 1200)), "audio/wav"),
+        ],
+        "media_id bigint, content binary, mime string",
+    )
+    fps = {r["media_id"]: r["fp"] for r in A.energy_fingerprint(media).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    pairs = {(r["id1"], r["id2"]) for r in A.fingerprint_dup_pairs(
+        A.energy_fingerprint(media)
+    ).collect()}
+    assert pairs == {(1, 2)}
