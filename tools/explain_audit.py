@@ -121,6 +121,12 @@ AUDIT = [
     # the manifest scan
     "skyline_parts",
     "audio_manifest_metadata",
+    # round-6 media additions: resize + frame sample are map-only
+    # Arrow stages; the audio fingerprint is one feature stage + one
+    # map-combined groupBy + a KB-row digest self-join
+    "image_resize_pool",
+    "video_frame_sample",
+    "audio_dedup_fingerprint",
 ]
 
 

@@ -77,6 +77,9 @@ CENSUS = [
     # the lag-dedup (still exactly one candidate exchange)
     "skyline_parts",
     "audio_manifest_metadata",
+    "image_resize_pool",
+    "video_frame_sample",
+    "audio_dedup_fingerprint",
 ]
 
 
