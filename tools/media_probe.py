@@ -203,6 +203,15 @@ def main() -> None:
     pgm = {s: build_pgm(spark, BASE_CLIPS * s) for s in scales}
     frv = {s: build_frv(spark, BASE_CLIPS * s) for s in scales}
     mb = {s: payload_mb(spark, audio[s]) for s in scales}
+    # per-corpus payload at max scale, so every stage row gets a real
+    # MB/s (resize reads PGM bytes, frame-sample FRV bytes, ...)
+    smax0 = scales[-1]
+    corpus_mb = {
+        id(audio): mb[smax0],
+        id(mp4): payload_mb(spark, mp4[smax0]),
+        id(pgm): payload_mb(spark, pgm[smax0]),
+        id(frv): payload_mb(spark, frv[smax0]),
+    }
 
     #: (label, corpus dict, stage runner returning a materializable DF)
     stages = [
@@ -250,8 +259,10 @@ def main() -> None:
         f"Synthetic corpora: {BASE_CLIPS}/{BASE_CLIPS*10}"
         + ("" if skip_100x else f"/{BASE_CLIPS*100}")
         + f" WAV clips (~2-2.7 s PCM16 @ 8 kHz; {'/'.join(str(mb[s]) for s in scales)} MB"
-        " payload) and equal-count ~100 B MP4 stubs. Wall seconds"
-        " best-of-3, local[32]; MB/s = payload bytes / wall.",
+        " payload), equal-count ~100 B MP4 stubs, 128x128 PGM rasters"
+        " and 12-frame FRV containers. Wall seconds best-of-3 after an"
+        " untimed warm pass, local[32]; MB/s = that corpus's payload"
+        " bytes / wall at max scale.",
         "",
         "| stage | " + " | ".join(f"{s}x" for s in scales)
         + " | 10x growth | " + ("100x growth | " if not skip_100x else "")
@@ -266,7 +277,7 @@ def main() -> None:
             release_all()    # worker spin-up are not the stage's cost
             ts[s] = best_of(lambda d=df: run(d).count())
         smax = scales[-1]
-        vol = mb[smax] if corpus is audio else None
+        vol = corpus_mb[id(corpus)]
         row = (
             f"| {label} | "
             + " | ".join(f"{ts[s]} s" for s in scales)
