@@ -69,9 +69,14 @@ def pack_media(
         for f in media.schema
         if f.name != content_col
     )
-    out_schema = f"{meta_schema}, path string, offset bigint, length bigint"
+    out_schema = (
+        f"{meta_schema}, path string, offset bigint, length bigint,"
+        " payload_md5 string"
+    )
 
     def write_pack(it):
+        import hashlib
+
         import pandas as pd
         from pyspark import TaskContext
 
@@ -87,13 +92,18 @@ def pack_media(
                 for i in range(len(pdf)):
                     b = bytes(contents.iloc[i])
                     fh.write(b)
+                    # end-to-end integrity: the digest travels in the
+                    # manifest so ANY later read can prove the span
+                    # (object-store bit rot, torn writes, bad offsets)
                     rows.append(
-                        tuple(metas.iloc[i]) + (path, off, len(b))
+                        tuple(metas.iloc[i])
+                        + (path, off, len(b), hashlib.md5(b).hexdigest())
                     )
                     off += len(b)
         os.replace(tmp, path)  # atomic publish, safe under re-run
         yield pd.DataFrame(
-            rows, columns=meta_cols + ["path", "offset", "length"]
+            rows,
+            columns=meta_cols + ["path", "offset", "length", "payload_md5"],
         )
 
     manifest_path = os.path.join(out_dir, "manifest.parquet")
@@ -108,7 +118,10 @@ def pack_media(
 
 
 def read_media(
-    manifest: DataFrame, id_col: str = "media_id", content_col: str = "content"
+    manifest: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    verify: str = "length",
 ) -> DataFrame:
     """Materialize payload bytes from a packed manifest: one map-only
     Arrow stage that sorts its batch by (path, offset), opens each
@@ -117,8 +130,21 @@ def read_media(
     byte cost of this stage is the sum of the surviving rows'
     lengths, never the packfile sizes. At object-store scale the
     seek+read pair becomes a ranged GET; nothing else changes.
-    """
-    meta_cols = [c for c in manifest.columns if c not in ("path", "offset", "length")]
+
+    Integrity is LOUD, never silent: ``verify='length'`` (default)
+    raises when a span comes back short -- a truncated/torn packfile
+    must fail the job, not flow downstream as a silently-short
+    payload the parsers would quietly drop. ``verify='digest'``
+    additionally re-hashes every payload against the manifest's
+    ``payload_md5`` (bit-rot / wrong-offset detection; costs one md5
+    per payload, opt in for audits or untrusted storage).
+    ``verify=None`` disables both (salvage reads of known-torn
+    packs)."""
+    skip = ("path", "offset", "length", "payload_md5")
+    meta_cols = [c for c in manifest.columns if c not in skip]
+    has_md5 = "payload_md5" in manifest.columns
+    if verify == "digest" and not has_md5:
+        raise ValueError("verify='digest' needs a payload_md5 manifest column")
     meta_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in manifest.schema
@@ -127,23 +153,38 @@ def read_media(
     out_schema = f"{meta_schema}, {content_col} binary"
 
     def fetch(it):
+        import hashlib
+
         import pandas as pd
 
         for pdf in it:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(["path", "offset"], kind="mergesort")
+            md5s = pdf["payload_md5"] if has_md5 else None
             blobs: list[bytes] = []
             cur_path, fh = None, None
             try:
-                for path, off, ln in zip(pdf["path"], pdf["offset"], pdf["length"]):
+                for i, (path, off, ln) in enumerate(
+                    zip(pdf["path"], pdf["offset"], pdf["length"])
+                ):
                     if path != cur_path:
                         if fh is not None:
                             fh.close()
                         fh = open(path, "rb")
                         cur_path = path
                     fh.seek(int(off))
-                    blobs.append(fh.read(int(ln)))
+                    b = fh.read(int(ln))
+                    if verify and len(b) != int(ln):
+                        raise IOError(
+                            f"torn packfile {path}: span at offset {off} "
+                            f"returned {len(b)} of {ln} bytes"
+                        )
+                    if verify == "digest" and hashlib.md5(b).hexdigest() != md5s.iloc[i]:
+                        raise IOError(
+                            f"payload digest mismatch in {path} at offset {off}"
+                        )
+                    blobs.append(b)
             finally:
                 if fh is not None:
                     fh.close()

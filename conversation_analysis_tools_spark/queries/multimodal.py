@@ -384,7 +384,7 @@ def audio_manifest_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conversation_analysis_tools_spark.operators import manifest as MF
 
     man = MF.pack_and_manifest(
-        spark, _audio_media(spark), "audiopack", sf_dir, n_packs=2
+        spark, _audio_media(spark), "audiopack2", sf_dir, n_packs=2
     )
     return A.audio_metadata(MF.read_media(man))
 
@@ -455,12 +455,13 @@ def streaming_audio_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # same memoized packfiles as audio_manifest_metadata
     man = MF.pack_and_manifest(
-        spark, _audio_media(spark), "audiopack", sf_dir, n_packs=2
+        spark, _audio_media(spark), "audiopack2", sf_dir, n_packs=2
     )
     man_dir = os.path.dirname(man.inputFiles()[0])
     s2 = scoped_session(spark, 8)
     src = s2.readStream.schema(
-        "media_id bigint, mime string, path string, offset bigint, length bigint"
+        "media_id bigint, mime string, path string, offset bigint,"
+        " length bigint, payload_md5 string"
     ).parquet(man_dir)
     feats = A.energy_windows(MF.read_media(src), window_ms=25)
     agg = feats.groupBy("media_id").agg(

@@ -71,3 +71,53 @@ def test_pack_rerun_is_stable(spark, tmp_path):
     back = MF.read_media(man2).collect()
     want = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
     assert {r["media_id"]: bytes(r["content"]) for r in back} == want
+
+
+def test_read_media_raises_on_torn_packfile(spark, tmp_path):
+    # a truncated packfile must fail LOUDLY, not flow downstream as a
+    # silently-short payload
+    media = _media(spark, n=6)
+    out = str(tmp_path / "packs")
+    man = MF.pack_media(media, out, n_packs=1)
+    # tear the pack: drop the last 5 bytes
+    path = man.select("path").first()["path"]
+    blob = open(path, "rb").read()
+    open(path, "wb").write(blob[:-5])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="torn packfile"):
+        MF.read_media(man).collect()
+    # salvage mode reads what it can without raising
+    got = MF.read_media(man, verify=None).collect()
+    assert len(got) == 6
+
+
+def test_read_media_digest_verify_catches_corruption(spark, tmp_path):
+    media = _media(spark, n=6)
+    out = str(tmp_path / "packs")
+    man = MF.pack_media(media, out, n_packs=1)
+    path = man.select("path").first()["path"]
+    blob = bytearray(open(path, "rb").read())
+    if not blob:  # all-empty payload corner: nothing to corrupt
+        return
+    blob[len(blob) // 2] ^= 0xFF  # flip one byte mid-pack
+    open(path, "wb").write(bytes(blob))
+    import pytest as _pytest
+
+    # length verify passes (spans intact), digest verify must not
+    MF.read_media(man, verify="length").collect()
+    with _pytest.raises(Exception, match="digest mismatch"):
+        MF.read_media(man, verify="digest").collect()
+
+
+def test_manifest_digest_matches_payload(spark, tmp_path):
+    import hashlib
+
+    media = _media(spark, n=10)
+    man = MF.pack_media(media, str(tmp_path / "packs"), n_packs=2)
+    want = {
+        r["media_id"]: hashlib.md5(bytes(r["content"])).hexdigest()
+        for r in media.collect()
+    }
+    for r in man.collect():
+        assert r["payload_md5"] == want[r["media_id"]]
