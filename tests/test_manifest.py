@@ -121,3 +121,39 @@ def test_manifest_digest_matches_payload(spark, tmp_path):
     }
     for r in man.collect():
         assert r["payload_md5"] == want[r["media_id"]]
+
+
+def test_pack_read_roundtrip_property(spark):
+    # adversarial payload-list sweep (one Spark job per case): any
+    # payload list, bit-exact digest-verified recovery. Cases target
+    # the layout's edge arithmetic: empties between payloads (0-length
+    # spans), repeated identical blobs (same digest, distinct spans),
+    # every byte value, null-byte runs, single-byte packs.
+    import random
+    import tempfile
+
+    rng = random.Random(21)
+    cases = [
+        [],
+        [b""],
+        [b"", b"x", b"", b"yz", b""],
+        [b"\x00" * 150] * 5,
+        [bytes(range(256))],
+        [bytes([rng.randrange(256)]) for _ in range(12)],
+        [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+         for _ in range(9)],
+    ]
+    for blobs in cases:
+        rows = [(i, b, "x") for i, b in enumerate(blobs)]
+        media = spark.createDataFrame(
+            rows, "media_id bigint, content binary, mime string"
+        ) if rows else spark.createDataFrame(
+            [], "media_id bigint, content binary, mime string"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            man = MF.pack_media(media, d, n_packs=3)
+            got = {
+                r["media_id"]: bytes(r["content"])
+                for r in MF.read_media(man, verify="digest").collect()
+            }
+        assert got == {i: b for i, b in enumerate(blobs)}
