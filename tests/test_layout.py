@@ -177,3 +177,34 @@ def test_ivf_list_layout_prunes_partitions(spark, tmp_path):
         F.col("centroid_id").isin([0, 3])
     ).count()
     assert probe.count() == expected
+
+
+def test_ivf_list_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    # when the probe set is a runtime relation (not a literal IN),
+    # Spark's dynamic partition pruning must still prune the
+    # centroid-partitioned list scan via the join -- the mechanism a
+    # 100-TB IVF fact scan relies on when probe sets come from a query
+    import io
+    from contextlib import redirect_stdout
+
+    from conversation_analysis_tools_spark.operators import ann as A
+
+    emb = table(spark, "embeddings", SF_DIR)
+    cents = A.kmeans_centroids(emb, n_centroids=8)
+    out = str(tmp_path / "ivf_dpp")
+    A.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(out)
+    part = spark.read.parquet(out)
+    probes = emb.where(F.col("vec_id") < 2).select(
+        F.explode(F.array(F.lit(0), F.lit(3))).alias("centroid_id")
+    ).distinct()
+    joined = part.join(probes, "centroid_id")
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain(True)
+    assert "dynamicpruning" in buf.getvalue().lower()
+    # and the join result matches the statically filtered scan
+    want = part.where(F.col("centroid_id").isin([0, 3])).count()
+    assert joined.count() == want
