@@ -268,20 +268,54 @@ def _pil_pixels(content: bytes, rows: int, cols: int):
         raise ValueError(f"undecodable image payload ({exc})") from exc
 
 
+def pgm_pixels(content: bytes, rows: int, cols: int):
+    """REAL pixel grid from a binary PGM payload, block-mean pooled to
+    (rows, cols) -- the library-free decode+resize path (pure byte
+    math, same family as parse_wav). Ragged block boundaries follow
+    the standard index map r -> r*rows//h, so ANY raster size pools to
+    the target grid with integer-exact cell means (sum // count), and
+    an external engine can re-derive every cell. Returns None when the
+    payload is not a parseable PGM at least (rows, cols) large."""
+    import numpy as np
+
+    parsed = parse_pgm(content)
+    if parsed is None:
+        return None
+    w, h, a = parsed
+    if h < rows or w < cols:
+        return None
+    a = a.astype(np.int64)
+    ri = np.arange(h) * rows // h
+    ci = np.arange(w) * cols // w
+    sums = np.zeros((rows, cols), dtype=np.int64)
+    counts = np.zeros((rows, cols), dtype=np.int64)
+    np.add.at(sums, (ri[:, None], ci[None, :]), a)
+    np.add.at(counts, (ri[:, None], ci[None, :]), 1)
+    return sums // counts
+
+
 def dhash60(content: bytes, fake: bool = False) -> int:
     """60-bit difference hash: bit = pixel[r,c] < pixel[r,c+1] over
     the 6x11 grid (row-major).
 
-    ``fake=True`` ALWAYS uses the deterministic double (never PIL):
-    the two modes must not mix, or an undecodable payload in a real
-    corpus would silently fall back to a hash of its first 12 bytes
-    -- and corrupt files sharing a format header (every JFIF starts
-    with the same 12 bytes) would collide as hamming-0 "duplicates".
-    ``fake=False`` requires PIL (NotImplementedError otherwise) and
-    surfaces undecodable payloads as ValueError naming the payload
-    problem, not a missing library."""
+    ``fake=True`` ALWAYS uses the deterministic double (never real
+    decode): the two modes must not mix, or an undecodable payload in
+    a real corpus would silently fall back to a hash of its first 12
+    bytes -- and corrupt files sharing a format header (every JFIF
+    starts with the same 12 bytes) would collide as hamming-0
+    "duplicates". ``fake=False`` decodes REAL pixels: binary PGM
+    payloads go through the library-free ``pgm_pixels`` path
+    (parse -> integer block-mean pool to the hash grid -- decode AND
+    resize with no imaging library); everything else needs PIL
+    (NotImplementedError otherwise) and surfaces undecodable payloads
+    as ValueError naming the payload problem, not a missing
+    library."""
     if fake:
         grid = fake_pixels(content)
+    elif content[:2] == b"P5":
+        grid = pgm_pixels(content, DHASH_ROWS, DHASH_COLS)
+        if grid is None:
+            raise ValueError("undecodable or undersized PGM payload")
     else:
         try:
             grid = _pil_pixels(content, DHASH_ROWS, DHASH_COLS)

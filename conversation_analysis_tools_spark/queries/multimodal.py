@@ -733,3 +733,53 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fps = A.energy_fingerprint(_afp_media(spark), window_ms=25, quant=1)
     return A.fingerprint_dup_pairs(fps)
+
+
+@register(
+    "image_pgm_dhash_dedup",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(id1, id2, hamming)
+    """,
+)
+def image_pgm_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup over REAL pixels, no imaging library:
+    binary PGM payloads decode through the pure-byte pgm_pixels path
+    (parse -> integer block-mean pool to the 6x11 dhash grid -- decode
+    AND resize with zero codec deps), then the standard dHash ->
+    15-bit-block pigeonhole candidates -> exact hamming verify.
+
+    The fixed corpus is authored AT the hash grid (6x11 rasters, so
+    pooling is the identity and every bit is hand-derivable): images
+    1/2 are byte-identical monotone gradients (every difference bit
+    set -> hamming 0); image 3 bumps exactly ONE pixel past its right
+    neighbor, flipping exactly ONE comparison (hamming 1 -- the edit
+    tolerance a perceptual hash exists for); image 4 reverses the
+    gradient (hamming 60) and image 5 alternates columns (hamming 30)
+    -- both must NOT pair at max_hamming=3. The literal oracle is
+    therefore fully hand-derived from the dHash definition, not
+    pinned from a run. Upgrades image dedup to the same
+    real-byte-path standard as the audio/video/raster families.
+    sf_dir unused (fixed corpus)."""
+    import numpy as np
+
+    grad = np.array(
+        [[(i * 20 + j * 10) for j in range(11)] for i in range(6)], dtype="uint8"
+    )
+    bumped = grad.copy()
+    bumped[0, 0] = 255  # 255 > grad[0,1]=10: flips comparison (0,0)<(0,1)
+    rows = [
+        (1, M.pgm_bytes(grad)),
+        (2, M.pgm_bytes(grad)),
+        (3, M.pgm_bytes(bumped)),
+        (4, M.pgm_bytes(200 - grad)),
+        (5, M.pgm_bytes(np.tile(np.array([[0, 255]], dtype="uint8"), (6, 6))[:, :11])),
+    ]
+    media = spark.createDataFrame(
+        [(i, c, "image/x-portable-graymap") for i, c in rows],
+        "media_id bigint, content binary, mime string",
+    )
+    return M.image_neardup_pairs(media, max_hamming=3, fake=False)

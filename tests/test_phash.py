@@ -105,3 +105,42 @@ def test_resize_pool_composes_with_dhash(spark):
     thumbs = M.resize_pool(media, factor=2).select("media_id", "content")
     hashed = M.phash_column(thumbs.withColumn("mime", F.lit("x")), fake=True)
     assert hashed.count() == 1
+
+
+def test_pgm_pixels_ragged_pooling_matches_reference():
+    import numpy as np
+
+    from conversation_analysis_tools_spark.operators import multimodal as M
+
+    g = M.synth_gray_np(5, 37, 23)  # deliberately not divisible by 6/11
+    got = M.pgm_pixels(M.pgm_bytes(g), 6, 11)
+    a = g.astype(np.int64)
+    want = np.zeros((6, 11), dtype=np.int64)
+    cnt = np.zeros((6, 11), dtype=np.int64)
+    for r in range(23):
+        for c in range(37):
+            want[r * 6 // 23, c * 11 // 37] += a[r, c]
+            cnt[r * 6 // 23, c * 11 // 37] += 1
+    assert (got == want // cnt).all()
+
+
+def test_dhash_real_pgm_path_is_perceptually_stable():
+    # a smooth gradient survives a 4x downscale with a near-identical
+    # hash: the property a perceptual hash exists for, now exercised
+    # over REAL pixels with no imaging library
+    import numpy as np
+
+    from conversation_analysis_tools_spark.operators import multimodal as M
+
+    grad = np.add.outer(np.arange(48) * 2, np.arange(88)).astype("uint8")
+    h_full = M.dhash60(M.pgm_bytes(grad))
+    small = (
+        grad.astype("int64").reshape(12, 4, 22, 4).sum((1, 3)) // 16
+    ).astype("uint8")
+    h_small = M.dhash60(M.pgm_bytes(small))
+    assert bin(h_full ^ h_small).count("1") <= 3
+    # undersized PGM: loud ValueError, not a junk hash
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.dhash60(M.pgm_bytes(grad[:3, :5]))
