@@ -91,6 +91,11 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_edit_distance",
     "near_dup_canonicalize",
+    # round-6: the two-phase skyline over the sf-scaled part table
+    # (the only new query whose corpus grows with sf; the media /
+    # frontier certificates run fixed corpora and belong to the
+    # probe tools, not the sf-scaled headline)
+    "skyline_parts",
 ]
 
 
