@@ -219,12 +219,25 @@ def skyline(
     the survivors decides the global phase: one exact task under
     ``global_cap``, the quantile-grid fallback (no task receives ~n
     rows) above it. ``repartition(1)`` (not coalesce) forces the
-    stage boundary so the local phase keeps its full parallelism."""
+    stage boundary so the local phase keeps its full parallelism.
+
+    The grid is SIZED BY THE PROBE, not fixed: ``stripes`` is a
+    floor, and above it the stripe count grows as ceil(2 * survivors
+    / global_cap), keeping every stripe near global_cap/2 rows no
+    matter how large the pathological frontier gets -- a 100x bigger
+    anti-correlated corpus gets 100x more (bounded) pair tasks, never
+    100x bigger tasks. The R^2/2 task-count growth is the inherent
+    price of a quadratic-output regime; what must never grow is the
+    per-task input."""
+    import math
+
     from conversation_analysis_tools_spark.operators.cache import track
 
     local = track(df.mapInPandas(_pareto_filter(cols), df.schema))
-    if local.count() <= global_cap:
+    n_surv = local.count()
+    if n_surv <= global_cap:
         return local.repartition(1).mapInPandas(
             _pareto_filter(cols, exact=True), df.schema
         )
+    stripes = max(stripes, math.ceil(2 * n_surv / global_cap))
     return _grid_skyline(local, cols, stripes)

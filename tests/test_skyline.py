@@ -145,3 +145,20 @@ def test_skyline_three_dimensions_known_frontier(spark):
     df = spark.createDataFrame(rows, "id long, x double, y double, z double")
     got = sorted(r["id"] for r in skyline(df, ["x", "y", "z"]).collect())
     assert got == [1, 3, 4, 5]
+
+
+def test_fallback_stripes_scale_with_survivors(spark):
+    # per-task input must stay bounded near global_cap/2 however big
+    # the pathological frontier gets: a tiny cap on an anti-correlated
+    # corpus must yield many small stripes, and the result must still
+    # be the full frontier
+    from pyspark.sql import functions as F
+
+    from conversation_analysis_tools_spark.operators.skyline import skyline
+
+    n = 4000
+    df = spark.createDataFrame(
+        [(float(i), float(n - i)) for i in range(n)], "x double, y double"
+    )
+    out = skyline(df, ["x", "y"], global_cap=200, stripes=4)
+    assert out.count() == n  # every row Pareto-optimal, none dropped
