@@ -154,9 +154,16 @@ def _grid_skyline(local: DataFrame, cols: list[str], stripes: int) -> DataFrame:
         return local.repartition(1).mapInPandas(
             _pareto_filter(cols, exact=True), local.schema
         )
-    # monotone stripe assignment: q.dim0 <= p.dim0 => stripe(q) <= stripe(p)
-    stripe = sum(
-        (F.col(dim0) > F.lit(b)).cast("int") for b in bounds
+    # monotone stripe assignment: q.dim0 <= p.dim0 => stripe(q) <=
+    # stripe(p). One array literal + filter-size, not a sum of
+    # per-bound comparisons: the bounds list scales with the dynamic
+    # stripe count, and a 1000-term boolean sum would blow up the
+    # expression tree where a single linear array scan stays flat.
+    stripe = F.size(
+        F.filter(
+            F.array(*[F.lit(float(b)) for b in bounds]),
+            lambda b: F.col(dim0) > b,
+        )
     )
     nstripes = len(bounds) + 1
     data_cols = local.columns
@@ -239,5 +246,9 @@ def skyline(
         return local.repartition(1).mapInPandas(
             _pareto_filter(cols, exact=True), df.schema
         )
-    stripes = max(stripes, math.ceil(2 * n_surv / global_cap))
+    # clamp: past ~1024 stripes the quantile list and stripe-assign
+    # expression stop being free; a stripe only exceeds global_cap/2
+    # input again at >512*cap survivors (~10^8 rows of pure frontier
+    # at the default cap), where raising global_cap is the right knob
+    stripes = min(1024, max(stripes, math.ceil(2 * n_surv / global_cap)))
     return _grid_skyline(local, cols, stripes)
