@@ -71,6 +71,32 @@ def with_buckets(
     return emb.withColumn("bucket", hyperplane_bucket_expr(vec_col, dim, n_planes))
 
 
+def _ranked_topk(
+    sims, k: int, id_col: str, query_id_col: str, dedup: bool = False
+):
+    """The top-k window tail every ANN search shares: one exchange on
+    the query id, a (sim desc, id asc) sort, then row_number <= k.
+
+    ``dedup=True`` removes replica candidates INSIDE the same window
+    sort (soft-assigned IVF lists, multi-table/multiprobe LSH): the
+    duplicate (query, vec) rows are value-identical -- same vectors,
+    same rounded sim -- so they sort adjacent and a lag(id) != id
+    filter drops replica runs with no extra exchange, where a
+    pair-grain distinct would re-shuffle the candidate frame (the big
+    frame at scale). The row_number after the filter reuses the same
+    exchange and sort."""
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    if dedup:
+        sims = sims.withColumn("_prev", F.lag(id_col).over(w)).where(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col(id_col))
+        )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "sim", "rnk")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -116,12 +142,7 @@ def brute_force_topk(
         id_col,
         F.round(cos, 6).alias("sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select(query_id_col, id_col, "sim", "rnk")
-    )
+    return _ranked_topk(sims, k, id_col, query_id_col)
 
 
 def lsh_topk(
@@ -188,20 +209,7 @@ def lsh_topk(
     sims = cands.select(
         query_id_col, id_col, F.round(cosine_expr(vec_col, "_qv"), 6).alias("sim")
     )
-    # multi-table/multiprobe dedup rides the top-k window's own sort
-    # (duplicate (query, vec) rows are value-identical, so they sort
-    # adjacent under (sim desc, id asc) and a lag(id) != id filter
-    # removes replica runs) -- a pair-grain distinct here would cost a
-    # SECOND exchange of the candidate frame, the big frame at scale.
-    # Same shape as ivf_topk's replica-dedup.
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        sims.withColumn("_prev", F.lag(id_col).over(w))
-        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col(id_col)))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select(query_id_col, id_col, "sim", "rnk")
-    )
+    return _ranked_topk(sims, k, id_col, query_id_col, dedup=True)
 
 
 # ---------------------------------------------------------------------------
@@ -324,25 +332,8 @@ def ivf_topk(
         id_col,
         F.round(cosine_expr(vec_col, "_qv"), 6).alias("sim"),
     )
-    # Replica-dedup inside the top-k window's OWN shuffle: under soft
-    # assignment (ivf_assign n_assign > 1) a vector reaches the same
-    # query through several probed lists, and the duplicate (query,
-    # vec) rows -- value-identical, same rounded sim -- would occupy
-    # several ranks and crowd true neighbors out of the top k. A
-    # pair-grain distinct would cost a SECOND exchange of the
-    # candidate frame (the big frame at scale); instead, duplicates
-    # sort ADJACENT under (sim desc, id asc), so a lag(id) != id
-    # filter over the same window spec removes runs of replicas with
-    # no extra exchange or sort, and the row_number after the filter
-    # reuses both.
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        sims.withColumn("_prev", F.lag(id_col).over(w))
-        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col(id_col)))
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select(query_id_col, id_col, "sim", "rnk")
-    )
+    # replica-dedup (soft assignment): see _ranked_topk
+    return _ranked_topk(sims, k, id_col, query_id_col, dedup=True)
 
 
 # ---------------------------------------------------------------------------
@@ -413,12 +404,7 @@ def int8_brute_force_topk(
     sims = pairs.select(
         query_id_col, id_col, F.round(_int_cosine(F.col("_cv"), F.col("_qv")), 6).alias("sim")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select(query_id_col, id_col, "sim", "rnk")
-    )
+    return _ranked_topk(sims, k, id_col, query_id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -567,9 +553,4 @@ def pq_topk(
             F.round(cosine_expr(vec_col, "_qv"), 6).alias("sim"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        sims.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= k)
-        .select(query_id_col, id_col, "sim", "rnk")
-    )
+    return _ranked_topk(sims, k, id_col, query_id_col)

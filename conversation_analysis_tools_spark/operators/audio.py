@@ -51,22 +51,34 @@ def synth_pcm16(media_id: int, n_samples: int) -> list[int]:
 def synth_pcm16_np(media_id: int, n_samples: int):
     """Vectorized ``synth_pcm16`` (same recurrence, same values --
     pinned by tests/test_audio.py): int64 numpy evaluation so corpus
-    builders (tools/media_probe.py) can synthesize 10^8-sample
-    corpora without a Python per-sample loop."""
+    builders (tools/media_probe.py) can synthesize huge corpora
+    without a Python per-sample loop. Arithmetic is REDUCED MOD P
+    term-by-term (k*k computed on residues), so intermediates stay
+    under ~P^2*31 ~= 1.3e14 and the recurrence never hits int64 wrap
+    -- a naive k*k*31 overflows silently past k ~= 5.4e8, which would
+    diverge from the arbitrary-precision scalar path and every
+    integer-recurrence oracle with no error raised."""
     import numpy as np
 
-    k = np.arange(n_samples, dtype=np.int64)
-    return ((k * k * 31 + k * 7 + media_id * 13) % _SIG_P) - _SIG_SHIFT
+    k = np.arange(n_samples, dtype=np.int64) % _SIG_P
+    return ((k * k % _SIG_P) * 31 + k * 7 + media_id * 13) % _SIG_P - _SIG_SHIFT
 
 
 def wav_bytes(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
     """Minimal RIFF/WAVE container around little-endian PCM16 frames
     (fmt chunk 16 bytes, PCM tag 1) -- the layout every WAV reader
     accepts. ``samples`` is any int sequence (list or numpy array)
-    within int16 range; the payload is little-endian either way."""
+    within int16 range; the payload is little-endian either way.
+    Out-of-range samples raise (the struct.pack('h') behavior this
+    replaced): np.asarray would silently WRAP 40000 to -25536 and emit
+    corrupt-but-valid WAV bytes that flow into fingerprints and
+    oracles with no error at the source."""
     import numpy as np
 
-    data = np.asarray(samples, dtype="<i2").tobytes()
+    arr = np.asarray(samples, dtype=np.int64)
+    if len(arr) and (arr.max(initial=0) > 32767 or arr.min(initial=0) < -32768):
+        raise ValueError("sample out of int16 range")
+    data = arr.astype("<i2").tobytes()
     byte_rate = sample_rate * channels * 2
     fmt = struct.pack(
         "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
@@ -234,9 +246,17 @@ def energy_fingerprint(
     reproduce it exactly (the cross-engine hash discipline every
     MinHash path here uses)."""
     feats = energy_windows(media, window_ms, id_col, content_col)
+    # quantize with LONG integer division (`div`), never float `/`:
+    # energies are exact int64s and the digest must be re-derivable by
+    # an external engine bit-for-bit -- a double division rounds
+    # before floor once energies pass 2^53 (long windows / high
+    # rates), silently breaking the cross-engine hash discipline. At
+    # the quant=1 default the energy passes through untouched.
+    qe = F.col("energy") if quant == 1 else F.expr(f"energy div {int(quant)}")
     return (
-        feats.groupBy(id_col)
-        .agg(F.sort_array(F.collect_list(F.struct("win_idx", "energy"))).alias("_w"))
+        feats.select(id_col, "win_idx", qe.cast("bigint").alias("_qe"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("win_idx", "_qe"))).alias("_w"))
         .select(
             F.col(id_col),
             F.md5(
@@ -244,7 +264,7 @@ def energy_fingerprint(
                     ",", F.transform(F.col("_w"), lambda x: F.concat_ws(
                         ":",
                         x["win_idx"].cast("string"),
-                        F.floor(x["energy"] / F.lit(quant)).cast("bigint").cast("string"),
+                        x["_qe"].cast("string"),
                     ))
                 ).cast("binary")
             ).alias("fp"),

@@ -54,10 +54,15 @@ def pack_media(
     Each output partition writes exactly one packfile in one
     sequential pass (payloads concatenated, offsets accumulated), via
     ``mapInPandas`` so payload bytes move executor-side through Arrow
-    batches -- the driver never holds a payload. The write is atomic
-    per pack (tmp file + rename) so a re-run or a speculative
-    duplicate task never leaves a torn packfile; rows hash-partition
-    by id, making the (id -> pack) assignment deterministic.
+    batches -- the driver never holds a payload. Packfiles follow the
+    task-output-committer pattern: every task ATTEMPT writes an
+    attempt-unique file (tmp + atomic rename) and its manifest rows
+    reference that attempt's OWN path, so under speculative execution
+    or retries the committed manifest rows always describe the bytes
+    their attempt actually wrote -- the losing attempt's file becomes
+    an unreferenced orphan (garbage to sweep), never silent
+    wrong-span corruption. Within-partition row order is therefore
+    free to differ between attempts without risk.
 
     Non-payload columns are carried into the manifest unchanged --
     the typed-metadata home (mime, duration, width/height, ...).
@@ -80,8 +85,13 @@ def pack_media(
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"pack-{pid:05d}.bin")
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # attempt-unique name: manifest rows must reference the file
+        # THIS attempt writes, not whichever attempt renames last
+        path = os.path.join(
+            out_dir, f"pack-{pid:05d}-a{ctx.taskAttemptId()}.bin"
+        )
         tmp = f"{path}.tmp-{os.getpid()}"
         rows: list[tuple] = []
         off = 0

@@ -422,6 +422,10 @@ def parse_pgm(content: bytes):
 
     if not content.startswith(b"P5"):
         return None
+    # the magic must be FOLLOWED by whitespace (spec); 'P5x...' is not
+    # a PGM and must fall to None, not to a shifted raster
+    if len(content) < 3 or not content[2:3].isspace():
+        return None
     # tokenize the header: three ints after the magic, skipping
     # whitespace runs ('#' comments are legal PGM; unsupported here --
     # synthetic corpora never emit them, foreign files fall to None)
@@ -438,8 +442,17 @@ def parse_pgm(content: bytes):
     if len(vals) < 3 or pos >= len(content):
         return None
     w, h, maxval = vals
-    pos += 1  # the single whitespace byte after maxval
-    if maxval != 255 or w < 1 or h < 1 or len(content) < pos + w * h:
+    # exactly ONE whitespace byte separates maxval from the raster
+    # (spec), and a conforming P5 ends right after the raster. Both
+    # checks together make a shifted parse impossible: a non-space
+    # separator rejects outright, and a '\r\n' double separator (each
+    # byte individually whitespace) leaves the file one byte LONGER
+    # than pos + w*h, failing the exact-length check below instead of
+    # silently shifting every pixel.
+    if not content[pos : pos + 1].isspace():
+        return None
+    pos += 1
+    if maxval != 255 or w < 1 or h < 1 or len(content) != pos + w * h:
         return None
     a = np.frombuffer(content[pos : pos + w * h], dtype=np.uint8).reshape(h, w)
     return w, h, a

@@ -150,9 +150,15 @@ def _grid_skyline(local: DataFrame, cols: list[str], stripes: int) -> DataFrame:
         return local
     probs = [i / stripes for i in range(1, stripes)]
     bounds = sorted(set(local.approxQuantile(dim0, probs, 0.001)))
-    if not bounds:  # quantiles all null: no usable grid, give up striping
-        return local.repartition(1).mapInPandas(
-            _pareto_filter(cols, exact=True), local.schema
+    if not bounds:
+        # unreachable: dim0 was selected with non-null min < max, so
+        # approxQuantile over a non-empty prob list returns values.
+        # Raise rather than "fall back" -- the only conceivable
+        # fallback here (one exact task) would funnel an over-cap
+        # survivor set through a single task, the exact pathology
+        # this grid exists to prevent.
+        raise AssertionError(
+            f"no quantile bounds for non-constant stripe dim {dim0!r}"
         )
     # monotone stripe assignment: q.dim0 <= p.dim0 => stripe(q) <=
     # stripe(p). One array literal + filter-size, not a sum of

@@ -283,6 +283,47 @@ def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_rows(spark, sf_dir, items, approx_of):
+    """Shared recall@5-certificate scaffold (used by ann_recall_eval
+    and all three operating-point frontiers): score each item's
+    approximate search against the exact cosine baseline and return
+    ``[(key, floor, recall_ok)]``.
+
+    Ground truth = exact top-5 (persisted ONCE across the loop --
+    without it every broadcast(exact) re-runs the brute-force scan);
+    an item scores a hit per (query, neighbor) pair it retains; all
+    joins are broadcasts of tiny top-k frames, nothing rescans the
+    corpus beyond what each method already does. ``n_truth == 0``
+    (regenerated testdata with < N_QUERIES vectors) degrades to
+    all-False rows -- a diagnosable red certificate, never a
+    ZeroDivisionError at registry execution time.
+
+    ``approx_of(key, emb, queries) -> DataFrame`` with (query_id,
+    vec_id) among its columns."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = (
+        A.brute_force_topk(emb, queries, k=5, exclude_self=True)
+        .select("query_id", "vec_id")
+        .persist()
+    )
+    try:
+        n_truth = exact.count()
+        rows = []
+        for key, floor in items:
+            if n_truth == 0:
+                rows.append((key, floor, False))
+                continue
+            approx = approx_of(key, emb, queries).select("query_id", "vec_id")
+            hits = approx.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
+            rows.append((key, floor, hits / n_truth >= floor))
+    finally:
+        exact.unpersist()
+    return rows
+
+
 #: Per-method recall@5 floors the certificate asserts. Conservative
 #: (the pytest floors, not the measured 0.96-1.0 values) so the check
 #: is robust to regenerated testdata while still failing on a real
@@ -319,34 +360,13 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     The literal-SELECT oracle pins the floors, so a silent recall
     regression in ANY of the four indexes turns this row red.
     """
-    # persisted across the four method joins: without it every
-    # broadcast(exact) re-runs the brute-force scan
-    exact = (
-        REGISTRY["ann_bruteforce_knn"].fn(spark, sf_dir)
-        .select("query_id", "vec_id")
-        .persist()
+    scored = _recall_rows(
+        spark, sf_dir, list(RECALL_FLOORS.items()),
+        lambda method, _emb_, _q_: REGISTRY[method].fn(spark, sf_dir),
     )
-    try:
-        # guard: regenerated testdata with < N_QUERIES vectors would
-        # make the baseline empty -- emit a diagnosable all-false
-        # frame, never a ZeroDivisionError at registry execution time
-        n_truth = exact.count()
-        rows = []
-        for method, floor in RECALL_FLOORS.items():
-            if n_truth == 0:
-                rows.append((method, int(floor * 100), False))
-                continue
-            approx = REGISTRY[method].fn(spark, sf_dir).select(
-                "query_id", "vec_id"
-            )
-            hits = approx.join(
-                F.broadcast(exact), ["query_id", "vec_id"]
-            ).count()
-            rows.append((method, int(floor * 100), hits / n_truth >= floor))
-    finally:
-        exact.unpersist()
     return spark.createDataFrame(
-        rows, "method string, floor_x100 int, recall_ok boolean"
+        [(m, int(f * 100), ok) for m, f, ok in scored],
+        "method string, floor_x100 int, recall_ok boolean",
     )
 
 
@@ -408,42 +428,28 @@ def ann_ivf_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     operating point where the frontier sagged.
     """
     emb = _emb(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    cents = cached_fit(
+        "ivf_centroids", (16,), sf_dir,
+        lambda: A.kmeans_centroids(emb, n_centroids=16),
     )
-    exact = (
-        A.brute_force_topk(emb, queries, k=5, exclude_self=True)
-        .select("query_id", "vec_id")
-        .persist()
+    # each assignment grain computed once, shared across probe counts
+    assigned = {
+        na: cache.track(A.ivf_assign(emb, cents, n_assign=na))
+        for na in sorted({na for na, _, _ in IVF_FRONTIER_FLOORS})
+    }
+    scored = _recall_rows(
+        spark, sf_dir,
+        [((na, np_), f) for na, np_, f in IVF_FRONTIER_FLOORS],
+        lambda key, _emb_, queries: A.ivf_topk(
+            assigned[key[0]], queries, cents, k=5,
+            n_probe=key[1], exclude_self=True,
+        ),
     )
-    try:
-        n_truth = exact.count()
-        cents = cached_fit(
-            "ivf_centroids", (16,), sf_dir,
-            lambda: A.kmeans_centroids(emb, n_centroids=16),
-        )
-        assigned = {
-            na: cache.track(A.ivf_assign(emb, cents, n_assign=na))
-            for na in sorted({na for na, _, _ in IVF_FRONTIER_FLOORS})
-        }
-        rows = []
-        for n_assign, n_probe, floor in IVF_FRONTIER_FLOORS:
-            scan = min(100, n_assign * n_probe * 100 // 16)
-            if n_truth == 0:
-                rows.append((n_assign, n_probe, scan, int(floor * 100), False))
-                continue
-            approx = A.ivf_topk(
-                assigned[n_assign], queries, cents, k=5,
-                n_probe=n_probe, exclude_self=True,
-            ).select("query_id", "vec_id")
-            hits = approx.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
-            rows.append(
-                (n_assign, n_probe, scan, int(floor * 100), hits / n_truth >= floor)
-            )
-    finally:
-        exact.unpersist()
     return spark.createDataFrame(
-        rows,
+        [
+            (na, np_, min(100, na * np_ * 100 // 16), int(f * 100), ok)
+            for (na, np_), f, ok in scored
+        ],
         "n_assign int, n_probe int, scan_frac_x100 int, floor_x100 int,"
         " recall_ok boolean",
     )
@@ -469,8 +475,6 @@ def ann_ivf_partitioned_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-oracle boolean. At 100 TB this is the difference between
     scanning ~n_probe/C of the corpus and all of it, with the same
     declarative plan."""
-    import numpy as np
-
     from conversation_analysis_tools_spark.catalog import staging_dir
 
     emb = _emb(spark, sf_dir)
@@ -491,12 +495,23 @@ def ann_ivf_partitioned_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q1 = emb.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # probe set derived driver-side from the trained centroids (the
-    # same (distance, cid) ordering ivf_topk sorts by) -- one bounded
-    # single-row collect, then a STATIC partition filter
-    qv = np.array(q1.collect()[0]["embedding"], dtype="float64")
-    dists = ((cents - qv) ** 2).sum(axis=1)
-    probes = [int(c) for _, c in sorted(zip(dists, range(len(cents))))[:4]]
+    # probe set derived by the SAME Spark expression ivf_topk slices
+    # (array_sort over (distance, cid) structs) -- one bounded
+    # 4-row collect, then a STATIC partition filter. A driver-side
+    # numpy re-derivation was rejected: numpy's pairwise summation can
+    # order two near-equidistant centroids differently from Spark's
+    # sequential aggregate fold, and a flipped 4th/5th probe would
+    # turn the certificate red on a correct layout.
+    pairs = F.transform(
+        A._centroid_dist_array("embedding", cents),
+        lambda d, i: F.struct(d.alias("d"), i.alias("cid")),
+    )
+    probes = [
+        int(r["cid"])
+        for r in q1.select(
+            F.explode(F.slice(F.array_sort(pairs), 1, 4)).alias("p")
+        ).select(F.col("p.cid").alias("cid")).collect()
+    ]
 
     inline = A.ivf_topk(
         A.ivf_assign(emb, cents), q1, cents, k=5, n_probe=4, exclude_self=True
@@ -552,32 +567,17 @@ def ann_lsh_plane_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0 is provable (multiprobe covers both buckets of a single
     plane), anchoring the certificate's top end like the IVF
     frontier's exhaustive row. Broadcast top-k joins only."""
-    emb = _emb(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    scored = _recall_rows(
+        spark, sf_dir,
+        [((p_, tb), f) for p_, tb, f in LSH_FRONTIER_FLOORS],
+        lambda key, emb, queries: A.lsh_topk(
+            emb, queries, dim=EMB_DIM, k=5, n_planes=key[0],
+            exclude_self=True, n_tables=key[1],
+        ),
     )
-    exact = (
-        A.brute_force_topk(emb, queries, k=5, exclude_self=True)
-        .select("query_id", "vec_id")
-        .persist()
-    )
-    try:
-        n_truth = exact.count()
-        rows = []
-        for planes, tables, floor in LSH_FRONTIER_FLOORS:
-            if n_truth == 0:
-                rows.append((planes, tables, int(floor * 100), False))
-                continue
-            approx = A.lsh_topk(
-                emb, queries, dim=EMB_DIM, k=5, n_planes=planes,
-                exclude_self=True, n_tables=tables,
-            ).select("query_id", "vec_id")
-            hits = approx.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
-            rows.append((planes, tables, int(floor * 100), hits / n_truth >= floor))
-    finally:
-        exact.unpersist()
     return spark.createDataFrame(
-        rows, "n_planes int, n_tables int, floor_x100 int, recall_ok boolean"
+        [(p_, tb, int(f * 100), ok) for (p_, tb), f, ok in scored],
+        "n_planes int, n_tables int, floor_x100 int, recall_ok boolean",
     )
 
 
@@ -621,35 +621,20 @@ def ann_pq_rerank_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     provable, anchoring the frontier. Codebooks come from the shared
     disk fitcache; the encoded table is computed once and tracked."""
     emb = _emb(spark, sf_dir)
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    n = emb.count()
+    codebooks = cached_fit(
+        "pq_codebooks", (EMB_DIM,), sf_dir, lambda: A.pq_train(emb, EMB_DIM)
     )
-    exact = (
-        A.brute_force_topk(emb, queries, k=5, exclude_self=True)
-        .select("query_id", "vec_id")
-        .persist()
+    encoded = cache.track(A.pq_encode(emb, codebooks))
+    depths = {"n/10": n // 10, "n/5": n // 5, "2n/5": 2 * n // 5, "all": n}
+    scored = _recall_rows(
+        spark, sf_dir, PQ_FRONTIER_FLOORS,
+        lambda label, _emb_, queries: A.pq_topk(
+            encoded, queries, codebooks, k=5,
+            rerank=max(1, depths[label]), exclude_self=True,
+        ),
     )
-    try:
-        n_truth = exact.count()
-        n = emb.count()
-        codebooks = cached_fit(
-            "pq_codebooks", (EMB_DIM,), sf_dir, lambda: A.pq_train(emb, EMB_DIM)
-        )
-        encoded = cache.track(A.pq_encode(emb, codebooks))
-        depths = {"n/10": n // 10, "n/5": n // 5, "2n/5": 2 * n // 5, "all": n}
-        rows = []
-        for label, floor in PQ_FRONTIER_FLOORS:
-            if n_truth == 0:
-                rows.append((label, int(floor * 100), False))
-                continue
-            depth = max(1, depths[label])
-            approx = A.pq_topk(
-                encoded, queries, codebooks, k=5, rerank=depth, exclude_self=True
-            ).select("query_id", "vec_id")
-            hits = approx.join(F.broadcast(exact), ["query_id", "vec_id"]).count()
-            rows.append((label, int(floor * 100), hits / n_truth >= floor))
-    finally:
-        exact.unpersist()
     return spark.createDataFrame(
-        rows, "rerank string, floor_x100 int, recall_ok boolean"
+        [(label, int(f * 100), ok) for label, f, ok in scored],
+        "rerank string, floor_x100 int, recall_ok boolean",
     )

@@ -304,3 +304,35 @@ def test_energy_fingerprint_container_invariant(spark):
         A.energy_fingerprint(media)
     ).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_wav_bytes_rejects_out_of_range_samples():
+    import pytest as _pytest
+
+    from conversation_analysis_tools_spark.operators.audio import wav_bytes
+
+    with _pytest.raises(ValueError):
+        wav_bytes([0, 40000])
+    with _pytest.raises(ValueError):
+        wav_bytes([-40000])
+
+
+def test_synth_np_no_overflow_at_large_k():
+    # the vectorized recurrence reduces mod P term-by-term, so huge
+    # sample indexes (past the naive k*k*31 int64 wrap at ~5.4e8)
+    # still match the arbitrary-precision scalar recurrence
+    from conversation_analysis_tools_spark.operators.audio import (
+        _SIG_P,
+        _SIG_SHIFT,
+        synth_pcm16_np,
+    )
+
+    vec = synth_pcm16_np(3, 1)  # force import path
+    for k in (600_000_000, 3_000_000_000):
+        import numpy as np
+
+        kk = np.arange(k, k + 4, dtype=np.int64) % _SIG_P
+        got = ((kk * kk % _SIG_P) * 31 + kk * 7 + 3 * 13) % _SIG_P - _SIG_SHIFT
+        want = [((i * i * 31 + i * 7 + 3 * 13) % _SIG_P) - _SIG_SHIFT
+                for i in range(k, k + 4)]
+        assert list(got) == want

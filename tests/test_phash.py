@@ -144,3 +144,16 @@ def test_dhash_real_pgm_path_is_perceptually_stable():
 
     with _pytest.raises(ValueError):
         M.dhash60(M.pgm_bytes(grad[:3, :5]))
+
+
+def test_parse_pgm_rejects_nonconforming_separators():
+    # headers that would silently SHIFT the raster must fall to None:
+    # '\r\n' double separator after maxval, no whitespace after magic,
+    # trailing junk after the raster
+    from conversation_analysis_tools_spark.operators import multimodal as M
+
+    raster = bytes(range(16))
+    assert M.parse_pgm(b"P5\n4 4\n255\n" + raster) is not None
+    assert M.parse_pgm(b"P5\n4 4\n255\r\n" + raster) is None
+    assert M.parse_pgm(b"P54 4\n255\n" + raster) is None
+    assert M.parse_pgm(b"P5\n4 4\n255\n" + raster + b"\n") is None
