@@ -702,3 +702,52 @@ def test_collapse_parity_randomized_token_invisible_drift(spark):
         for r in D.edit_distance_pairs(df, threshold=0.7, collapse="always").collect()
     }
     assert any(0.7 <= v < 0.999999 for v in ed.values())
+
+
+def test_affix_stripped_levenshtein_identity(spark):
+    """affix_stripped_levenshtein must equal the plain banded
+    levenshtein on EVERY pair shape the strip could plausibly break:
+    periodic strings (overlap-prone affixes), prefix-only / suffix-only
+    sharing, fully identical strings shorter than the largest probe
+    rung, strings shorter than the smallest rung, empty strings,
+    multibyte chars (substring/length are char-grain), and pairs whose
+    verified prefix+suffix overlap (near-equal strings). Also pins the
+    banded -1 behavior: a pair past the bound returns -1 through the
+    stripped path too."""
+    import itertools
+
+    strs = [
+        "",
+        "a",
+        "ab" * 64,                      # periodic, 128 chars
+        "ab" * 64 + "ab",               # periodic + one period
+        "ab" * 64 + "x" + "ab" * 64,    # periodic around a core
+        "x" * 300 + " mid " + "y" * 300,
+        "x" * 300 + " mud " + "y" * 300,
+        "p" * 150 + " tail one two three",
+        "p" * 150 + " tail one two four!",
+        "alpha beta " + "z" * 200,
+        "alphx beta " + "z" * 200,
+        "v1 " + "common words here " * 20,
+        "v2 " + "common words here " * 20,
+        "héllo wörld " * 30,            # multibyte
+        "héllo wörld " * 30 + "ü",
+        "completely different content with no overlap at all",
+    ]
+    pairs = [
+        (i, a, b)
+        for i, (a, b) in enumerate(itertools.combinations(strs, 2))
+    ] + [(900 + i, s, s) for i, s in enumerate(strs)]  # identical pairs
+    df = spark.createDataFrame(pairs, "pid long, t1 string, t2 string")
+    for bound in (F.lit(2_000_000_000), F.lit(5).cast("int")):
+        got = df.select(
+            "pid",
+            D.affix_stripped_levenshtein(
+                F.col("t1"), F.col("t2"), bound.cast("int")
+            ).alias("stripped"),
+            F.call_function(
+                "levenshtein", F.col("t1"), F.col("t2"), bound.cast("int")
+            ).alias("plain"),
+        ).collect()
+        bad = [(r["pid"], r["stripped"], r["plain"]) for r in got if r["stripped"] != r["plain"]]
+        assert not bad, bad
