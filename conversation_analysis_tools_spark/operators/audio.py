@@ -69,13 +69,19 @@ def wav_bytes(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
     (fmt chunk 16 bytes, PCM tag 1) -- the layout every WAV reader
     accepts. ``samples`` is any int sequence (list or numpy array)
     within int16 range; the payload is little-endian either way.
-    Out-of-range samples raise (the struct.pack('h') behavior this
-    replaced): np.asarray would silently WRAP 40000 to -25536 and emit
-    corrupt-but-valid WAV bytes that flow into fingerprints and
-    oracles with no error at the source."""
+    Out-of-range and non-integer samples raise (the full
+    struct.pack('h') strictness this replaced): a bare int64
+    np.asarray would silently WRAP 40000 to -25536 and silently
+    TRUNCATE 0.7 to 0, emitting corrupt-but-valid WAV bytes that flow
+    into fingerprints and oracles with no error at the source."""
     import numpy as np
 
-    arr = np.asarray(samples, dtype=np.int64)
+    arr_in = np.asarray(samples)
+    if len(arr_in) and not np.issubdtype(arr_in.dtype, np.integer):
+        # full struct.pack('h') strictness: a float sample would be
+        # silently truncated toward zero by an int64 cast
+        raise TypeError(f"non-integer samples (dtype {arr_in.dtype})")
+    arr = arr_in.astype(np.int64) if len(arr_in) else np.zeros(0, dtype=np.int64)
     if len(arr) and (arr.max(initial=0) > 32767 or arr.min(initial=0) < -32768):
         raise ValueError("sample out of int16 range")
     data = arr.astype("<i2").tobytes()

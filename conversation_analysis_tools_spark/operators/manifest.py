@@ -69,14 +69,15 @@ def pack_media(
     """
     os.makedirs(out_dir, exist_ok=True)
     meta_cols = [c for c in media.columns if c != content_col]
-    meta_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in media.schema
-        if f.name != content_col
-    )
-    out_schema = (
-        f"{meta_schema}, path string, offset bigint, length bigint,"
-        " payload_md5 string"
+    out_schema = ", ".join(
+        [
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in media.schema
+            if f.name != content_col
+        ]
+        # list-join (not string prefix) so a media frame with ONLY the
+        # content column still yields a well-formed schema
+        + ["path string", "offset bigint", "length bigint", "payload_md5 string"]
     )
 
     def write_pack(it):
@@ -100,7 +101,16 @@ def pack_media(
                 contents = pdf[content_col]
                 metas = pdf[meta_cols]
                 for i in range(len(pdf)):
-                    b = bytes(contents.iloc[i])
+                    raw = contents.iloc[i]
+                    if raw is None:
+                        # fail LOUD with the offending row, matching the
+                        # family's integrity posture -- bytes(None) would
+                        # die with an opaque TypeError mid-task
+                        raise ValueError(
+                            f"null {content_col!r} payload in pack input "
+                            f"(meta row: {tuple(metas.iloc[i])!r})"
+                        )
+                    b = bytes(raw)
                     fh.write(b)
                     # end-to-end integrity: the digest travels in the
                     # manifest so ANY later read can prove the span
@@ -117,8 +127,15 @@ def pack_media(
         )
 
     manifest_path = os.path.join(out_dir, "manifest.parquet")
-    (
+    # id_col keys pack placement (stable co-location of one id's
+    # payloads); a frame without it round-robins instead of failing
+    parted = (
         media.repartition(n_packs, F.col(id_col))
+        if id_col in media.columns
+        else media.repartition(n_packs)
+    )
+    (
+        parted
         .mapInPandas(write_pack, out_schema)
         .write.mode("overwrite")
         .parquet(manifest_path)
@@ -212,16 +229,42 @@ def pack_and_manifest(
     sf_dir: str,
     id_col: str = "media_id",
     n_packs: int = 4,
+    version: str = "",
 ) -> DataFrame:
     """Memoized pack: build the packfiles + manifest once per
     (staging_kind, sf_dir) and reuse across bench/verify loops (same
     discipline as catalog.staging_dir layouts -- a marker file skips
-    the rebuild)."""
+    the rebuild).
+
+    The marker CARRIES the pack definition (media schema, id_col,
+    n_packs, plus an optional caller ``version`` token); a marker
+    whose recorded definition no longer matches triggers a repack
+    instead of silently serving stale packfiles -- the failure mode
+    where a changed media definition turns a downstream oracle red
+    far from the actual cause. Callers whose media derives from files
+    should pass ``version=repr(fitcache.dir_fingerprint(dir))`` so
+    regenerated source data also invalidates the pack; the in-code
+    synthetic corpora change schema or ``version`` when their
+    definition changes."""
     from conversation_analysis_tools_spark.catalog import staging_dir
 
     out = staging_dir(staging_kind, sf_dir)
     marker = os.path.join(out, "_SUCCESS_pack")
-    if not os.path.exists(marker):
+    want = (
+        f"schema={media.schema.simpleString()}\n"
+        f"id_col={id_col}\nn_packs={n_packs}\nversion={version}\n"
+    )
+    have = None
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                have = fh.read()
+        except OSError:
+            have = None
+    if have != want:
         pack_media(media, out, id_col=id_col, n_packs=n_packs)
-        open(marker, "w").close()
+        tmp = f"{marker}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(want)
+        os.replace(tmp, marker)
     return spark.read.parquet(os.path.join(out, "manifest.parquet"))

@@ -371,23 +371,25 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Measured IVF recall@5 frontier floors across (n_assign, n_probe)
-#: operating points (recall at sf0.001/sf0.01 in the comments; floors
-#: are the conservative certificate). n_probe=16 of C=16 lists probes
-#: EVERYTHING -- candidates are the whole corpus and the re-rank is
-#: exact cosine, so recall is 1.0 by construction at ANY n_assign,
-#: anchoring the frontier's top end provably. The n_assign=2 rows are
-#: the soft-assignment (list replication) lever: recall at fixed
-#: probe count rises because a true neighbor must lose the query in
-#: BOTH its lists to be missed.
+#: operating points (recall at sf0.001/sf0.01/sf0.1 in the comments --
+#: the full validated span, incl. the 2000-vector sf0.1 corpus where
+#: the LSH frontier visibly sagged; floors are the conservative
+#: certificate and every row's cross-sf minimum clears its floor).
+#: n_probe=16 of C=16 lists probes EVERYTHING -- candidates are the
+#: whole corpus and the re-rank is exact cosine, so recall is 1.0 by
+#: construction at ANY n_assign, anchoring the frontier's top end
+#: provably. The n_assign=2 rows are the soft-assignment (list
+#: replication) lever: recall at fixed probe count rises because a
+#: true neighbor must lose the query in BOTH its lists to be missed.
 IVF_FRONTIER_FLOORS = [
-    (1, 2, 0.15),   # measured 0.24 / 0.36
-    (1, 4, 0.45),   # measured 0.52 / 0.72
-    (1, 8, 0.70),   # measured 0.76 / 0.96
-    (1, 10, 0.90),  # measured 0.96 / 0.96 -- the ann_ivf_knn default
+    (1, 2, 0.15),   # measured 0.24 / 0.36 / 0.36
+    (1, 4, 0.45),   # measured 0.52 / 0.72 / 0.56
+    (1, 8, 0.70),   # measured 0.76 / 0.96 / 0.92
+    (1, 10, 0.90),  # measured 0.96 / 0.96 / 1.00 -- the ann_ivf_knn default
     (1, 16, 1.00),  # exhaustive: provable, not just measured
-    (2, 2, 0.40),   # measured 0.64 / 0.60
-    (2, 4, 0.70),   # measured 0.80 / 0.96
-    (2, 6, 0.90),   # measured 0.96 / 1.00 -- replication's 0.9 knee
+    (2, 2, 0.40),   # measured 0.64 / 0.60 / 0.60
+    (2, 4, 0.70),   # measured 0.80 / 0.96 / 0.84
+    (2, 6, 0.90),   # measured 0.96 / 1.00 / 0.92 -- replication's 0.9 knee
     (2, 16, 1.00),  # exhaustive with replicas: still provable
 ]
 

@@ -157,3 +157,50 @@ def test_pack_read_roundtrip_property(spark):
                 for r in MF.read_media(man, verify="digest").collect()
             }
         assert got == {i: b for i, b in enumerate(blobs)}
+
+
+def test_pack_null_payload_raises_descriptive(spark, tmp_path):
+    """A NULL content row must fail the pack LOUDLY with the offending
+    row named, not an opaque bytes(None) TypeError mid-task."""
+    media = spark.createDataFrame(
+        [(1, b"ok", "m/0"), (2, None, "m/1")],
+        "media_id bigint, content binary, mime string",
+    )
+    with pytest.raises(Exception, match="null 'content' payload"):
+        MF.pack_media(media, str(tmp_path / "packs"), n_packs=1)
+
+
+def test_pack_content_only_media_schema_wellformed(spark, tmp_path):
+    """Media with ONLY the content column: the output schema must not
+    start with a dangling ', ' (the zero-meta-column join case)."""
+    media = spark.createDataFrame([(b"abc",), (b"defgh",)], "content binary")
+    man = MF.pack_media(media, str(tmp_path / "packs"), n_packs=1)
+    assert set(man.columns) == {"path", "offset", "length", "payload_md5"}
+    assert sorted(r["length"] for r in man.collect()) == [3, 5]
+
+
+def test_pack_and_manifest_repacks_on_definition_change(spark, tmp_path, monkeypatch):
+    """The memo marker carries the pack definition: a changed media
+    schema or version token must trigger a repack instead of silently
+    serving the stale pack (and a legacy empty marker upgrades)."""
+    from conversation_analysis_tools_spark import catalog
+
+    monkeypatch.setattr(
+        catalog, "staging_dir", lambda kind, sf: str(tmp_path / kind)
+    )
+    media1 = _media(spark, n=4)
+    man1 = MF.pack_and_manifest(spark, media1, "packmemo", "sfX")
+    n1 = man1.count()
+    # same definition -> memoized (manifest files untouched)
+    mtime = os.path.getmtime(str(tmp_path / "packmemo" / "manifest.parquet"))
+    MF.pack_and_manifest(spark, media1, "packmemo", "sfX").count()
+    assert os.path.getmtime(str(tmp_path / "packmemo" / "manifest.parquet")) == mtime
+    # different corpus under the same kind, version bumped -> repack
+    media2 = _media(spark, n=9)
+    man2 = MF.pack_and_manifest(spark, media2, "packmemo", "sfX", version="v2")
+    assert man2.count() == 9 and n1 == 4
+    # legacy empty marker (pre-definition format) -> repack, not reuse
+    marker = str(tmp_path / "packmemo" / "_SUCCESS_pack")
+    open(marker, "w").close()
+    man3 = MF.pack_and_manifest(spark, media1, "packmemo", "sfX")
+    assert man3.count() == 4
