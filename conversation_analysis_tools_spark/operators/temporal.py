@@ -102,3 +102,64 @@ def range_join(
     return joined.where(
         F.abs(F.col("_lt") - F.col("_rt")) <= F.lit(delta_us)
     ).drop("_lt", "_rt", "_bucket", "_rbucket", "_ron")
+
+
+def yearly_windowed(daily: DataFrame, tail_rows: int, aggs, day_col: str = "day") -> DataFrame:
+    """Evaluate ordered-window expressions over a date-grain rollup
+    WITHOUT the single-partition ``Window.orderBy(day)`` plan:
+    partition by year, with the last ``tail_rows`` ROWS of each year
+    replicated into the following year's partition so a year-Y+1
+    row's trailing frame sees exactly its global trailing rows
+    (earlier Y+1 rows plus Y's replicated tail). The frame is
+    row-grain, so the tail marker is a per-year row_number, never a
+    calendar cutoff -- exact even when the series has gaps. Replica
+    rows are dropped AFTER the window evaluates.
+
+    ``aggs`` maps output column name -> callable taking the BASE
+    (partitioned, day-ordered, unframed) WindowSpec; trailing
+    aggregates apply ``.rowsBetween(lo, hi)`` themselves (lo >=
+    -tail_rows, hi <= 0), and lag()/lead(-style) functions use the
+    base spec directly (Spark forbids explicit frames on them).
+
+    A bounded probe (one row per year of history) falls back to the
+    single-partition window when a non-final year holds fewer than
+    ``tail_rows`` rows or the year sequence has holes -- the only
+    shapes where a trailing frame can span more than two years. A
+    rollup that sparse is definitionally tiny, so the fallback is
+    safe exactly where it is slow. At any event volume the date-grain
+    rollup is bounded (<= 366 rows/year), but event HISTORY length is
+    unbounded -- decades of days belong across executors, not in one
+    WindowExec task."""
+    yr = F.year(day_col)
+    counts = sorted(
+        (r["y"], r["c"])
+        for r in daily.groupBy(yr.alias("y")).agg(F.count("*").alias("c")).collect()
+    )
+    dense = all(c >= tail_rows for _y, c in counts[:-1]) and all(
+        b - a == 1 for (a, _), (b, _) in zip(counts, counts[1:])
+    )
+    if dense:
+        wtail = Window.partitionBy(yr).orderBy(F.col(day_col).desc())
+        served = daily.withColumn("_rn", F.row_number().over(wtail)).select(
+            *daily.columns,
+            F.explode(
+                F.when(
+                    F.col("_rn") <= tail_rows, F.array(yr, yr + F.lit(1))
+                ).otherwise(F.array(yr))
+            ).alias("_serve_year"),
+        )
+        base = Window.partitionBy("_serve_year").orderBy(day_col)
+        keep = F.col("_serve_year") == yr
+    else:
+        served = daily.withColumn("_serve_year", yr)
+        base = Window.orderBy(day_col)
+        keep = F.lit(True)
+    return (
+        served.select(
+            *daily.columns,
+            *[fn(base).alias(name) for name, fn in aggs.items()],
+            "_serve_year",
+        )
+        .where(keep)
+        .drop("_serve_year")
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from conversation_analysis_tools_spark.catalog import table as _catalog_table
+from conversation_analysis_tools_spark.operators.temporal import yearly_windowed
 from conversation_analysis_tools_spark.queries.registry import register
 
 
@@ -219,21 +220,27 @@ def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains evaluated identically by both engines, and the z-score is
     irrational in all but degenerate cases (plain round is safe --
     registry float discipline). Days with under 3 trailing points or
-    zero variance are unscored. Plan: one date-grain aggregate, then a
-    30-row window -- at 100 TB the daily rollup is tiny regardless of
-    event volume; maintain it incrementally (incremental_rollup) and
-    score the tail."""
+    zero variance are unscored.
+
+    Plan: one date-grain aggregate, then the trailing window runs
+    year-partitioned via operators/temporal.yearly_windowed (last-7-
+    rows-of-year replication; exact, ROWS-frame-grain) so WindowExec
+    stays distributed at any event history length instead of moving
+    the rollup to a single partition."""
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.count("*").alias("n")
     )
-    w = Window.orderBy("day").rowsBetween(-7, -1)
-    trail = daily.select(
-        "day",
-        "n",
-        F.sum("n").over(w).alias("s7"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("ss7"),
-        F.count("n").over(w).alias("c7"),
+    trail = yearly_windowed(
+        daily,
+        7,
+        {
+            "s7": lambda wb: F.sum("n").over(wb.rowsBetween(-7, -1)),
+            "ss7": lambda wb: F.sum(F.col("n") * F.col("n")).over(
+                wb.rowsBetween(-7, -1)
+            ),
+            "c7": lambda wb: F.count("n").over(wb.rowsBetween(-7, -1)),
+        },
     )
     mean = F.col("s7") * 1.0 / F.col("c7")
     var = (F.col("ss7") - F.col("s7") * 1.0 * F.col("s7") / F.col("c7")) / (

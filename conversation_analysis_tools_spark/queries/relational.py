@@ -26,6 +26,7 @@ from conversation_analysis_tools_spark.functions.timeutil import (
     month_bucket,
     sqlite_dow,
 )
+from conversation_analysis_tools_spark.operators.temporal import yearly_windowed
 from conversation_analysis_tools_spark.queries.registry import register
 from conversation_analysis_tools_spark.catalog import table as _catalog_table
 
@@ -1159,6 +1160,9 @@ def limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day average of daily event counts -- rowsBetween
     frame (the frame type the reference never had; extends W-family).
+    The window runs year-partitioned (operators/temporal.
+    yearly_windowed tail replication) so the rollup never funnels
+    through one WindowExec task at long event histories.
     """
     events = _t(spark, sf_dir, "events")
     daily = (
@@ -1166,9 +1170,14 @@ def rolling_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
-    return daily.select(
-        "day", "n", F.round(F.avg("n").over(w), 4).alias("rolling_7d_avg")
+    return yearly_windowed(
+        daily,
+        6,
+        {
+            "rolling_7d_avg": lambda wb: F.round(
+                F.avg("n").over(wb.rowsBetween(-6, 0)), 4
+            )
+        },
     )
 
 
@@ -1187,7 +1196,10 @@ def rolling_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lag_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-over-day delta and % change via lag() (W-family extension).
+    """Day-over-day delta and % change via lag() (W-family extension),
+    year-partitioned with a 1-row tail replica per year (lag(1) is a
+    trailing ROWS frame of depth 1) -- same no-single-partition
+    posture as the rolling/anomaly date windows.
     """
     events = _t(spark, sf_dir, "events")
     daily = (
@@ -1195,15 +1207,18 @@ def lag_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy("day")
-    lagn = F.lag("n").over(w)
-    return daily.select(
-        "day",
-        "n",
-        (F.col("n") - lagn).alias("delta"),
-        F.round((F.col("n") - lagn) * 100.0 / F.nullif(lagn, F.lit(0)), 4).alias(
-            "pct_change"
-        ),
+    def _lagn(wb):
+        return F.lag("n").over(wb)
+
+    return yearly_windowed(
+        daily,
+        1,
+        {
+            "delta": lambda wb: F.col("n") - _lagn(wb),
+            "pct_change": lambda wb: F.round(
+                (F.col("n") - _lagn(wb)) * 100.0 / F.nullif(_lagn(wb), F.lit(0)), 4
+            ),
+        },
     )
 
 

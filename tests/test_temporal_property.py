@@ -112,3 +112,69 @@ def test_range_join_matches_naive(spark):
             if rk == k and abs((lt - rt).total_seconds()) <= delta
         }
         assert got == want, f"seed={seed}"
+
+
+def test_yearly_windowed_matches_global_window(spark):
+    """yearly_windowed must equal the single-partition global window
+    on a multi-year daily series WITH GAPS (the frame is row-grain, so
+    a calendar-cutoff tail would break exactly here), including rows
+    whose trailing frame spans the year boundary; and the sparse-year
+    probe must fall back (still exact) when a non-final year has fewer
+    rows than the frame depth or the year sequence has a hole."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from conversation_analysis_tools_spark.operators.temporal import (
+        yearly_windowed,
+    )
+
+    def series(days):
+        return spark.createDataFrame(
+            [(d, i * 7 % 13 + 1) for i, d in enumerate(days)],
+            "day date, n int",
+        )
+
+    aggs = {
+        "s7": lambda wb: F.sum("n").over(wb.rowsBetween(-7, -1)),
+        "c7": lambda wb: F.count("n").over(wb.rowsBetween(-7, -1)),
+        "lag1": lambda wb: F.lag("n").over(wb),
+    }
+
+    def global_ref(daily):
+        wb = Window.orderBy("day")
+        return daily.select(
+            "day", "n", *[fn(wb).alias(name) for name, fn in aggs.items()]
+        )
+
+    # dense-ish two-year span with gaps (skip every 5th day), boundary
+    # rows land within 7 ROWS of the prior year's tail
+    days = [
+        dt.date(2023, 12, 1) + dt.timedelta(days=i)
+        for i in range(0, 90)
+        if i % 5 != 0
+    ]
+    daily = series(days)
+    got = {tuple(r) for r in yearly_windowed(daily, 7, aggs).collect()}
+    want = {tuple(r) for r in global_ref(daily).collect()}
+    assert got == want and len(want) == len(days)
+
+    # sparse: 2022 holds only 3 rows (< 7) before a present 2023 ->
+    # probe must take the global fallback and stay exact
+    sparse_days = [dt.date(2022, 6, 1) + dt.timedelta(days=i) for i in range(3)] + [
+        dt.date(2023, 1, 1) + dt.timedelta(days=i) for i in range(20)
+    ]
+    daily_sparse = series(sparse_days)
+    got = {tuple(r) for r in yearly_windowed(daily_sparse, 7, aggs).collect()}
+    want = {tuple(r) for r in global_ref(daily_sparse).collect()}
+    assert got == want
+
+    # hole in the year sequence (2021 then 2023): fallback, exact
+    hole_days = [dt.date(2021, 12, 20) + dt.timedelta(days=i) for i in range(10)] + [
+        dt.date(2023, 1, 1) + dt.timedelta(days=i) for i in range(10)
+    ]
+    daily_hole = series(hole_days)
+    got = {tuple(r) for r in yearly_windowed(daily_hole, 7, aggs).collect()}
+    want = {tuple(r) for r in global_ref(daily_hole).collect()}
+    assert got == want
