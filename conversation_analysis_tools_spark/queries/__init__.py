@@ -50,31 +50,31 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # genuinely-changed plans IS the cadence
 # discipline.
 #
-# Round-6 window: the r5 pins are cleared (all six got green r5 rows),
-# so the 15 r2-stale names (bm25_topk, corpus_ngram_top20, dq_audit,
-# event_transitions, funnel_view_click_purchase, hash_split, hybrid_rrf,
-# incremental_rollup, pii_scrub, quality_decile_bins, retention_cohorts,
-# source_mixing_sample, temperature_mixture, token_budget_pack,
-# unigram_logprob) auto-promote at the 3-round staleness bound. The
-# manual list below holds only round 6's new queries and changed plans:
-# the three NEW engaged-collapse certificates (fixed dup-dense corpora
-# pinning collapse='always' -- the first driver-oracled executions of
-# the _expand_rep_pairs plans), dedup_edit_distance (integer pair_bound
-# length prefilter replaced the float cut), skyline_parts (count-
-# probed exact final phase + quantile-grid fallback), ann_recall_eval
-# (IVF floor raised 0.5 -> 0.9 with the n_probe=10 default -- the
-# oracle literal changed, so the r4 green row no longer certifies it),
-# and the NEW ann_ivf_probe_frontier (recall-vs-probe-count table).
+# Round-7 window: the r6 pins are cleared (all seven got green r6
+# rows), so the 24-query r3 tail (incl. the whole real-streaming
+# family) auto-promotes at the 4-round staleness bound -- VERDICT r6
+# item 3 requires this list to stay <= ~7 names for that to fit. The
+# manual list below holds only round 7's new queries and changed
+# plans: the NEW ann_ivf_batch_dpp (query-batch dynamic partition
+# pruning against the centroid-partitioned store) and
+# shard_media_roundtrip (multimodal shard writer: text + packfiles +
+# shard-partitioned manifest, digest-verified read-back);
+# dedup_edit_distance + dedup_collapse_editdist_fixed (the verify DP
+# now runs on affix-stripped strings -- value-exact, but the changed
+# plan needs a fresh driver row); and the three date-rollup windows
+# (anomaly_daily_zscore, rolling_avg_daily, lag_day_over_day) whose
+# trailing frames moved from the single-partition global window to
+# the year-partitioned yearly_windowed plan.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
-    "dedup_collapse_jaccard_fixed",
-    "dedup_collapse_minhash_fixed",
-    "dedup_collapse_editdist_fixed",
+    "ann_ivf_batch_dpp",
+    "shard_media_roundtrip",
     "dedup_edit_distance",
-    "skyline_parts",
-    "ann_recall_eval",
-    "ann_ivf_probe_frontier",
+    "dedup_collapse_editdist_fixed",
+    "anomaly_daily_zscore",
+    "rolling_avg_daily",
+    "lag_day_over_day",
 ]
 
 

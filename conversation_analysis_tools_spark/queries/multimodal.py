@@ -390,6 +390,73 @@ def audio_manifest_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shard_media_roundtrip",
+    oracle="""
+    WITH params(media_id, sr, n) AS (
+        SELECT * FROM (VALUES (1, 8000, 1600), (2, 8000, 1000),
+                              (3, 16000, 2400), (4, 8000, 120)) v
+    )
+    SELECT CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(media_id AS VARCHAR)), 1, 1)) - 1
+                AS BIGINT) % 16 AS shard,
+           CAST(media_id AS BIGINT) AS media_id,
+           sr AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 / sr AS BIGINT) AS duration_ms,
+           TRUE AS text_doc_same_shard
+    FROM params
+    """,
+)
+def shard_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL training-shard writer, certified end-to-end:
+    write_multimodal_shards emits text parquet + packfiles + a
+    shard-partitioned pointer manifest in one call, then this query
+    reads the shard set BACK -- payloads re-materialized from exactly
+    the manifest spans with ``verify='digest'`` (any byte that did
+    not survive shard -> pointer -> partial read raises, it can never
+    flow into a green row), parsed by the same RIFF chunk walk as
+    audio_wav_metadata, and joined against the TEXT side to certify
+    the owning doc landed in the SAME md5-bucket shard directory.
+    The oracle recomputes shard assignment and audio metadata from
+    the corpus definition alone, so a misrouted payload, a torn span,
+    or a text/media shard-function drift each turn the row red."""
+    from conversation_analysis_tools_spark.catalog import staging_dir
+    from conversation_analysis_tools_spark.operators import audio as A
+    from conversation_analysis_tools_spark.operators import manifest as MF
+    from conversation_analysis_tools_spark.sources.sinks import (
+        write_multimodal_shards,
+    )
+
+    media = _audio_media(spark).withColumn("doc_id", F.col("media_id"))
+    docs = media.select(
+        "doc_id", F.concat(F.lit("doc "), F.col("doc_id")).alias("text")
+    )
+    out = staging_dir("mmshards", sf_dir)
+    write_multimodal_shards(docs, media, out, n_shards=16)
+
+    man = spark.read.parquet(f"{out}/media_manifest")
+    meta = A.audio_metadata(MF.read_media(man, verify="digest"))
+    media_shards = man.select(
+        "media_id", "doc_id", F.col("shard").cast("bigint").alias("shard")
+    )
+    text_shards = spark.read.parquet(f"{out}/text").select(
+        F.col("doc_id").alias("_tdoc"), F.col("shard").cast("bigint").alias("_tshard")
+    )
+    return (
+        meta.join(media_shards, "media_id")
+        .join(text_shards, F.col("doc_id") == F.col("_tdoc"), "left")
+        .select(
+            "shard",
+            "media_id",
+            "sample_rate",
+            "n_samples",
+            "duration_ms",
+            (F.col("_tshard") == F.col("shard")).alias("text_doc_same_shard"),
+        )
+    )
+
+
+@register(
     "streaming_audio_manifest",
     oracle="""
     WITH params(media_id, sr, n) AS (

@@ -532,6 +532,74 @@ def ann_ivf_partitioned_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_batch_dpp",
+    oracle="""
+    SELECT 8 AS n_queries, 4 AS n_probe, TRUE AS dpp_planned,
+           TRUE AS results_match
+    """,
+)
+def ann_ivf_batch_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB IVF SERVING shape: a BATCH of queries searched
+    against the centroid-partitioned list store, with the union of
+    the batch's probe sets pruning list directories DYNAMICALLY --
+    ivf_topk's probe relation joins the store on centroid_id, and
+    Spark's dynamic partition pruning turns that join into a runtime
+    partition filter (reusing the probe broadcast), so the fact scan
+    touches only the probed lists with NO static IN-list anyone has
+    to precompute. This is the step past ann_ivf_partitioned_parity
+    (single query, static filter): probe sets that arrive AS DATA
+    prune the same way literal filters do.
+
+    The certificate emits two booleans: ``dpp_planned`` pins the
+    mechanism (a dynamicpruning subquery in the optimized plan --
+    also asserted with PartitionFilters detail in
+    tests/test_layout.py), and ``results_match`` pins parity -- the
+    partitioned+DPP search returns EXACTLY the rows of the inline
+    (unpartitioned) search, asserted via two exceptAll counts. Layout
+    and pruning change bytes read, never results."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from conversation_analysis_tools_spark.catalog import staging_dir
+
+    emb = _emb(spark, sf_dir)
+    cents = cached_fit(
+        "ivf_centroids", (16,), sf_dir,
+        lambda: A.kmeans_centroids(emb, n_centroids=16),
+    )
+    d = staging_dir("ivf_lists", sf_dir)
+    marker = f"{d}/_SUCCESS_lists"
+    if not os.path.exists(marker):
+        A.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(f"{d}/assigned.parquet")
+        open(marker, "w").close()
+    part = spark.read.parquet(f"{d}/assigned.parquet")
+
+    batch = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pruned = A.ivf_topk(part, batch, cents, k=5, n_probe=4, exclude_self=True)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain(True)
+    dpp_planned = "dynamicpruning" in buf.getvalue().lower()
+
+    inline = A.ivf_topk(
+        A.ivf_assign(emb, cents), batch, cents, k=5, n_probe=4, exclude_self=True
+    )
+    match = (
+        inline.exceptAll(pruned).count() == 0
+        and pruned.exceptAll(inline).count() == 0
+    )
+    return spark.createDataFrame(
+        [(8, 4, dpp_planned, match)],
+        "n_queries int, n_probe int, dpp_planned boolean, results_match boolean",
+    )
+
+
 #: LSH recall@5 frontier floors across (n_planes, n_tables) with
 #: 1-bit multiprobe (recall at sf0.001/sf0.01 in comments). The
 #: (1, 1) anchor is PROVABLE: one plane splits the corpus into two

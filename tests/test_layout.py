@@ -208,3 +208,43 @@ def test_ivf_list_join_uses_dynamic_partition_pruning(spark, tmp_path):
     # and the join result matches the statically filtered scan
     want = part.where(F.col("centroid_id").isin([0, 3])).count()
     assert joined.count() == want
+
+
+def test_ivf_batch_search_plans_dpp_inside_ivf_topk(spark, tmp_path):
+    # the ann_ivf_batch_dpp serving shape, pinned at the PLAN level:
+    # ivf_topk's probe-relation join against the centroid-partitioned
+    # store must carry a dynamicpruning subquery on centroid_id (the
+    # probe broadcast reused as a runtime partition filter), and the
+    # batch results must match the unpartitioned search exactly
+    import io
+    from contextlib import redirect_stdout
+
+    from conversation_analysis_tools_spark.operators import ann as A
+
+    emb = table(spark, "embeddings", SF_DIR)
+    cents = A.kmeans_centroids(emb, n_centroids=8)
+    out = str(tmp_path / "ivf_dpp_batch")
+    A.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(out)
+    part = spark.read.parquet(out)
+    batch = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pruned = A.ivf_topk(part, batch, cents, k=3, n_probe=2, exclude_self=True)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    lower = plan.lower()
+    assert "dynamicpruning" in lower
+    # the pruning subquery hangs off the PARTITION column
+    frag = lower.split("dynamicpruning", 1)[1][:200]
+    assert "centroid_id" in frag
+
+    inline = A.ivf_topk(
+        A.ivf_assign(emb, cents), batch, cents, k=3, n_probe=2, exclude_self=True
+    )
+    assert inline.exceptAll(pruned).count() == 0
+    assert pruned.exceptAll(inline).count() == 0
