@@ -96,6 +96,11 @@ HEADLINE = [
     # frontier certificates run fixed corpora and belong to the
     # probe tools, not the sf-scaled headline)
     "skyline_parts",
+    # round-7: query-BATCH IVF search with dynamic partition pruning
+    # against the centroid-partitioned list store (sf-scaled emb
+    # corpus; the parity exceptAll is part of the certified query).
+    # shard_media_roundtrip stays out per the fixed-corpus rule.
+    "ann_ivf_batch_dpp",
 ]
 
 
@@ -115,17 +120,39 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    jobs: dict[str, int] = {}
+    stages: dict[str, int] = {}
     n_docs = None
+    sc = spark.sparkContext
     for name in HEADLINE:
         # best of 5 + median: the box is shared and iowait-noisy (a
         # single run can absorb a co-tenant CPU burst, observed +-2x);
         # the min is the plan's real cost, the median shows whether a
         # best-vs-best delta between rounds is signal or noise.
         runs = []
-        for _ in range(5):
+        for i in range(5):
+            if i == 4:
+                # steady-state job/stage census on the LAST trial only
+                # (trial 1 may carry one-time fitcache index builds):
+                # a driver-bench wall regression with UNCHANGED counts
+                # is box noise; changed counts are a plan change
+                # (VERDICT r6 item 4). Job-group tags are
+                # thread-local, so streaming queries' micro-batch jobs
+                # (stream-execution threads) stay uncounted -- their
+                # rows record driver-thread jobs only.
+                sc.setJobGroup(f"bench:{name}", "steady-state census")
             t0 = time.time()
             rows = qs[name](spark, sf_dir).collect()
             runs.append(time.time() - t0)
+            if i == 4:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                tracker = sc.statusTracker()
+                ids = tracker.getJobIdsForGroup(f"bench:{name}")
+                infos = [tracker.getJobInfo(j) for j in ids]
+                jobs[name] = len(ids)
+                stages[name] = sum(
+                    len(info.stageIds) for info in infos if info is not None
+                )
             release_cached()
         runs.sort()
         timings[name] = round(runs[0], 3)
@@ -134,6 +161,8 @@ def main() -> None:
             n_docs = len(rows)
 
     line, detail = emit_line(timings, medians, sf, n_docs)
+    detail["queries_jobs"] = jobs
+    detail["queries_stages"] = stages
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

@@ -53,12 +53,13 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # Round-7 window: the r6 pins are cleared (all seven got green r6
 # rows), so the 24-query r3 tail (incl. the whole real-streaming
 # family) auto-promotes at the 4-round staleness bound -- VERDICT r6
-# item 3 requires this list to stay <= ~7 names for that to fit. The
-# manual list below holds only round 7's new queries and changed
-# plans: the NEW ann_ivf_batch_dpp (query-batch dynamic partition
-# pruning against the centroid-partitioned store) and
-# shard_media_roundtrip (multimodal shard writer: text + packfiles +
-# shard-partitioned manifest, digest-verified read-back);
+# item 3 requires this list to stay small enough that
+# ceil(174 oracled / free slots) <= 4, i.e. <= 6 pins
+# (test_rotation_staleness_bound enforces it). Round 7's two NEW
+# queries (ann_ivf_batch_dpp, shard_media_roundtrip) need no pin:
+# never-checked oracled queries auto-rank AHEAD of the oldest-green
+# tail, so they occupy round-7 slots either way. The manual list
+# holds only round 7's changed-plan re-certifications:
 # dedup_edit_distance + dedup_collapse_editdist_fixed (the verify DP
 # now runs on affix-stripped strings -- value-exact, but the changed
 # plan needs a fresh driver row); and the three date-rollup windows
@@ -68,8 +69,6 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
-    "ann_ivf_batch_dpp",
-    "shard_media_roundtrip",
     "dedup_edit_distance",
     "dedup_collapse_editdist_fixed",
     "anomaly_daily_zscore",

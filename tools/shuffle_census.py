@@ -80,6 +80,13 @@ CENSUS = [
     "image_resize_pool",
     "video_frame_sample",
     "audio_dedup_fingerprint",
+    # round-7: the full-pipeline DAG joins the measured census so a
+    # driver-bench wall regression can be attributed (plan change vs
+    # box noise) from the exchange row alone -- VERDICT r6 item 4;
+    # note the census walks the FINAL collected DataFrame's executed
+    # plan, so the pipeline's persisted token-table feeder stages
+    # appear as InMemoryTableScan, not as their own exchanges
+    "pipeline_analysis_results",
 ]
 
 
