@@ -1040,7 +1040,8 @@ def ngram_jaccard_pairs(
     collapse: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via inverted shingle index:
-    only pairs sharing a shingle are generated.
+    only pairs sharing a shingle are generated, length-filtered
+    BEFORE the intersection count.
 
     Identical-shingle-SET groups are collapsed to one representative
     before the index join and re-expanded after (adaptively -- see
@@ -1052,34 +1053,61 @@ def ngram_jaccard_pairs(
     OUTPUT pairs, which the pair-set contract emits regardless.
     Output-exact: within-group exact Jaccard is 1.0 and a cross-group
     member pair shares shingles (and sizes) with its rep pair.
+
+    The length filter (t*max(sz1,sz2) <= min(sz1,sz2), applied inside
+    the index join -- sizes ride the postings, no broadcast) is
+    pair-level, so it drops ALL rows of a pair or none and the
+    surviving intersection counts are untouched; a dropped pair has
+    J <= min/max < t, so the output is provably identical.
+
+    Known wall (measured, round 7): on a corpus whose shingle space
+    SATURATES (the synthetic 31-word vocab: distinct shingles stop
+    growing while postings keep growing), sum(df^2) -- the index-join
+    row count -- grows quadratically in corpus size (2.9M at 5k docs
+    -> 245M at 50k docs) and this exact operator follows it. The
+    published exact mitigation, prefix filtering (AllPairs: Bayardo
+    et al. WWW 2007; Vernica et al. SIGMOD 2010), was implemented and
+    MEASURED here: it prunes by dropping each doc's highest-df
+    shingles from the index, which on a Zipfian (natural-text)
+    df distribution removes the dominant df^2 terms, but on this
+    near-uniform-df space it halves sum(df^2) (245M -> 131M) while
+    its own overheads (df join + per-doc rank window + pair-grain
+    distinct + array verify joins) cost 10x the savings -- 7.1 s vs
+    0.7 s at sf0.1. Reverted; on real web text the Zipfian premise
+    holds and the prefix path wins -- see git history for the
+    working implementation. The scale-safe routes on saturating
+    corpora are the approximate siblings (minhash_lsh_pairs,
+    simhash) or a higher n (larger shingle space).
     """
     arrs = track(shingle_arrays(df, id_col, text_col, n))
     rep_arrs, members = _maybe_collapse(arrs, id_col, collapse)
-    sh = rep_arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
-    # sizes from the array stage: narrow projection, no extra groupBy
-    sizes = rep_arrs.select(F.col(id_col), F.size("sh_arr").alias("sz"))
-    s1 = sh.select(F.col(id_col).alias("id1"), "shingle")
-    s2 = sh.select(F.col(id_col).alias("id2"), "shingle")
+    # postings carry the doc's set size inline (explode keeps sibling
+    # columns) -- the length filter needs no corpus-grain broadcast
+    sh = rep_arrs.select(
+        F.col(id_col),
+        F.size("sh_arr").alias("sz"),
+        F.explode("sh_arr").alias("shingle"),
+    )
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"), "shingle")
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"), "shingle")
+    t = F.lit(float(threshold))
     inter = (
         s1.join(s2, "shingle")
-        .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (t * F.col("sz2") <= F.col("sz1"))
+            & (t * F.col("sz1") <= F.col("sz2"))
+        )
+        .groupBy("id1", "id2", "sz1", "sz2")
         .agg(F.count("*").alias("inter"))
     )
-    z1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
-    z2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
-    rep_pairs = (
-        inter.join(F.broadcast(z1), "id1")
-        .join(F.broadcast(z2), "id2")
-        .select(
-            "id1",
-            "id2",
-            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias(
-                "jaccard"
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    rep_pairs = inter.select(
+        "id1",
+        "id2",
+        (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias(
+            "jaccard"
+        ),
+    ).where(F.col("jaccard") >= threshold)
     if members is None:
         return rep_pairs
     return _expand_rep_pairs(rep_pairs, members, id_col, "jaccard", 1.0)
@@ -1357,6 +1385,7 @@ def semdedup_prune(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dense_path: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): k-means the
@@ -1370,61 +1399,148 @@ def semdedup_prune(
     pairs shuffle on ``centroid_id`` only, never globally. At 100 TB:
     train the quantizer on a sample, write the assigned table bucketed
     by centroid_id, and recursively split any cluster whose size
-    exceeds a per-task pair budget (skew cap); the within-cluster join
-    is then embarrassingly parallel. Mirrors the reference's dedup
-    intent (pipeline/duplicate_detector.py) at embedding grain.
+    exceeds a per-task pair budget (the dense path's per-cluster grid
+    does exactly this); the within-cluster work is then
+    embarrassingly parallel. Mirrors the reference's dedup intent
+    (pipeline/duplicate_detector.py) at embedding grain.
 
-    Returns (id, centroid_id, centroid_dist, component, keep).
+    ``dense_path`` picks the physical strategy (round 7; same
+    decision shape as the probed dense/inverted switch in
+    operators/similarity.pairwise_cosine):
+
+    - False (small corpora): pure-expression plan -- C distance
+      folds for assignment, per-pair cosine fold within clusters.
+      Zero Python, zero Arrow; the right call when the corpus or C
+      is small (fixed job overhead dominates, measured 2.1 s at 2k
+      vectors / C=16).
+    - True (scaled corpora, where C grows as ~n/128 to keep the pair
+      space linear): the interpreted-HOF costs grow as n*C*dim
+      (assignment) and pairs*dim (cosine) -- QUADRATIC in corpus
+      size once C scales -- so assignment runs as one numpy matmul
+      per Arrow batch and the within-cluster pair scan through the
+      per-cluster grid-blocked BLAS stage
+      (similarity.grouped_grid_pairs). Measured at 20k vectors /
+      C=157: 94.9 s (expression plan, fixed C=16) -> 13.8 s.
+    - None: decide from a one-column count of ``emb`` (<= 2048 rows
+      -> expression plan), matching the caller-side C=max(16,
+      ceil(n/128)) rule so driver-sf plans stay byte-identical to
+      the pre-adaptive ones.
+
+    Both paths emit the same pairs up to float-ulp edge cases at the
+    exact threshold boundary (the BLAS path compares against
+    thr - 1e-9 like every other dense stage); components and keep
+    rules are identical. Returns (id, centroid_id, centroid_dist,
+    component, keep).
     """
+    import numpy as np
+    import pandas as pd
+
     from conversation_analysis_tools_spark.functions.vector import (
         dot_expr,
         norm_expr,
     )
     from conversation_analysis_tools_spark.operators.ann import _centroid_dist_array
+
+    if dense_path is None:
+        dense_path = emb.count() > 2048
+
     from conversation_analysis_tools_spark.operators.components import (
         connected_components,
     )
+    from conversation_analysis_tools_spark.operators.similarity import (
+        grouped_grid_pairs,
+    )
 
-    # one pass over the C distance expressions serves both the argmin
-    # assignment and the distance-to-own-centroid (vs. calling
-    # ivf_assign then recomputing the array: half the codegen width)
-    dists = _centroid_dist_array(vec_col, centroids)
-    assigned = track(
-        emb.withColumn("_d", dists)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            (F.array_position("_d", F.array_min("_d")) - 1)
-            .cast("int")
-            .alias("centroid_id"),
-            F.sqrt(F.array_min("_d")).alias("centroid_dist"),
+    if dense_path:
+        # Assignment via one numpy matmul per Arrow batch instead of
+        # the C-wide interpreted HOF distance fold (the fold's
+        # n*C*dim interpreted ops dominate wall once C scales --
+        # measured ~30 s of a 37 s run at 20k vectors / C=157).
+        # ||v-c||^2 = ||v||^2 + ||c||^2 - 2 v.c with the cross term
+        # as a BLAS product; tiny negative residues clamp to 0.
+        cents = np.asarray(centroids, dtype=np.float64)
+        cnorm2 = (cents**2).sum(axis=1)
+        out_schema = (
+            f"{id_col} long, {vec_col} array<double>, "
+            "centroid_id int, centroid_dist double"
         )
-    )
 
-    # norms hoisted to per-row (no CSE inside lambda bodies: inline
-    # cosine_expr re-folds both norms per PAIR) -- same fold order,
-    # bit-identical sims, 3 interpreted folds/pair -> 1
-    a = assigned.select(
-        "centroid_id",
-        F.col(id_col).alias("id1"),
-        F.col(vec_col).alias("v1"),
-        norm_expr(vec_col).alias("_n1"),
-    )
-    b = assigned.select(
-        "centroid_id",
-        F.col(id_col).alias("id2"),
-        F.col(vec_col).alias("v2"),
-        norm_expr(vec_col).alias("_n2"),
-    )
-    sim = F.when(
-        (F.col("_n1") == 0) | (F.col("_n2") == 0), F.lit(0.0)
-    ).otherwise(dot_expr("v1", "v2") / (F.col("_n1") * F.col("_n2")))
-    edges = (
-        a.join(b, ["centroid_id"])
-        .where(F.col("id1") < F.col("id2"))
-        .where(sim >= threshold)
-        .select("id1", "id2")
-    )
+        def assign_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d2 = (
+                    (V**2).sum(axis=1)[:, None]
+                    + cnorm2[None, :]
+                    - 2.0 * (V @ cents.T)
+                )
+                cid = d2.argmin(axis=1)
+                dmin = np.maximum(d2[np.arange(len(V)), cid], 0.0)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        vec_col: list(V),
+                        "centroid_id": cid.astype(np.int32),
+                        "centroid_dist": np.sqrt(dmin),
+                    }
+                )
+
+        assigned = track(
+            emb.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+            ).mapInPandas(assign_batches, schema=out_schema)
+        )
+        # within-cluster pair scan through the per-cluster
+        # grid-blocked BLAS stage (zero-norm vectors normalize to
+        # themselves and dot to 0 against anything, matching the
+        # expression path's explicit sim=0 rule); an adversarially
+        # skewed cluster degrades to bounded-size grid tasks instead
+        # of one quadratic task
+        edges = grouped_grid_pairs(
+            assigned, "centroid_id", threshold, id_col=id_col, vec_col=vec_col
+        ).select("id1", "id2")
+    else:
+        # one pass over the C distance expressions serves both the
+        # argmin assignment and the distance-to-own-centroid (vs.
+        # calling ivf_assign then recomputing the array: half the
+        # codegen width)
+        dists = _centroid_dist_array(vec_col, centroids)
+        assigned = track(
+            emb.withColumn("_d", dists).select(
+                F.col(id_col),
+                F.col(vec_col),
+                (F.array_position("_d", F.array_min("_d")) - 1)
+                .cast("int")
+                .alias("centroid_id"),
+                F.sqrt(F.array_min("_d")).alias("centroid_dist"),
+            )
+        )
+        # norms hoisted to per-row (no CSE inside lambda bodies:
+        # inline cosine_expr re-folds both norms per PAIR) -- same
+        # fold order, bit-identical sims, 3 interpreted folds/pair
+        # -> 1
+        a = assigned.select(
+            "centroid_id",
+            F.col(id_col).alias("id1"),
+            F.col(vec_col).alias("v1"),
+            norm_expr(vec_col).alias("_n1"),
+        )
+        b = assigned.select(
+            "centroid_id",
+            F.col(id_col).alias("id2"),
+            F.col(vec_col).alias("v2"),
+            norm_expr(vec_col).alias("_n2"),
+        )
+        sim = F.when(
+            (F.col("_n1") == 0) | (F.col("_n2") == 0), F.lit(0.0)
+        ).otherwise(dot_expr("v1", "v2") / (F.col("_n1") * F.col("_n2")))
+        edges = (
+            a.join(b, ["centroid_id"])
+            .where(F.col("id1") < F.col("id2"))
+            .where(sim >= threshold)
+            .select("id1", "id2")
+        )
     comps = connected_components(edges)
 
     out = assigned.drop(vec_col).join(

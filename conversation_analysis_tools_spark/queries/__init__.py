@@ -58,20 +58,27 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # (test_rotation_staleness_bound enforces it). Round 7's two NEW
 # queries (ann_ivf_batch_dpp, shard_media_roundtrip) need no pin:
 # never-checked oracled queries auto-rank AHEAD of the oldest-green
-# tail, so they occupy round-7 slots either way. The manual list
-# holds only round 7's changed-plan re-certifications:
-# dedup_edit_distance + dedup_collapse_editdist_fixed (the verify DP
-# now runs on affix-stripped strings -- value-exact, but the changed
-# plan needs a fresh driver row); and the three date-rollup windows
-# (anomaly_daily_zscore, rolling_avg_daily, lag_day_over_day) whose
-# trailing frames moved from the single-partition global window to
-# the year-partitioned yearly_windowed plan.
+# tail, so they occupy round-7 slots either way. Likewise
+# anomaly_daily_zscore (changed plan: year-partitioned trailing
+# window) is r3-green, so the age ranking promotes it without a pin.
+# The manual list holds only round 7's remaining changed-plan
+# re-certifications: dedup_edit_distance +
+# dedup_collapse_editdist_fixed (the verify DP now runs on
+# affix-stripped strings); dedup_ngram_jaccard +
+# dedup_collapse_jaccard_fixed (pair-level length filter inside the
+# index join); and rolling_avg_daily + lag_day_over_day (trailing
+# frames moved to the year-partitioned yearly_windowed plan; both
+# r4-green, too young to auto-promote). semdedup_prune's round-7
+# rework is adaptive ON CORPUS SIZE and keeps the pre-round plan
+# byte-identical at every driver sf (the dense path engages only
+# past 2048 vectors), so its driver row needs no refresh.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
     "dedup_edit_distance",
     "dedup_collapse_editdist_fixed",
-    "anomaly_daily_zscore",
+    "dedup_ngram_jaccard",
+    "dedup_collapse_jaccard_fixed",
     "rolling_avg_daily",
     "lag_day_over_day",
 ]

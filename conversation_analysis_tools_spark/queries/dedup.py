@@ -836,24 +836,43 @@ def semdedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("semdedup_prune", oracle=None)
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): k-means (C=16, fixed seed) over
-    the embedding table, cosine >= 0.4 near-dup pairs WITHIN each
-    cluster only, connected components, keep the component member
-    farthest from its centroid. The embedding-space mirror of the
-    reference's duplicate pruning (pipeline/duplicate_detector.py) at
-    corpus scale: pair space bounded per cluster, shuffle key is
-    centroid_id. Rows-only (k-means float iteration is
+    """SemDeDup (Abbas et al. 2023): k-means (fixed seed) over the
+    embedding table, cosine >= 0.4 near-dup pairs WITHIN each cluster
+    only, connected components, keep the component member farthest
+    from its centroid. The embedding-space mirror of the reference's
+    duplicate pruning (pipeline/duplicate_detector.py) at corpus
+    scale: pair space bounded per cluster, shuffle key is
+    centroid_id.
+
+    The cluster count SCALES with the corpus -- C = max(16,
+    ceil(n/128)) -- so expected cluster size (and with it the
+    within-cluster pair volume per row) stays bounded: with C fixed
+    at 16 the pair space is quadratic in corpus size (measured
+    2.1 s -> 94.9 s on the 10x sf0.1 -> sf1 decade, a 45x wall);
+    C ~ n/128 makes total pairs ~ n*128/2, linear. This is the
+    paper's own regime (SemDeDup uses tens of thousands of clusters
+    at web scale). At the driver sfs (n <= 2000) C stays 16, so the
+    checked plan is unchanged. Rows-only (k-means float iteration is
     engine-specific); semantics pinned in
     tests/test_similarity_dedup.py with hand-built embeddings.
     Returns the per-vector keep/drop decision table.
     """
+    import math
+
     from conversation_analysis_tools_spark.operators import ann as A
 
     emb = _catalog_table(spark, "embeddings", sf_dir)
+    n_vec = emb.count()  # one column-pruned count scan, driver-side int
+    n_cent = max(16, math.ceil(n_vec / 128))
     cents = cached_fit(
-        "semdedup_centroids", (16,), sf_dir, lambda: A.kmeans_centroids(emb, n_centroids=16)
+        "semdedup_centroids",
+        (n_cent,),
+        sf_dir,
+        lambda: A.kmeans_centroids(emb, n_centroids=n_cent),
     )
-    out = D.semdedup_prune(emb, cents, threshold=0.4)
+    # same 2048-row knee as the C rule: driver sfs keep the
+    # pure-expression plan, scaled corpora take the BLAS path
+    out = D.semdedup_prune(emb, cents, threshold=0.4, dense_path=n_vec > 2048)
     return out.orderBy("vec_id")
 
 
