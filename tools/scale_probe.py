@@ -64,6 +64,10 @@ SWEEP = [
     ("dedup_substring_spans", "span-hash expansion, persisted 3-consumer reuse"),
     ("rollup_heavy_hitters_cms", "CMS cells: bounded day*D*W state after map-combine"),
     ("zorder_clustered_scan", "two tiny aggs over quantized coords, 512-row result"),
+    # round-7 additions: the two queries the first sf1 sweep caught
+    # super-linear, tracked per-round after their fixes
+    ("semdedup_prune", "cluster-bucketed semantic dedup, C scales ~n/128 + BLAS stages"),
+    ("dedup_ngram_jaccard", "exact inverted shingle index + length filter (saturating-vocab wall documented)"),
 ]
 
 #: Pair-generating operators run on the replicated corpus; these are
