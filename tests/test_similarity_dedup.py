@@ -751,3 +751,92 @@ def test_affix_stripped_levenshtein_identity(spark):
         ).collect()
         bad = [(r["pid"], r["stripped"], r["plain"]) for r in got if r["stripped"] != r["plain"]]
         assert not bad, bad
+
+
+def test_grouped_grid_pairs_matches_reference(spark):
+    """grouped_grid_pairs (the per-group BLAS stage behind SemDeDup's
+    dense path) vs a numpy all-pairs reference: same pairs, same sims,
+    zero-norm vectors sim-0 against everything."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g in range(3):
+        for i in range(20):
+            rows.append((g, g * 100 + i, [float(x) for x in rng.normal(size=8)]))
+    rows.append((1, 199, [0.0] * 8))  # zero vector: sim 0 to all
+    df = spark.createDataFrame(rows, "grp int, vec_id long, embedding array<double>")
+    thr = 0.3
+    got = {
+        (r["id1"], r["id2"]): r["sim"]
+        for r in S.grouped_grid_pairs(
+            df, "grp", thr, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    want = {}
+    by_g = {}
+    for g, vid, v in rows:
+        by_g.setdefault(g, []).append((vid, np.array(v)))
+    for g, members in by_g.items():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (ia, va), (ib, vb) = members[i], members[j]
+                na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+                sim = 0.0 if na == 0 or nb == 0 else float(
+                    (va / na) @ (vb / nb)
+                )
+                if sim >= thr - 1e-9:
+                    want[(min(ia, ib), max(ia, ib))] = sim
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_grouped_grid_pairs_multiblock_parity(spark, monkeypatch):
+    """A skewed group larger than DENSE_BLOCK_ROWS splits into grid
+    cells; the gridded result must equal the single-block one."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i % 2, i, [float(x) for x in rng.normal(size=6)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "grp int, vec_id long, embedding array<double>")
+    one = sorted(
+        (r["id1"], r["id2"], round(r["sim"], 9))
+        for r in S.grouped_grid_pairs(df, "grp", 0.2, id_col="vec_id").collect()
+    )
+    monkeypatch.setattr(S, "DENSE_BLOCK_ROWS", 4)  # force B(B+1)/2 cells
+    grid = sorted(
+        (r["id1"], r["id2"], round(r["sim"], 9))
+        for r in S.grouped_grid_pairs(df, "grp", 0.2, id_col="vec_id").collect()
+    )
+    assert one == grid
+
+
+def test_semdedup_dense_path_parity(spark):
+    """The >2048-vector dense path (BLAS assignment + grouped grid)
+    must produce the same components and keep decisions as the
+    pure-expression plan on the same corpus and centroids."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 12))
+    rows = []
+    for i in range(120):
+        v = base[i % 6] + rng.normal(scale=0.05, size=12)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from conversation_analysis_tools_spark.operators.ann import kmeans_centroids
+
+    cents = kmeans_centroids(emb, n_centroids=6)
+    cols = ["vec_id", "centroid_id", "component", "keep"]
+    expr_plan = sorted(
+        tuple(r[c] for c in cols)
+        for r in D.semdedup_prune(emb, cents, threshold=0.8, dense_path=False).collect()
+    )
+    dense_plan = sorted(
+        tuple(r[c] for c in cols)
+        for r in D.semdedup_prune(emb, cents, threshold=0.8, dense_path=True).collect()
+    )
+    assert expr_plan == dense_plan
