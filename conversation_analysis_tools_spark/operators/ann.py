@@ -255,12 +255,26 @@ def ivf_assign(
     centroids: np.ndarray,
     vec_col: str = "embedding",
     n_assign: int = 1,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Attach ``centroid_id`` = argmin distance (the inverted-list
-    key). Pure expression: C distance folds + array_position of the
-    min -- no Python in the scan. At 100 TB, write the table
-    partitioned/bucketed by centroid_id so each list is a contiguous
-    scan unit.
+    key). Pure expression by default: C distance folds +
+    array_position of the min -- no Python in the scan. At 100 TB,
+    write the table partitioned/bucketed by centroid_id so each list
+    is a contiguous scan unit.
+
+    ``vectorized=True`` (round 7, n_assign=1 only) computes the same
+    argmin as one numpy matmul per Arrow batch inside a pandas_udf --
+    the HOF fold is interpreted, so its n*C*dim per-element ops
+    dominate wall on large corpora (the semdedup lesson: 20k rows x
+    C=157 cost ~30 s interpreted, ~0 vectorized). Both paths take
+    the FIRST index achieving the minimum; they can disagree only on
+    float near-ties (fold accumulation order vs the
+    ||v||^2+||c||^2-2vc expansion), so the certified layout paths
+    (ann_ivf_partitioned_parity / ann_ivf_batch_dpp), which compare
+    a STAGED assignment against an inline one, stay on the
+    expression path on both sides -- never mix paths across a
+    staged/inline comparison.
 
     ``n_assign > 1`` is the soft-assignment (list replication) recall
     lever: each vector lands in its ``n_assign`` nearest lists, so a
@@ -273,6 +287,25 @@ def ivf_assign(
     duplicate candidates replicas produce before ranking, so results
     are replica-invariant."""
     if n_assign <= 1:
+        if vectorized:
+            import pandas as pd
+
+            cents = np.asarray(centroids, dtype=np.float64)
+            cnorm2 = (cents**2).sum(axis=1)
+
+            @F.pandas_udf("int")
+            def _assign(col: pd.Series) -> pd.Series:
+                if not len(col):
+                    return pd.Series([], dtype="int32")
+                V = np.stack(col.to_numpy()).astype(np.float64)
+                d2 = (
+                    (V**2).sum(axis=1)[:, None]
+                    + cnorm2[None, :]
+                    - 2.0 * (V @ cents.T)
+                )
+                return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+            return emb.withColumn("centroid_id", _assign(F.col(vec_col)))
         dists = _centroid_dist_array(vec_col, centroids)
         cid = F.array_position(dists, F.array_min(dists)) - 1
         return emb.withColumn("centroid_id", cid.cast("int"))

@@ -100,7 +100,11 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = cached_fit(
         "ivf_centroids", (16,), sf_dir, lambda: A.kmeans_centroids(emb, n_centroids=16)
     )
-    assigned = A.ivf_assign(emb, cents)
+    # vectorized assignment (Arrow-batch numpy argmin) -- this query
+    # builds its index inline per run, so assignment is its dominant
+    # cost at scale; rows-only, and the certified staged/inline parity
+    # paths stay on the expression assignment (see ivf_assign)
+    assigned = A.ivf_assign(emb, cents, vectorized=True)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
