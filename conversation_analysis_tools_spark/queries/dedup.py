@@ -834,6 +834,61 @@ def semdedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semdedup_dense_fixed",
+    oracle="""
+    WITH m AS (
+        SELECT i AS k, CAST(i + 100 * c AS BIGINT) AS vec_id, c
+        FROM generate_series(0, 59) t(i), (VALUES (0), (1)) v(c)
+    )
+    SELECT vec_id,
+           CAST(c AS INTEGER) AS centroid_id,
+           CAST(k AS DOUBLE) AS centroid_dist,
+           CAST(100 * c AS BIGINT) AS component,
+           (k = 59) AS keep
+    FROM m
+    """,
+)
+def semdedup_dense_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup DENSE-PATH driver certificate (round 7): the
+    vectorized plan -- Arrow-batch numpy argmin assignment +
+    per-cluster grid-blocked BLAS pair scan -- forced via
+    ``dense_path=True`` on a corpus where every float is exact, so a
+    COMPUTED oracle re-derives all 120 rows from the construction:
+
+    - cluster c=0: vectors [10+k, 0], k = 0..59, ids k; cluster c=1:
+      vectors [0, 20+k], ids 100+k. Centroids are passed EXPLICITLY
+      ([10,0], [0,20]), so centroid numbering is deterministic
+      (unlike the k-means certificate semdedup_fixed) and
+      centroid_id is part of the contract.
+    - assignment is exact in the BLAS expansion: ||v||^2, ||c||^2
+      and the cross term are small integers in float64, so
+      d^2(own) = k^2 beats d^2(other) > 400 exactly; centroid_dist
+      = sqrt(k^2) = k exactly (correctly-rounded IEEE sqrt of an
+      exact square).
+    - within a cluster every cosine is exactly 1.0 (collinear
+      integer-scaled unit vectors; x/||x|| folds to [1.0, 0.0] or
+      [0.0, 1.0] exactly), so each cluster is one component labeled
+      by its min id (0 / 100) and keep lands on the farthest member
+      k = 59, no ties.
+
+    Certifies assignment, grid pairing, connected components, and
+    the keep rule through the SAME code path sf1-scale corpora take
+    (the expression-path certificate is semdedup_fixed). sf_dir
+    unused (fixed vectors)."""
+    import numpy as np
+
+    pts = [(k + 100 * c,
+            [10.0 + k, 0.0] if c == 0 else [0.0, 20.0 + k])
+           for c in (0, 1) for k in range(60)]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = np.array([[10.0, 0.0], [0.0, 20.0]])
+    out = D.semdedup_prune(emb, cents, threshold=0.4, dense_path=True)
+    return out.select(
+        "vec_id", "centroid_id", "centroid_dist", "component", "keep"
+    )
+
+
 @register("semdedup_prune", oracle=None)
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means (fixed seed) over the
