@@ -145,7 +145,12 @@ def main() -> None:
             rows = qs[name](spark, sf_dir).collect()
             runs.append(time.time() - t0)
             if i == 4:
+                # setJobGroup sets group id AND description (and
+                # interruptOnCancel); clear all three or every later
+                # job in the session inherits the census description
                 sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.description", None)
+                sc.setLocalProperty("spark.job.interruptOnCancel", None)
                 tracker = sc.statusTracker()
                 ids = tracker.getJobIdsForGroup(f"bench:{name}")
                 infos = [tracker.getJobInfo(j) for j in ids]

@@ -286,6 +286,12 @@ def ivf_assign(
     assignment needs n_probe=10 for). ``ivf_topk`` collapses the
     duplicate candidates replicas produce before ranking, so results
     are replica-invariant."""
+    if n_assign > 1 and vectorized:
+        raise ValueError(
+            "ivf_assign: vectorized=True supports n_assign=1 only -- "
+            "soft assignment would silently fall back to the "
+            "interpreted fold, the exact wall the flag exists to avoid"
+        )
     if n_assign <= 1:
         if vectorized:
             import pandas as pd
@@ -295,15 +301,20 @@ def ivf_assign(
 
             @F.pandas_udf("int")
             def _assign(col: pd.Series) -> pd.Series:
-                if not len(col):
-                    return pd.Series([], dtype="int32")
-                V = np.stack(col.to_numpy()).astype(np.float64)
-                d2 = (
-                    (V**2).sum(axis=1)[:, None]
-                    + cnorm2[None, :]
-                    - 2.0 * (V @ cents.T)
-                )
-                return pd.Series(d2.argmin(axis=1).astype(np.int32))
+                # NULL embeddings get a NULL centroid_id like the
+                # expression path (array ops propagate null); compute
+                # on the non-null subset only
+                out = pd.Series([pd.NA] * len(col), dtype="Int32")
+                mask = col.notna()
+                if mask.any():
+                    V = np.stack(col[mask].to_numpy()).astype(np.float64)
+                    d2 = (
+                        (V**2).sum(axis=1)[:, None]
+                        + cnorm2[None, :]
+                        - 2.0 * (V @ cents.T)
+                    )
+                    out[mask] = d2.argmin(axis=1).astype(np.int32)
+                return out
 
             return emb.withColumn("centroid_id", _assign(F.col(vec_col)))
         dists = _centroid_dist_array(vec_col, centroids)

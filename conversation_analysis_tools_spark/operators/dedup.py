@@ -1469,20 +1469,31 @@ def semdedup_prune(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                d2 = (
-                    (V**2).sum(axis=1)[:, None]
-                    + cnorm2[None, :]
-                    - 2.0 * (V @ cents.T)
-                )
-                cid = d2.argmin(axis=1)
-                dmin = np.maximum(d2[np.arange(len(V)), cid], 0.0)
+                # NULL embeddings keep their row with NULL
+                # centroid_id/dist (the expression path's null
+                # propagation); they join no cluster and surface as
+                # kept singletons downstream
+                mask = pdf[vec_col].notna().to_numpy()
+                cid = pd.Series([pd.NA] * len(pdf), dtype="Int32")
+                dist = pd.Series([None] * len(pdf), dtype="float64")
+                if mask.any():
+                    V = np.stack(pdf[vec_col][mask].to_numpy()).astype(np.float64)
+                    d2 = (
+                        (V**2).sum(axis=1)[:, None]
+                        + cnorm2[None, :]
+                        - 2.0 * (V @ cents.T)
+                    )
+                    c = d2.argmin(axis=1)
+                    cid[mask] = c.astype(np.int32)
+                    dist[mask] = np.sqrt(
+                        np.maximum(d2[np.arange(len(V)), c], 0.0)
+                    )
                 yield pd.DataFrame(
                     {
                         id_col: pdf[id_col].to_numpy(),
-                        vec_col: list(V),
-                        "centroid_id": cid.astype(np.int32),
-                        "centroid_dist": np.sqrt(dmin),
+                        vec_col: pdf[vec_col].to_numpy(),
+                        "centroid_id": cid,
+                        "centroid_dist": dist,
                     }
                 )
 

@@ -296,11 +296,17 @@ def grouped_grid_pairs(
 
     nrm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
     safe = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
-    per = vecs.select(
+    # null groups/vectors produce no pairs by contract (a null key
+    # matches nothing in an equi-join anyway; dropping them here also
+    # keeps np.stack off ragged input)
+    per = vecs.where(
+        F.col(group_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
         F.col(group_col),
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x / safe).alias("v"),
     )
+    grp_type = per.schema[group_col].dataType.simpleString()
     sizes = per.groupBy(group_col).agg(F.count("*").alias("_gsz"))
     nb = (
         F.greatest(
@@ -345,9 +351,9 @@ def grouped_grid_pairs(
             left = pdf[pdf["blk"] == bi]
             right = pdf[pdf["blk"] == bj]
         if not len(left) or not len(right):
-            return pd.DataFrame({"g": [], "id1": [], "id2": [], "sim": []}).astype(
-                {"g": "int64", "id1": "int64", "id2": "int64", "sim": "float64"}
-            )
+            return pd.DataFrame(
+                {"g": pd.Series([], dtype=object), "id1": [], "id2": [], "sim": []}
+            ).astype({"id1": "int64", "id2": "int64", "sim": "float64"})
         L = np.stack(left["v"].to_numpy())
         R = np.stack(right["v"].to_numpy())
         sims = L @ R.T
@@ -360,7 +366,7 @@ def grouped_grid_pairs(
         a, b = lid[ii], rid[jj]
         return pd.DataFrame(
             {
-                "g": np.full(len(a), key[0]),
+                "g": [key[0]] * len(a),
                 "id1": np.minimum(a, b),
                 "id2": np.maximum(a, b),
                 "sim": sims[ii, jj],
@@ -369,7 +375,10 @@ def grouped_grid_pairs(
 
     return (
         exploded.groupBy(group_col, "bi", "bj")
-        .applyInPandas(cell_product, schema="g long, id1 long, id2 long, sim double")
+        .applyInPandas(
+            cell_product,
+            schema=f"g {grp_type}, id1 long, id2 long, sim double",
+        )
         .withColumnRenamed("g", group_col)
     )
 

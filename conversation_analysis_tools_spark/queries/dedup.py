@@ -825,7 +825,9 @@ def semdedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     emb = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
     cents = A.kmeans_centroids(emb, n_centroids=2)
-    out = D.semdedup_prune(emb, cents, threshold=0.4)
+    # explicit path: dense_path=None would spend an eager count at
+    # plan-build time just to learn what the caller already knows
+    out = D.semdedup_prune(emb, cents, threshold=0.4, dense_path=False)
     return out.select(
         F.col("vec_id").cast("int").alias("vec_id"),
         "centroid_dist",

@@ -432,7 +432,29 @@ def shard_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat(F.lit("doc "), F.col("doc_id")).alias("text")
     )
     out = staging_dir("mmshards", sf_dir)
-    write_multimodal_shards(docs, media, out, n_shards=16)
+    # Memoized on a CONTENT fingerprint (row count + payload bytes +
+    # payload crc32 sum + shard count): pack_media writes
+    # attempt-unique packfile names, so an unconditional re-shard per
+    # run would accumulate orphan packs forever; a definition change
+    # wipes the staging dir and re-shards instead of silently serving
+    # stale shards (the pack_and_manifest memo rule).
+    import os
+    import shutil
+
+    r = media.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("content")).alias("b"),
+        F.sum(F.crc32("content")).alias("c"),
+    ).collect()[0]
+    fp = f"{r['n']}:{r['b']}:{r['c']}:shards16"
+    marker = os.path.join(out, "_SUCCESS_mmshards")
+    fresh = os.path.exists(marker) and open(marker).read() == fp
+    if not fresh:
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        write_multimodal_shards(docs, media, out, n_shards=16)
+        with open(marker, "w") as f:
+            f.write(fp)
 
     man = spark.read.parquet(f"{out}/media_manifest")
     meta = A.audio_metadata(MF.read_media(man, verify="digest"))

@@ -461,6 +461,45 @@ def ann_ivf_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_ivf_lists(spark, emb, cents, sf_dir):
+    """Stage the centroid-partitioned inverted lists ONCE per
+    (corpus, centroids) definition and return the partitioned read.
+    The marker carries a definition fingerprint (corpus row count +
+    centroid-matrix digest), so regenerated testdata or a refreshed
+    fitcache re-stages instead of silently serving stale lists and
+    turning the parity certificates red far from the cause -- the
+    pack_and_manifest memo lesson (ADVICE round 6). Shared by
+    ann_ivf_partitioned_parity and ann_ivf_batch_dpp; both stay on
+    the EXPRESSION assignment (never mix assignment paths across a
+    staged/inline comparison -- see operators/ann.ivf_assign)."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    from conversation_analysis_tools_spark.catalog import staging_dir
+
+    d = staging_dir("ivf_lists", sf_dir)
+    marker = f"{d}/_SUCCESS_lists"
+    fp = "{}:{}".format(
+        emb.count(),
+        hashlib.md5(
+            np.ascontiguousarray(np.asarray(cents, dtype=np.float64)).tobytes()
+        ).hexdigest(),
+    )
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read() != fp
+    if stale:
+        A.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(f"{d}/assigned.parquet")
+        with open(marker, "w") as f:
+            f.write(fp)
+    return spark.read.parquet(f"{d}/assigned.parquet")
+
+
 @register(
     "ann_ivf_partitioned_parity",
     oracle="""
@@ -481,22 +520,11 @@ def ann_ivf_partitioned_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-oracle boolean. At 100 TB this is the difference between
     scanning ~n_probe/C of the corpus and all of it, with the same
     declarative plan."""
-    from conversation_analysis_tools_spark.catalog import staging_dir
-
     emb = _emb(spark, sf_dir)
     cents = cached_fit(
         "ivf_centroids", (16,), sf_dir, lambda: A.kmeans_centroids(emb, n_centroids=16)
     )
-    d = staging_dir("ivf_lists", sf_dir)
-    marker = f"{d}/_SUCCESS_lists"
-    import os
-
-    if not os.path.exists(marker):
-        A.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
-            "centroid_id"
-        ).parquet(f"{d}/assigned.parquet")
-        open(marker, "w").close()
-    part = spark.read.parquet(f"{d}/assigned.parquet")
+    part = _staged_ivf_lists(spark, emb, cents, sf_dir)
 
     q1 = emb.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -566,21 +594,12 @@ def ann_ivf_batch_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     from contextlib import redirect_stdout
 
-    from conversation_analysis_tools_spark.catalog import staging_dir
-
     emb = _emb(spark, sf_dir)
     cents = cached_fit(
         "ivf_centroids", (16,), sf_dir,
         lambda: A.kmeans_centroids(emb, n_centroids=16),
     )
-    d = staging_dir("ivf_lists", sf_dir)
-    marker = f"{d}/_SUCCESS_lists"
-    if not os.path.exists(marker):
-        A.ivf_assign(emb, cents).write.mode("overwrite").partitionBy(
-            "centroid_id"
-        ).parquet(f"{d}/assigned.parquet")
-        open(marker, "w").close()
-    part = spark.read.parquet(f"{d}/assigned.parquet")
+    part = _staged_ivf_lists(spark, emb, cents, sf_dir)
 
     batch = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -840,3 +840,44 @@ def test_semdedup_dense_path_parity(spark):
         for r in D.semdedup_prune(emb, cents, threshold=0.8, dense_path=True).collect()
     )
     assert expr_plan == dense_plan
+
+
+def test_vectorized_assign_and_dense_semdedup_null_rows(spark):
+    """NULL embeddings must propagate (null centroid_id, kept
+    singleton) through the vectorized paths instead of crashing the
+    Arrow batch -- mirroring the expression path's null semantics."""
+    import numpy as np
+
+    from conversation_analysis_tools_spark.operators.ann import ivf_assign
+
+    cents = np.array([[10.0, 0.0], [0.0, 20.0]])
+    rows = [(0, [11.0, 0.0]), (1, [12.0, 0.0]), (2, [0.0, 21.0]), (3, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(
+        emb, cents, vectorized=True
+    ).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: None}
+
+    out = {r["vec_id"]: (r["centroid_id"], r["keep"]) for r in D.semdedup_prune(
+        emb, cents, threshold=0.4, dense_path=True
+    ).collect()}
+    assert len(out) == 4
+    assert out[3][0] is None and out[3][1] is True  # null row: kept singleton
+    assert out[0][0] == 0 and out[2][0] == 1
+
+
+def test_grouped_grid_pairs_string_group_key(spark):
+    """Non-integral group keys must round-trip through the BLAS stage
+    (the schema follows the input group column's type)."""
+    rows = [
+        ("en", 1, [1.0, 0.0]), ("en", 2, [2.0, 0.0]),
+        ("de", 3, [0.0, 1.0]), ("de", 4, [0.0, 3.0]),
+        (None, 5, [1.0, 1.0]),  # null group: no pairs
+    ]
+    df = spark.createDataFrame(rows, "lang string, vec_id long, embedding array<double>")
+    got = sorted(
+        (r["lang"], r["id1"], r["id2"]) for r in S.grouped_grid_pairs(
+            df, "lang", 0.5, id_col="vec_id"
+        ).collect()
+    )
+    assert got == [("de", 3, 4), ("en", 1, 2)]
