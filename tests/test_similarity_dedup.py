@@ -881,3 +881,36 @@ def test_grouped_grid_pairs_string_group_key(spark):
         ).collect()
     )
     assert got == [("de", 3, 4), ("en", 1, 2)]
+
+
+def test_semdedup_dense_collapse_parity_dup_heavy(spark):
+    """The dense path's identical-embedding collapse (rep-grain
+    CC + linear expansion) vs the expression plan on a corpus of
+    exact-duplicate cliques plus near-dups and a null row: identical
+    components, identical keeps."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(8, 10))
+    rows = []
+    i = 0
+    for b in range(8):
+        for copy in range(12):           # 12 byte-identical copies each
+            rows.append((i, [float(x) for x in base[b]])); i += 1
+        v = base[b] + rng.normal(scale=0.01, size=10)   # one near-dup
+        rows.append((i, [float(x) for x in v])); i += 1
+    rows.append((i, None)); i += 1       # null embedding row
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from conversation_analysis_tools_spark.operators.ann import kmeans_centroids
+
+    cents = kmeans_centroids(emb.where("embedding is not null"), n_centroids=4)
+    cols = ["vec_id", "centroid_id", "component", "keep"]
+    expr_plan = sorted(
+        tuple(r[c] for c in cols)
+        for r in D.semdedup_prune(emb, cents, threshold=0.9, dense_path=False).collect()
+    )
+    dense_plan = sorted(
+        tuple(r[c] for c in cols)
+        for r in D.semdedup_prune(emb, cents, threshold=0.9, dense_path=True).collect()
+    )
+    assert expr_plan == dense_plan
