@@ -365,3 +365,57 @@ def doc_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation in tests/test_summarizer.py."""
     docs = _catalog_table(spark, "documents", sf_dir)
     return TR.summarize_documents(docs, "doc_id", "text", k=3).orderBy("doc_id")
+
+
+@register(
+    "cc_star_chain_fixed",
+    oracle="""
+    SELECT CAST(s.i AS BIGINT) AS id, CAST(0 AS BIGINT) AS component
+    FROM generate_series(0, 63) s(i)
+    UNION ALL
+    SELECT CAST(s.i AS BIGINT), CAST(1000 AS BIGINT)
+    FROM generate_series(1000, 1031) s(i)
+    UNION ALL
+    SELECT CAST(s.i AS BIGINT), CAST(2000 AS BIGINT)
+    FROM generate_series(2000, 2015) s(i)
+    UNION ALL
+    SELECT CAST(s.i AS BIGINT), CAST(3000 AS BIGINT)
+    FROM generate_series(3000, 3003) s(i)
+    ORDER BY 1
+    """,
+)
+def cc_star_chain_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-diameter certificate for the large-star/small-star CC
+    strategy (operators/components.py:_cc_star, Kiveris et al. SoCC
+    2014). The fixed graph mixes the topologies that separate the
+    algorithms: a 64-node path (diameter 63), a 32-node path, a
+    16-node ring, and a 4-clique. ``max_iter=10`` is the certificate's
+    teeth -- O(diameter) min-label propagation provably CANNOT label a
+    63-diameter chain in 10 rounds (the min advances one hop per
+    round), so a green row certifies the logarithmic contraction is
+    real, not just that some CC ran. The oracle is computed from the
+    component definitions (each component's label is its min id).
+    sf_dir is unused: the graph is fixed so the certificate is
+    data-independent.
+    """
+
+    def chain(lo: int, hi: int) -> DataFrame:
+        return spark.range(lo, hi).select(
+            F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+        )
+
+    clique_ids = [3000, 3001, 3002, 3003]
+    clique = spark.createDataFrame(
+        [(a, b) for a in clique_ids for b in clique_ids if a < b],
+        "id1 long, id2 long",
+    )
+    ring_close = spark.createDataFrame([(2015, 2000)], "id1 long, id2 long")
+    edges = (
+        chain(0, 63)
+        .union(chain(1000, 1031))
+        .union(chain(2000, 2015))
+        .union(ring_close)
+        .union(clique)
+    )
+    comp = C.connected_components(edges, strategy="star", max_iter=10)
+    return comp.orderBy("id")

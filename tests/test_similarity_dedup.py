@@ -124,6 +124,56 @@ def test_cc_strategies_agree(spark):
     comp = dict(local)
     assert comp[5] == comp[9] == comp[2] == comp[3] == comp[4] == 2
     assert comp[11] == comp[12] == 11
+    star = sorted(map(tuple, connected_components(edges, strategy="star").collect()))
+    assert local == star
+
+
+def test_cc_star_random_parity(spark):
+    # seeded random graph: star contraction must match driver union-find
+    import random
+
+    rng = random.Random(20260816)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    local = sorted(map(tuple, connected_components(df, strategy="local").collect()))
+    star = sorted(map(tuple, connected_components(df, strategy="star").collect()))
+    assert local == star
+
+
+def test_cc_star_high_diameter(spark):
+    # a 200-node path has diameter 199: min-label propagation advances
+    # the minimum ONE hop per round, so 12 rounds provably cannot
+    # finish -- while large-star/small-star contraction must (its
+    # round count is logarithmic in n, not linear in diameter)
+    from pyspark.sql import functions as F
+
+    path = spark.range(0, 199).select(
+        F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+    )
+    star = connected_components(path, strategy="star", max_iter=12).collect()
+    assert {r["component"] for r in star} == {0}
+    assert len(star) == 200
+    from conversation_analysis_tools_spark.operators import components as C
+
+    assert C.LAST_STAR_ROUNDS <= 12  # logarithmic, not O(diameter)
+    dist = connected_components(path, strategy="distributed", max_iter=12).collect()
+    assert {r["component"] for r in dist} != {0}
+
+
+def test_cc_star_string_ids_and_self_loops(spark):
+    # string ids order lexically in both engines; self-loops must not
+    # drop their node from the output
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "x"), ("m", "n")],
+        "id1 string, id2 string",
+    )
+    local = sorted(map(tuple, connected_components(edges, strategy="local").collect()))
+    star = sorted(map(tuple, connected_components(edges, strategy="star").collect()))
+    assert local == star
+    comp = dict(star)
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == "x"
+    assert comp["m"] == comp["n"] == "m"
 
 
 def test_substring_span_stats_pinned(spark):
