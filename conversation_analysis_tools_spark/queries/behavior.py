@@ -323,3 +323,81 @@ def audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.col("exact_overlap")
         ).alias("overlap_within_15pct"),
     )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events WHERE user_id % 25 = 0
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(day) AS mn, max(day) AS mx
+        FROM daily GROUP BY 1
+    ),
+    cal AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                           CAST(mx AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    j AS (
+        SELECT c.event_type, c.day, d.n
+        FROM cal c LEFT JOIN daily d
+          ON c.event_type = d.event_type AND c.day = d.day
+    )
+    SELECT event_type, day, n IS NULL AS filled,
+           CAST(last_value(n IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_fill
+    FROM j
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward-fill, the resample primitive every
+    time-series consumer needs before joins or models (beyond-
+    reference; the reference's time rollups, exper_sql.py:2600-2700,
+    silently skip empty days). Per event_type over a sparsified slice
+    (user_id % 25 = 0, so the daily series actually has holes at the
+    driver sfs): the per-key calendar is densified from min(day) to
+    max(day) via sequence+explode, missing days are flagged
+    ``filled`` and carry the last observed count forward with a
+    last(ignorenulls) running window. n_fill is never null -- each
+    key's first calendar day is observed by construction.
+
+    Plan/scale: the raw scan reduces to (key, day) grain FIRST (one
+    shuffle with map-side partials); the calendar explode, the fill
+    join, and the forward-fill window all run at that date grain --
+    rows = keys x span days, KB-scale per key at any event volume --
+    and share one hash partitioning on event_type. Nothing rescans
+    events: at 100 TB the dense calendar costs (keys x days), not
+    bytes.
+    """
+    ev = _events(spark, sf_dir).where(F.col("user_id") % 25 == 0)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx")).alias("day"),
+        )
+    )
+    j = cal.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "day",
+        F.col("n").isNull().alias("filled"),
+        F.last("n", ignorenulls=True).over(w).cast("bigint").alias("n_fill"),
+    )

@@ -44,3 +44,64 @@ def test_retention_week0_has_full_cohort(spark):
         assert 0 in offsets, f"cohort {cohort} missing week 0"
         # week 0 contains every cohort member -> it is the max row
         assert offsets[0] == max(offsets.values())
+
+
+def test_gapfill_planted_gaps(spark):
+    # two keys, planted holes: 'a' misses day 3-4 (carries 7 forward),
+    # 'b' misses day 2 (carries 5); no fill may cross the key boundary
+    from datetime import date
+
+    from pyspark.sql import Window
+
+    daily = spark.createDataFrame(
+        [
+            ("a", date(2024, 1, 1), 3),
+            ("a", date(2024, 1, 2), 7),
+            ("a", date(2024, 1, 5), 2),
+            ("b", date(2024, 1, 1), 5),
+            ("b", date(2024, 1, 3), 9),
+        ],
+        "event_type string, day date, n long",
+    )
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("day"))
+    )
+    j = cal.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = {
+        (r["event_type"], r["day"].isoformat()): (r["filled"], r["n_fill"])
+        for r in j.select(
+            "event_type",
+            "day",
+            F.col("n").isNull().alias("filled"),
+            F.last("n", ignorenulls=True).over(w).cast("bigint").alias("n_fill"),
+        ).collect()
+    }
+    assert out[("a", "2024-01-03")] == (True, 7)
+    assert out[("a", "2024-01-04")] == (True, 7)
+    assert out[("a", "2024-01-05")] == (False, 2)
+    assert out[("b", "2024-01-02")] == (True, 5)
+    assert out[("b", "2024-01-03")] == (False, 9)
+    assert len(out) == 5 + 3  # a: 5 calendar days, b: 3
+
+
+def test_gapfill_query_invariants(spark):
+    # registry query at sf0.001 (sparse slice -> real gaps): n_fill
+    # never null, first day per key observed, calendar is contiguous
+    rows = REGISTRY["timeseries_gapfill"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_key: dict = {}
+    for r in rows:
+        assert r["n_fill"] is not None
+        by_key.setdefault(r["event_type"], []).append(r)
+    for key, rs in by_key.items():
+        rs.sort(key=lambda r: r["day"])
+        assert rs[0]["filled"] is False, f"{key} first day must be observed"
+        span = (rs[-1]["day"] - rs[0]["day"]).days + 1
+        assert len(rs) == span, f"{key} calendar not contiguous"
