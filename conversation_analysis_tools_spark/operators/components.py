@@ -74,13 +74,19 @@ def connected_components(
     # join would otherwise re-materialize the (often expensive)
     # edge-producing plan -- e.g. the all-pairs similarity join
     edges = track(edges)
-    if strategy == "auto":
+    auto = strategy == "auto"
+    if auto:
         probe = edges.limit(SMALL_GRAPH_LIMIT + 1).count()
         strategy = "local" if probe <= SMALL_GRAPH_LIMIT else "star"
     if strategy == "local":
         return _cc_local(edges, src, dst)
     if strategy == "star":
-        return _cc_star(edges, src, dst, max_iter)
+        # auto-selected star self-sizes its round cap from the node
+        # count (measured ~log2 n rounds, worst case log^2 n -- a
+        # fixed 25 would be too tight past ~10^8 nodes); an EXPLICIT
+        # max_iter is honored verbatim so round-bound certificates
+        # (cc_star_chain_fixed) keep their teeth
+        return _cc_star(edges, src, dst, None if auto else max_iter)
     return _cc_distributed(edges, src, dst, max_iter)
 
 
@@ -170,7 +176,7 @@ def _cc_star(
     edges: DataFrame,
     src: str = "id1",
     dst: str = "id2",
-    max_iter: int = 25,
+    max_iter: int | None = 25,
 ) -> DataFrame:
     """Alternating large-star / small-star contraction (Kiveris et
     al., SoCC 2014) -- O(log n) rounds on any topology, so long
@@ -207,6 +213,13 @@ def _cc_star(
         .distinct()
         .localCheckpoint()
     )
+    if max_iter is None:
+        # self-sized cap: 2*log2(n) + 8 covers the measured ~log2 n
+        # convergence with headroom, stays tiny even at 10^12 nodes
+        import math
+
+        n_nodes = nodes.count()
+        max_iter = 2 * math.ceil(math.log2(max(n_nodes, 2))) + 8
     fp = _edge_fingerprint(cur)
     rounds = 0
     for _ in range(max_iter):
