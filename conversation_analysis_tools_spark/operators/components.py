@@ -24,8 +24,11 @@ multiplicatively -- O(log^2 n) rounds worst case, ~log2 n measured
 (tools/cc_probe.py: a 65,536-node path converges in 17 rounds, a
 4,096-node path in 13, where min-label needs rounds = diameter and
 is still 99% unconverged at a 40-round cap; near-clique dup graphs
-converge in 2). Each round is one groupBy + one join on the current
-edge set, same per-round shuffle cost as min-label.
+converge in 2). Each round runs TWO groupBy+join pairs (large-star
+over the symmetric edge set, small-star over the canonical one) plus
+an O(1)-output fingerprint agg -- roughly 2x the per-round shuffle
+work of a min-label round, repaid exponentially in round count on
+anything that is not a near-clique.
 """
 
 from __future__ import annotations
@@ -53,7 +56,7 @@ def connected_components(
     edges: DataFrame,
     src: str = "id1",
     dst: str = "id2",
-    max_iter: int = 25,
+    max_iter: int | None = None,
     strategy: str = "auto",
 ) -> DataFrame:
     """(src, dst) undirected edges -> (id, component) with component =
@@ -74,20 +77,20 @@ def connected_components(
     # join would otherwise re-materialize the (often expensive)
     # edge-producing plan -- e.g. the all-pairs similarity join
     edges = track(edges)
-    auto = strategy == "auto"
-    if auto:
+    if strategy == "auto":
         probe = edges.limit(SMALL_GRAPH_LIMIT + 1).count()
         strategy = "local" if probe <= SMALL_GRAPH_LIMIT else "star"
     if strategy == "local":
         return _cc_local(edges, src, dst)
     if strategy == "star":
-        # auto-selected star self-sizes its round cap from the node
-        # count (measured ~log2 n rounds, worst case log^2 n -- a
-        # fixed 25 would be too tight past ~10^8 nodes); an EXPLICIT
-        # max_iter is honored verbatim so round-bound certificates
-        # (cc_star_chain_fixed) keep their teeth
-        return _cc_star(edges, src, dst, None if auto else max_iter)
-    return _cc_distributed(edges, src, dst, max_iter)
+        # max_iter=None -> _cc_star self-sizes its round cap from the
+        # node count (a fixed cap would be too tight past ~10^8
+        # nodes); an explicit max_iter is honored verbatim so
+        # round-bound certificates (cc_star_chain_fixed) keep their
+        # teeth, and hitting it raises rather than returning
+        # silently-split components
+        return _cc_star(edges, src, dst, max_iter)
+    return _cc_distributed(edges, src, dst, max_iter or 25)
 
 
 def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -176,7 +179,7 @@ def _cc_star(
     edges: DataFrame,
     src: str = "id1",
     dst: str = "id2",
-    max_iter: int | None = 25,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star contraction (Kiveris et
     al., SoCC 2014) -- O(log n) rounds on any topology, so long
@@ -215,16 +218,21 @@ def _cc_star(
     )
     if max_iter is None:
         # self-sized cap: 2*log2(n) + 8 covers the measured ~log2 n
-        # convergence with headroom, stays tiny even at 10^12 nodes
+        # convergence with ample headroom (cap is a backstop, the
+        # fingerprint fixpoint exits early), stays tiny at 10^12 nodes
         import math
 
         n_nodes = nodes.count()
         max_iter = 2 * math.ceil(math.log2(max(n_nodes, 2))) + 8
     fp = _edge_fingerprint(cur)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
-        # large-star over the symmetric neighborhoods
+        # large-star: mins need the SYMMETRIC neighborhoods, but the
+        # emitted edges (v, m(u)) with v > u survive only from the
+        # u=lo side of each canonical edge -- so join cur (not sym)
+        # against mins on lo, halving the join-probe volume
         sym = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
@@ -233,11 +241,10 @@ def _cc_star(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("u", "mn").alias("m"))
         )
-        # every v > u re-points to m; m <= u < v keeps (v, m) canonical
+        # hi > lo >= m keeps (hi, m) canonical
         cur = (
-            sym.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            cur.join(mins.withColumnRenamed("u", "lo"), "lo")
+            .select("hi", F.col("m").alias("lo"))
             .distinct()
             .localCheckpoint()
         )
@@ -253,10 +260,21 @@ def _cc_star(
         )
         new_fp = _edge_fingerprint(cur)
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
     LAST_STAR_ROUNDS = rounds
-    # converged: edges are (child, root); min() guards the at-cap case
+    if not converged:
+        # LOUD, not silently wrong: at the cap the edge set can still
+        # contain chains, and groupBy-min labels would split one
+        # component across several non-root labels (downstream dedup
+        # would then KEEP duplicates)
+        raise RuntimeError(
+            f"star contraction did not reach its fixpoint in {max_iter} "
+            "rounds; raise max_iter (rounds needed ~= log2(n_nodes)+1, "
+            "see tools/cc_probe.py measurements)"
+        )
+    # converged: the edge set is (child, root) stars
     child = cur.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("component"))
     return nodes.join(child, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")

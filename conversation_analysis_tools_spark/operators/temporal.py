@@ -163,3 +163,46 @@ def yearly_windowed(daily: DataFrame, tail_rows: int, aggs, day_col: str = "day"
         .where(keep)
         .drop("_serve_year")
     )
+
+
+def gapfill_forward(
+    daily: DataFrame,
+    key: str = "event_type",
+    day: str = "day",
+    value: str = "n",
+) -> DataFrame:
+    """Densify a per-key daily series over its min->max calendar and
+    forward-fill the value column (the resample primitive; consumed by
+    queries/behavior.timeseries_gapfill and its planted-gap tests, so
+    query and test exercise ONE implementation).
+
+    Output: (key, day, filled, {value}_fill) -- ``filled`` marks days
+    absent from the input, ``{value}_fill`` carries the last observed
+    value forward (never null: each key's first calendar day is
+    observed by construction).
+
+    Scale: everything runs at (key, day) grain -- rows = keys x span
+    days regardless of the event volume that produced ``daily`` --
+    and the calendar explode, fill join, and running window share one
+    hash partitioning on the key.
+    """
+    cal = (
+        daily.groupBy(key)
+        .agg(F.min(day).alias("mn"), F.max(day).alias("mx"))
+        .select(key, F.explode(F.sequence("mn", "mx")).alias(day))
+    )
+    j = cal.join(daily, [key, day], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(day)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        key,
+        day,
+        F.col(value).isNull().alias("filled"),
+        F.last(value, ignorenulls=True)
+        .over(w)
+        .cast("bigint")
+        .alias(f"{value}_fill"),
+    )

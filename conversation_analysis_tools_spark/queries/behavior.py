@@ -377,27 +377,10 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     events: at 100 TB the dense calendar costs (keys x days), not
     bytes.
     """
+    from conversation_analysis_tools_spark.operators.temporal import gapfill_forward
+
     ev = _events(spark, sf_dir).where(F.col("user_id") % 25 == 0)
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count("*").alias("n"))
-    cal = (
-        daily.groupBy("event_type")
-        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-        .select(
-            "event_type",
-            F.explode(F.sequence("mn", "mx")).alias("day"),
-        )
-    )
-    j = cal.join(daily, ["event_type", "day"], "left")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return j.select(
-        "event_type",
-        "day",
-        F.col("n").isNull().alias("filled"),
-        F.last("n", ignorenulls=True).over(w).cast("bigint").alias("n_fill"),
-    )
+    return gapfill_forward(daily, key="event_type", day="day", value="n")

@@ -51,7 +51,7 @@ def test_gapfill_planted_gaps(spark):
     # 'b' misses day 2 (carries 5); no fill may cross the key boundary
     from datetime import date
 
-    from pyspark.sql import Window
+    from conversation_analysis_tools_spark.operators.temporal import gapfill_forward
 
     daily = spark.createDataFrame(
         [
@@ -63,25 +63,9 @@ def test_gapfill_planted_gaps(spark):
         ],
         "event_type string, day date, n long",
     )
-    cal = (
-        daily.groupBy("event_type")
-        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
-        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("day"))
-    )
-    j = cal.join(daily, ["event_type", "day"], "left")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     out = {
         (r["event_type"], r["day"].isoformat()): (r["filled"], r["n_fill"])
-        for r in j.select(
-            "event_type",
-            "day",
-            F.col("n").isNull().alias("filled"),
-            F.last("n", ignorenulls=True).over(w).cast("bigint").alias("n_fill"),
-        ).collect()
+        for r in gapfill_forward(daily).collect()
     }
     assert out[("a", "2024-01-03")] == (True, 7)
     assert out[("a", "2024-01-04")] == (True, 7)

@@ -150,7 +150,11 @@ def test_cc_star_high_diameter(spark):
     path = spark.range(0, 199).select(
         F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
     )
-    star = connected_components(path, strategy="star", max_iter=12).collect()
+    # generous cap so the ROUND COUNT assertion has teeth: with the
+    # cap at 40, finishing within 12 rounds can only mean the
+    # fingerprint fixpoint fired early (an O(diameter) loop would
+    # run ~199 rounds and raise at the cap)
+    star = connected_components(path, strategy="star", max_iter=40).collect()
     assert {r["component"] for r in star} == {0}
     assert len(star) == 200
     from conversation_analysis_tools_spark.operators import components as C
@@ -158,6 +162,20 @@ def test_cc_star_high_diameter(spark):
     assert C.LAST_STAR_ROUNDS <= 12  # logarithmic, not O(diameter)
     dist = connected_components(path, strategy="distributed", max_iter=12).collect()
     assert {r["component"] for r in dist} != {0}
+
+
+def test_cc_star_raises_at_cap(spark):
+    # an impossible 1-round cap on a chained graph must raise loudly,
+    # never return silently-split components
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    path = spark.range(0, 40).select(
+        F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(path, strategy="star", max_iter=1)
 
 
 def test_cc_star_string_ids_and_self_loops(spark):
