@@ -206,3 +206,37 @@ def gapfill_forward(
         .cast("bigint")
         .alias(f"{value}_fill"),
     )
+
+
+def distributed_cumsum(
+    daily: DataFrame,
+    day: str = "day",
+    value: str = "new_users",
+    out: str = "cumulative",
+) -> DataFrame:
+    """Running (unbounded-preceding) sum over a date-grain series
+    WITHOUT a global single-partition window at the day grain: cumsum
+    within each year partition, then add the broadcast sum of all
+    prior years' totals. The only global window runs on the YEAR-grain
+    totals -- rows = distinct years, bounded by history length / 365,
+    so the single task it implies holds a few dozen rows at any event
+    volume (same bounded-rollup argument as yearly_windowed's tails).
+    Exact for integer values at any partitioning.
+    """
+    df = daily.withColumn("_yr", F.year(day))
+    w_in = (
+        Window.partitionBy("_yr")
+        .orderBy(day)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = df.withColumn("_cum_in", F.sum(value).over(w_in))
+    totals = df.groupBy("_yr").agg(F.sum(value).alias("_tot"))
+    w_yr = Window.orderBy("_yr").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_yr", F.coalesce(F.sum("_tot").over(w_yr), F.lit(0)).alias("_off")
+    )
+    return (
+        df.join(F.broadcast(offsets), "_yr")
+        .withColumn(out, (F.col("_cum_in") + F.col("_off")).cast("bigint"))
+        .drop("_yr", "_cum_in", "_off")
+    )

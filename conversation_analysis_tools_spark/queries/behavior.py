@@ -384,3 +384,44 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count("*").alias("n"))
     return gapfill_forward(daily, key="event_type", day="day", value="n")
+
+
+@register(
+    "cumulative_new_users",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY 1
+    ),
+    daily AS (SELECT day, count(*) AS new_users FROM firsts GROUP BY 1)
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (
+                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: users first seen per day plus the running
+    cumulative user count (beyond-reference; the standard companion
+    to retention_cohorts on any activity store).
+
+    Plan/scale: one user_id shuffle computes each user's first day
+    (map-side partial min), the date reduce is tiny, and the running
+    total runs through operators/temporal.distributed_cumsum -- cumsum
+    within year partitions plus broadcast prior-year offsets -- so no
+    day-grain data ever funnels through a single-partition global
+    window, at any history length.
+    """
+    from conversation_analysis_tools_spark.operators.temporal import (
+        distributed_cumsum,
+    )
+
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("day"))
+    daily = firsts.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    return distributed_cumsum(
+        daily, day="day", value="new_users", out="cumulative_users"
+    )

@@ -89,3 +89,32 @@ def test_gapfill_query_invariants(spark):
         assert rs[0]["filled"] is False, f"{key} first day must be observed"
         span = (rs[-1]["day"] - rs[0]["day"]).days + 1
         assert len(rs) == span, f"{key} calendar not contiguous"
+
+
+def test_distributed_cumsum_cross_year(spark):
+    # planted multi-year series: per-year cumsum + broadcast offsets
+    # must equal the plain global running sum, including across the
+    # year boundaries and with a gap year
+    from datetime import date
+
+    from conversation_analysis_tools_spark.operators.temporal import (
+        distributed_cumsum,
+    )
+
+    rows = [
+        (date(2021, 3, 1), 5),
+        (date(2021, 12, 31), 7),
+        (date(2022, 1, 1), 11),
+        (date(2022, 6, 15), 2),
+        (date(2024, 2, 2), 3),  # 2023 absent entirely
+    ]
+    daily = spark.createDataFrame(rows, "day date, new_users long")
+    got = {
+        r["day"].isoformat(): r["cumulative"]
+        for r in distributed_cumsum(daily).collect()
+    }
+    running, expect = 0, {}
+    for d, n in rows:
+        running += n
+        expect[d.isoformat()] = running
+    assert got == expect
