@@ -1972,3 +1972,46 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice", "p_size"
     )
     return skyline(parts, ["p_retailprice", "p_size"])
+
+
+@register(
+    "corr_matrix_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS r_qty_price,
+           round(corr(l_quantity, l_discount), 4) AS r_qty_disc,
+           round(corr(l_extendedprice, l_discount), 4) AS r_price_disc,
+           round(corr(l_extendedprice, l_extendedprice * (1 - l_discount)), 4)
+               AS r_price_net
+    FROM lineitem GROUP BY 1
+    """,
+)
+def corr_matrix_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation matrix over the lineitem measures
+    (beyond-reference; completes the §2.4 statistics family next to
+    stddev_agg/stats_summary -- the reference's SQLite backend has no
+    corr() at all). r_price_net includes a derived column so one pair
+    is strongly correlated by construction (~1.0), not just the
+    near-zero independent synthetics.
+
+    Plan/scale: corr is an algebraic aggregate (sums of x, y, xy, x^2,
+    y^2), so all four coefficients reduce map-side in ONE pass over
+    the scan with partial aggregation -- a single shuffle of 5-ish
+    cells per group, no row ever leaves its partition unaggregated.
+    Pearson r is scale-invariant, so the sample/population variance
+    choice cancels and both engines agree to double precision;
+    round(4) absorbs summation-order noise (~1e-12 relative).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("r_qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("r_qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("r_price_disc"),
+        F.round(
+            F.corr(
+                F.col("l_extendedprice"),
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+            ),
+            4,
+        ).alias("r_price_net"),
+    )
