@@ -860,3 +860,80 @@ def c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("bigint").alias("n_kept"),
         F.array_join(kept, "\n").alias("cleaned"),
     )
+
+
+def _drift_oracle() -> str:
+    from conversation_analysis_tools_spark.queries.nlp import TOK_CTE
+
+    return f"""
+    WITH {TOK_CTE},
+    flags AS (SELECT doc_id % 2 = 1 AS is_new, term FROM tok),
+    counts AS (
+        SELECT term,
+               sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS c_new,
+               sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS c_old
+        FROM flags GROUP BY 1
+    ),
+    tot AS (SELECT sum(c_new) AS n_new, sum(c_old) AS n_old,
+                   count(*) AS v FROM counts)
+    SELECT term, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new,
+           round(1000000.0 * ((c_new + 1.0) / (n_new + v))
+                 * ln(((c_new + 1.0) / (n_new + v))
+                      / ((c_old + 1.0) / (n_old + v))), 2) AS contrib_ppm
+    FROM counts, tot
+    """
+
+
+@register("corpus_drift_kl", oracle=_drift_oracle())
+def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift monitor: KL(new || old) decomposed per term
+    between two deterministic corpus halves (doc_id parity stands in
+    for the old/new snapshot split; in production the split key is
+    ingestion date or corpus version). The standard pre-training data
+    health check -- a drifting token distribution between snapshots is
+    the first visible symptom of a scraper or filter regression
+    (beyond-reference; same smoothed-LM machinery family as
+    dsir_importance, Xie et al. 2023).
+
+    Add-one smoothing over the union vocabulary keeps every log
+    finite; contrib_ppm = 1e6 * p_new * ln(p_new / p_old), summing to
+    1e6 * KL. Emits the FULL per-term decomposition (the testdata
+    vocabulary is bounded); at real scale the top-k cut is one
+    TakeOrderedAndProject on contrib_ppm.
+
+    Plan/scale: tokenize is a map-only flatMap; ONE shuffle on term
+    with map-side partial conditional sums (no per-half join -- both
+    halves aggregate in the same pass); the totals row broadcasts via
+    a one-row crossJoin. Log arithmetic runs on identical integer
+    counts in both engines, and the 1e6 scaling keeps cross-engine
+    1-ulp ln() noise ~8 orders below the rounding boundary.
+    """
+    from conversation_analysis_tools_spark.functions.text import (
+        tokens_with_dupes_expr,
+    )
+
+    docs = _catalog_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+        F.explode(tokens_with_dupes_expr("text")).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("c_new"),
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).alias("c_old"),
+    )
+    totals = counts.agg(
+        F.sum("c_new").alias("n_new"),
+        F.sum("c_old").alias("n_old"),
+        F.count("*").alias("v"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p_new = (F.col("c_new") + 1.0) / (F.col("n_new") + F.col("v"))
+    p_old = (F.col("c_old") + 1.0) / (F.col("n_old") + F.col("v"))
+    return j.select(
+        "term",
+        F.col("c_old").cast("bigint").alias("c_old"),
+        F.col("c_new").cast("bigint").alias("c_new"),
+        F.round(F.lit(1000000.0) * p_new * F.log(p_new / p_old), 2).alias(
+            "contrib_ppm"
+        ),
+    )
