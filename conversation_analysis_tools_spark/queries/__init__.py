@@ -54,11 +54,13 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # rows), so the 24-query r3 tail (incl. the whole real-streaming
 # family) auto-promotes at the 4-round staleness bound -- VERDICT r6
 # item 3 requires this list to stay small enough that
-# ceil(174 oracled / free slots) <= 4, i.e. <= 6 pins
-# (test_rotation_staleness_bound enforces it). Round 7's two NEW
-# queries (ann_ivf_batch_dpp, shard_media_roundtrip) need no pin:
-# never-checked oracled queries auto-rank AHEAD of the oldest-green
-# tail, so they occupy round-7 slots either way. Likewise
+# ceil(oracled / free slots) <= 4; at 180 oracled that means <= 5
+# pins (test_rotation_staleness_bound enforces it). Round 7's NEW
+# queries (ann_ivf_batch_dpp, shard_media_roundtrip,
+# semdedup_dense_fixed, cc_star_chain_fixed, timeseries_gapfill,
+# cumulative_new_users, corr_matrix_by_flag, corpus_drift_kl) need
+# no pin: never-checked oracled queries auto-rank AHEAD of the
+# oldest-green tail, so they occupy round-7 slots either way. Likewise
 # anomaly_daily_zscore (changed plan: year-partitioned trailing
 # window) is r3-green, so the age ranking promotes it without a pin.
 # The manual list holds only round 7's remaining changed-plan
