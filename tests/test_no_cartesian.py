@@ -62,6 +62,7 @@ BNLJ_ALLOWED = {
     # predicate -- bounded by type cardinality, never by events
     "rollup_heavy_hitters_cms",  # broadcast 1-row total-N frame
     "zorder_clustered_scan",  # broadcast 1-row min/max stats frame
+    "corpus_drift_kl",  # broadcast 1-row (n_new, n_old, V) totals frame
 }
 
 
