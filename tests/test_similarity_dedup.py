@@ -129,15 +129,31 @@ def test_cc_strategies_agree(spark):
 
 
 def test_cc_star_random_parity(spark):
-    # seeded random graph: star contraction must match driver union-find
+    # seeded adversarial graphs: star contraction must match driver
+    # union-find on every topology, incl. duplicate + reversed edges
+    # and a hub with chains hanging off it
     import random
 
     rng = random.Random(20260816)
-    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
-    df = spark.createDataFrame(edges, "id1 long, id2 long")
-    local = sorted(map(tuple, connected_components(df, strategy="local").collect()))
-    star = sorted(map(tuple, connected_components(df, strategy="star").collect()))
-    assert local == star
+    graphs = []
+    graphs.append([(rng.randrange(200), rng.randrange(200)) for _ in range(300)])
+    dup = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    graphs.append(dup + [(b, a) for a, b in dup] + dup)  # dupes + reversals
+    hub = [(500, 500 + i) for i in range(1, 20)]  # star around a hub
+    for i in range(3):  # three 15-node chains hanging off hub leaves
+        base = 600 + 100 * i
+        hub += [(500 + i + 1, base)]
+        hub += [(base + j, base + j + 1) for j in range(14)]
+    graphs.append(hub)
+    for edges in graphs:
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        local = sorted(
+            map(tuple, connected_components(df, strategy="local").collect())
+        )
+        star = sorted(
+            map(tuple, connected_components(df, strategy="star").collect())
+        )
+        assert local == star, f"mismatch on {len(edges)}-edge graph"
 
 
 def test_cc_star_high_diameter(spark):
