@@ -111,3 +111,15 @@ def test_manifest_pack_and_read_empty(spark, tmp_path):
     assert (
         MF.read_media(man.where(F.col("media_id") > 5)).count() == 0
     )
+
+
+def test_gapfill_and_cumsum_empty(spark):
+    from conversation_analysis_tools_spark.operators.temporal import (
+        distributed_cumsum,
+        gapfill_forward,
+    )
+
+    empty = spark.createDataFrame([], schema="event_type string, day date, n long")
+    assert gapfill_forward(empty).count() == 0
+    empty2 = spark.createDataFrame([], schema="day date, new_users long")
+    assert distributed_cumsum(empty2).count() == 0
