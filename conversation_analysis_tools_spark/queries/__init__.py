@@ -88,6 +88,11 @@ VERIFY_PRIORITY: list[str] = [
     "dedup_collapse_editdist_fixed",
     "dedup_ngram_jaccard",
     "dedup_collapse_jaccard_fixed",
+    # pct_change gained the +0.0 negative-zero fold (sf1 gate find);
+    # r4-green and outside the age-ranked window, so pinned. The
+    # other four -0.0 fixes (zscore, dsir, corr, drift) are already
+    # in the round-7 window via age ranking / never-checked status.
+    "lag_day_over_day",
 ]
 
 

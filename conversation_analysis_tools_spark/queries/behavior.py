@@ -204,7 +204,7 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day, CAST(n AS BIGINT) AS n,
            round((n - s7 * 1.0 / c7)
-                 / sqrt((ss7 - s7 * 1.0 * s7 / c7) / (c7 - 1)), 4) AS zscore
+                 / sqrt((ss7 - s7 * 1.0 * s7 / c7) / (c7 - 1)), 4) + 0 AS zscore
     FROM trail
     WHERE c7 >= 3 AND (ss7 - s7 * 1.0 * s7 / c7) > 0
     """,
@@ -251,7 +251,11 @@ def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day",
             F.col("n").cast("bigint").alias("n"),
-            F.round((F.col("n") - mean) / F.sqrt(var), 4).alias("zscore"),
+            # +0.0 folds -0.0 to 0.0 (cross-engine negative-zero parity
+            # for signed rounded floats; both engines: -0.0 + 0.0 = 0.0)
+            (F.round((F.col("n") - mean) / F.sqrt(var), 4) + F.lit(0.0)).alias(
+                "zscore"
+            ),
         )
     )
 

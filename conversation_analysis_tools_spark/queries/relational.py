@@ -1191,7 +1191,7 @@ def rolling_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day, n,
            n - lag(n) OVER (ORDER BY day) AS delta,
            round((n - lag(n) OVER (ORDER BY day)) * 100.0
-                 / nullif(lag(n) OVER (ORDER BY day), 0), 4) AS pct_change
+                 / nullif(lag(n) OVER (ORDER BY day), 0), 4) + 0 AS pct_change
     FROM daily
     """,
 )
@@ -1215,9 +1215,11 @@ def lag_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         {
             "delta": lambda wb: F.col("n") - _lagn(wb),
+            # +0.0 folds -0.0 to 0.0 (cross-engine negative-zero parity)
             "pct_change": lambda wb: F.round(
                 (F.col("n") - _lagn(wb)) * 100.0 / F.nullif(_lagn(wb), F.lit(0)), 4
-            ),
+            )
+            + F.lit(0.0),
         },
     )
 
@@ -1978,10 +1980,10 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corr_matrix_by_flag",
     oracle="""
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 4) AS r_qty_price,
-           round(corr(l_quantity, l_discount), 4) AS r_qty_disc,
-           round(corr(l_extendedprice, l_discount), 4) AS r_price_disc,
-           round(corr(l_extendedprice, l_extendedprice * (1 - l_discount)), 4)
+           round(corr(l_quantity, l_extendedprice), 4) + 0 AS r_qty_price,
+           round(corr(l_quantity, l_discount), 4) + 0 AS r_qty_disc,
+           round(corr(l_extendedprice, l_discount), 4) + 0 AS r_price_disc,
+           round(corr(l_extendedprice, l_extendedprice * (1 - l_discount)), 4) + 0
                AS r_price_net
     FROM lineitem GROUP BY 1
     """,
@@ -2003,15 +2005,26 @@ def corr_matrix_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(4) absorbs summation-order noise (~1e-12 relative).
     """
     li = _t(spark, sf_dir, "lineitem")
+    # +0.0 on every signed rounded coefficient folds -0.0 to 0.0
+    # (cross-engine negative-zero parity; surfaced by the sf1 gate)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("r_qty_price"),
-        F.round(F.corr("l_quantity", "l_discount"), 4).alias("r_qty_disc"),
-        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("r_price_disc"),
-        F.round(
-            F.corr(
-                F.col("l_extendedprice"),
-                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
-            ),
-            4,
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
+            "r_qty_price"
+        ),
+        (F.round(F.corr("l_quantity", "l_discount"), 4) + F.lit(0.0)).alias(
+            "r_qty_disc"
+        ),
+        (F.round(F.corr("l_extendedprice", "l_discount"), 4) + F.lit(0.0)).alias(
+            "r_price_disc"
+        ),
+        (
+            F.round(
+                F.corr(
+                    F.col("l_extendedprice"),
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                ),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("r_price_net"),
     )

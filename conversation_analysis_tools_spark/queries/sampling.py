@@ -876,7 +876,7 @@ _DSIR_TARGET_SOURCE = "src0"
     )
     SELECT f.doc_id,
            CAST(sum(f.cnt) AS BIGINT) AS n_tokens,
-           round(sum(f.cnt * lm.llr) / sum(f.cnt), 6) AS dsir_logratio
+           round(sum(f.cnt * lm.llr) / sum(f.cnt), 6) + 0 AS dsir_logratio
     FROM feat f JOIN lm ON f.b = lm.b
     GROUP BY f.doc_id
     """,
@@ -926,8 +926,10 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("cnt") * F.col("llr")) / F.sum("cnt"), 6
+            # +0.0 folds -0.0 to 0.0 (cross-engine negative-zero parity)
+            (
+                F.round(F.sum(F.col("cnt") * F.col("llr")) / F.sum("cnt"), 6)
+                + F.lit(0.0)
             ).alias("dsir_logratio"),
         )
     )

@@ -879,7 +879,7 @@ def _drift_oracle() -> str:
     SELECT term, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new,
            round(1000000.0 * ((c_new + 1.0) / (n_new + v))
                  * ln(((c_new + 1.0) / (n_new + v))
-                      / ((c_old + 1.0) / (n_old + v))), 2) AS contrib_ppm
+                      / ((c_old + 1.0) / (n_old + v))), 2) + 0 AS contrib_ppm
     FROM counts, tot
     """
 
@@ -933,7 +933,9 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.col("c_old").cast("bigint").alias("c_old"),
         F.col("c_new").cast("bigint").alias("c_new"),
-        F.round(F.lit(1000000.0) * p_new * F.log(p_new / p_old), 2).alias(
-            "contrib_ppm"
-        ),
+        # +0.0 folds -0.0 to 0.0 (cross-engine negative-zero parity)
+        (
+            F.round(F.lit(1000000.0) * p_new * F.log(p_new / p_old), 2)
+            + F.lit(0.0)
+        ).alias("contrib_ppm"),
     )
