@@ -149,7 +149,7 @@ def nlp_tf_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {TOK_CTE}
     SELECT term,
            count(DISTINCT doc_id) AS df,
-           round(ln((SELECT count(*) FROM documents) / (1 + count(DISTINCT doc_id))), 6) AS idf
+           round(ln((SELECT count(*) FROM documents) / (1 + count(DISTINCT doc_id))), 6) + 0 AS idf
     FROM tok GROUP BY term
     """,
 )
@@ -168,7 +168,13 @@ def nlp_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             "df",
-            F.round(F.log(F.lit(float(n)) / (F.lit(1) + F.col("df"))), 6).alias("idf"),
+            # +0.0 folds -0.0 to 0.0: at web scale a term in ~all of N
+            # docs gives ln(N/(1+df)) in (-5e-7, 0), which rounds to -0.0
+            # on one engine and 0.0 on the other (negative-zero parity)
+            (
+                F.round(F.log(F.lit(float(n)) / (F.lit(1) + F.col("df"))), 6)
+                + F.lit(0.0)
+            ).alias("idf"),
         )
     )
 

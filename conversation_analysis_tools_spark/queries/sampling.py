@@ -309,7 +309,7 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     total AS (SELECT sum(tcnt) AS tot FROM lm)
     SELECT c.doc_id,
            CAST(sum(c.cnt) AS BIGINT) AS n_tokens,
-           round(sum(c.cnt * ln(l.tcnt * 1.0 / t.tot)) / sum(c.cnt), 6)
+           round(sum(c.cnt * ln(l.tcnt * 1.0 / t.tot)) / sum(c.cnt), 6) + 0
                AS avg_logprob
     FROM counts c JOIN lm l ON c.term = l.term CROSS JOIN total t
     GROUP BY c.doc_id
@@ -339,10 +339,17 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("cnt") * F.log(F.col("tcnt") / F.lit(float(total))))
-                / F.sum("cnt"),
-                6,
+            # +0.0: negative-zero parity (degenerate near-single-term
+            # corpora can round the average log-prob to -0.0)
+            (
+                F.round(
+                    F.sum(
+                        F.col("cnt") * F.log(F.col("tcnt") / F.lit(float(total)))
+                    )
+                    / F.sum("cnt"),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("avg_logprob"),
         )
     )
@@ -722,7 +729,7 @@ _BIGRAM_LAMBDA = 0.7
     SELECT d.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            round(avg(ln({_BIGRAM_LAMBDA} * b.bcnt * 1.0 / u1.ucnt
-                        + {1.0 - _BIGRAM_LAMBDA} * u2.ucnt * 1.0 / t.mass)), 6)
+                        + {1.0 - _BIGRAM_LAMBDA} * u2.ucnt * 1.0 / t.mass)), 6) + 0
                AS avg_logprob
     FROM big d
     JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
@@ -781,7 +788,8 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
-            F.round(F.avg(F.log(p)), 6).alias("avg_logprob"),
+            # +0.0: negative-zero parity (see unigram_logprob)
+            (F.round(F.avg(F.log(p)), 6) + F.lit(0.0)).alias("avg_logprob"),
         )
     )
 
