@@ -101,6 +101,11 @@ HEADLINE = [
     # corpus; the parity exceptAll is part of the certified query).
     # shard_media_roundtrip stays out per the fixed-corpus rule.
     "ann_ivf_batch_dpp",
+    # round-7 late additions: time-series + stats + drift analytics
+    "timeseries_gapfill",
+    "cumulative_new_users",
+    "corr_matrix_by_flag",
+    "corpus_drift_kl",
 ]
 
 
