@@ -186,6 +186,10 @@ def gapfill_forward(
     and the calendar explode, fill join, and running window share one
     hash partitioning on the key.
     """
+    # null-key/day rows are excluded EXPLICITLY: they have no calendar
+    # position, and leaving them in would silently vanish in the fill
+    # equi-join while still skewing the min/max bounds
+    daily = daily.where(F.col(key).isNotNull() & F.col(day).isNotNull())
     cal = (
         daily.groupBy(key)
         .agg(F.min(day).alias("mn"), F.max(day).alias("mx"))
@@ -223,11 +227,20 @@ def distributed_cumsum(
     volume (same bounded-rollup argument as yearly_windowed's tails).
     Exact for integer values at any partitioning.
     """
+    # null-day rows are excluded EXPLICITLY (they have no position in
+    # a date order; silently dropping them in the offsets equi-join
+    # while counting them into year totals would inflate every
+    # cumulative -- the contract is: no calendar position, no row)
+    daily = daily.where(F.col(day).isNotNull())
     df = daily.withColumn("_yr", F.year(day))
+    # RANGE frame, not ROWS: if a day ever appears twice, all its rows
+    # are peers and get the identical (all-ties-included) cumulative
+    # instead of a partition-order-dependent split -- deterministic
+    # under the date-grain contract AND under accidental duplicates
     w_in = (
         Window.partitionBy("_yr")
         .orderBy(day)
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     df = df.withColumn("_cum_in", F.sum(value).over(w_in))
     totals = df.groupBy("_yr").agg(F.sum(value).alias("_tot"))

@@ -89,9 +89,17 @@ VERIFY_PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_collapse_jaccard_fixed",
     # pct_change gained the +0.0 negative-zero fold (sf1 gate find);
-    # r4-green and outside the age-ranked window, so pinned. The
-    # other four -0.0 fixes (zscore, dsir, corr, drift) are already
-    # in the round-7 window via age ranking / never-checked status.
+    # r4-green and outside the age-ranked window, so pinned. Of the
+    # other seven -0.0 folds: zscore, dsir, corr, drift, and bigram
+    # sit in the round-7 window via age ranking / never-checked
+    # status; nlp_idf and unigram_logprob do NOT (positions ~107/168)
+    # and are deliberately left unpinned -- their fold is provably
+    # value-invariant at every achievable testdata scale (|idf| >=
+    # ln(N/(N+1)) ~ 2e-5 at N=50k, orders above the 5e-7 rounding
+    # boundary where -0.0 appears; both re-verified green locally at
+    # sf0.01 AND sf1 this round), so a driver re-cert would confirm
+    # nothing the arithmetic doesn't already guarantee, and pinning
+    # them would push the staleness bound past 4.
     "lag_day_over_day",
 ]
 

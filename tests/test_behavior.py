@@ -118,3 +118,62 @@ def test_distributed_cumsum_cross_year(spark):
         running += n
         expect[d.isoformat()] = running
     assert got == expect
+
+
+def test_cumsum_null_day_and_duplicate_day(spark):
+    # null-day rows are excluded by contract (no calendar position, no
+    # row -- and crucially their value must NOT leak into offsets);
+    # duplicate days are peers under the RANGE frame: identical
+    # cumulative on both rows, deterministic at any partition order
+    from datetime import date
+
+    from conversation_analysis_tools_spark.operators.temporal import (
+        distributed_cumsum,
+    )
+
+    daily = spark.createDataFrame(
+        [
+            (None, 100),
+            (date(2021, 5, 1), 3),
+            (date(2022, 5, 1), 4),
+            (date(2022, 5, 1), 6),
+            (date(2022, 6, 1), 1),
+        ],
+        "day date, new_users long",
+    )
+    rows = distributed_cumsum(daily).collect()
+    assert len(rows) == 4  # null-day row excluded
+    got = sorted((r["day"].isoformat(), r["cumulative"]) for r in rows)
+    assert got == [
+        ("2021-05-01", 3),
+        ("2022-05-01", 13),  # both duplicate-day rows: all ties included
+        ("2022-05-01", 13),
+        ("2022-06-01", 14),  # 100 from the null row never leaked in
+    ]
+
+
+def test_gapfill_null_rows_excluded(spark):
+    from datetime import date
+
+    from conversation_analysis_tools_spark.operators.temporal import (
+        gapfill_forward,
+    )
+
+    daily = spark.createDataFrame(
+        [
+            ("a", date(2024, 1, 1), 3),
+            ("a", None, 99),
+            (None, date(2024, 1, 2), 7),
+            ("a", date(2024, 1, 3), 5),
+        ],
+        "event_type string, day date, n long",
+    )
+    out = {
+        (r["event_type"], r["day"].isoformat()): (r["filled"], r["n_fill"])
+        for r in gapfill_forward(daily).collect()
+    }
+    assert out == {
+        ("a", "2024-01-01"): (False, 3),
+        ("a", "2024-01-02"): (True, 3),
+        ("a", "2024-01-03"): (False, 5),
+    }
