@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from conversation_analysis_tools_spark.catalog import table as _catalog_table
 from conversation_analysis_tools_spark.functions.text import (

@@ -25,7 +25,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Context chars either side of a snippet match (sql_search.py:259).
