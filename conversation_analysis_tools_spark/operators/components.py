@@ -90,7 +90,7 @@ def connected_components(
         # teeth, and hitting it raises rather than returning
         # silently-split components
         return _cc_star(edges, src, dst, max_iter)
-    return _cc_distributed(edges, src, dst, max_iter or 25)
+    return _cc_distributed(edges, src, dst, 25 if max_iter is None else max_iter)
 
 
 def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -225,10 +225,7 @@ def _cc_star(
         n_nodes = nodes.count()
         max_iter = 2 * math.ceil(math.log2(max(n_nodes, 2))) + 8
     fp = _edge_fingerprint(cur)
-    rounds = 0
-    converged = False
-    for _ in range(max_iter):
-        rounds += 1
+    def _one_round(cur: DataFrame) -> DataFrame:
         # large-star: mins need the SYMMETRIC neighborhoods, but the
         # emitted edges (v, m(u)) with v > u survive only from the
         # u=lo side of each canonical edge -- so join cur (not sym)
@@ -251,18 +248,35 @@ def _cc_star(
         # small-star over the canonical (all-smaller) neighborhoods
         mins = cur.groupBy("hi").agg(F.min("lo").alias("m"))
         joined = cur.join(mins, "hi")
-        cur = (
+        return (
             joined.where(F.col("lo") != F.col("m"))
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
             .union(mins.select("hi", F.col("m").alias("lo")))
             .distinct()
             .localCheckpoint()
         )
+
+    rounds = 0
+    converged = False
+    for _ in range(max_iter):
+        rounds += 1
+        cur = _one_round(cur)
         new_fp = _edge_fingerprint(cur)
         if new_fp == fp:
             converged = True
             break
         fp = new_fp
+    if not converged:
+        # the fingerprint only proves a fixpoint one round AFTER the
+        # last change, so a graph whose edge set reaches star form
+        # exactly at round max_iter would otherwise need max_iter+1
+        # rounds: grant that single change-free confirming round for
+        # free before declaring failure (it cannot advance a
+        # non-converged contraction past where max_iter+1 would)
+        confirm = _one_round(cur)
+        if _edge_fingerprint(confirm) == fp:
+            converged = True
+            cur = confirm
     LAST_STAR_ROUNDS = rounds
     if not converged:
         # LOUD, not silently wrong: at the cap the edge set can still
@@ -271,8 +285,9 @@ def _cc_star(
         # would then KEEP duplicates)
         raise RuntimeError(
             f"star contraction did not reach its fixpoint in {max_iter} "
-            "rounds; raise max_iter (rounds needed ~= log2(n_nodes)+1, "
-            "see tools/cc_probe.py measurements)"
+            "rounds (+1 change-free confirming round); raise max_iter "
+            "(rounds needed ~= log2(n_nodes)+1, see tools/cc_probe.py "
+            "measurements)"
         )
     # converged: the edge set is (child, root) stars
     child = cur.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("component"))

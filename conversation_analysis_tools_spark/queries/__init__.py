@@ -68,16 +68,17 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # dedup_collapse_editdist_fixed (the verify DP now runs on
 # affix-stripped strings); dedup_ngram_jaccard +
 # dedup_collapse_jaccard_fixed (pair-level length filter inside the
-# index join). rolling_avg_daily + lag_day_over_day also moved to the
-# year-partitioned yearly_windowed plan this round but are NOT
-# pinned: the oracled count reached 177 late in round 7
-# (cc_star_chain_fixed, timeseries_gapfill), so a 6-pin list would
-# push the staleness bound to ceil(177/44) = 5 -- instead the shared
-# operator change gets its round-7 driver row through
-# anomaly_daily_zscore (r3-green, auto-promotes at the head of the
-# age ranking, same yearly_windowed path), both queries passed the
-# full local driver-window gate this session, and their own rows
-# (r4-green) auto-promote in round 8 by age. semdedup_prune's
+# index join). rolling_avg_daily also moved to the year-partitioned
+# yearly_windowed plan this round but is NOT pinned for it: the
+# oracled count reached 177 late in round 7 (cc_star_chain_fixed,
+# timeseries_gapfill), so a 6-pin list would push the staleness bound
+# to ceil(177/44) = 5 -- instead the shared operator change gets its
+# round-7 driver row through anomaly_daily_zscore (r3-green,
+# auto-promotes at the head of the age ranking, same yearly_windowed
+# path), both queries passed the full local driver-window gate this
+# session, and rolling_avg_daily's own row (r4-green) auto-promotes
+# in round 8 by age. (lag_day_over_day IS in the pin list below --
+# but for its pct_change -0.0 fold, not for yearly_windowed.) semdedup_prune's
 # round-7 rework is adaptive ON CORPUS SIZE and keeps the pre-round
 # plan byte-identical at every driver sf (the dense path engages
 # only past 2048 vectors), so its driver row needs no refresh.

@@ -2005,26 +2005,24 @@ def corr_matrix_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(4) absorbs summation-order noise (~1e-12 relative).
     """
     li = _t(spark, sf_dir, "lineitem")
-    # +0.0 on every signed rounded coefficient folds -0.0 to 0.0
-    # (cross-engine negative-zero parity; surfaced by the sf1 gate)
+
+    def _r(c):
+        # nanvl: a degenerate group (single row / zero variance) gives
+        # NaN from Spark's corr but NULL from DuckDB's -- fold NaN to
+        # NULL so the engines agree even off lineitem. +0.0 on every
+        # signed rounded coefficient folds -0.0 to 0.0 (cross-engine
+        # negative-zero parity; surfaced by the sf1 gate); NULL rides
+        # through both folds unchanged on both engines.
+        return F.round(F.nanvl(c, F.lit(None).cast("double")), 4) + F.lit(0.0)
+
     return li.groupBy("l_returnflag").agg(
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
-            "r_qty_price"
-        ),
-        (F.round(F.corr("l_quantity", "l_discount"), 4) + F.lit(0.0)).alias(
-            "r_qty_disc"
-        ),
-        (F.round(F.corr("l_extendedprice", "l_discount"), 4) + F.lit(0.0)).alias(
-            "r_price_disc"
-        ),
-        (
-            F.round(
-                F.corr(
-                    F.col("l_extendedprice"),
-                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
-                ),
-                4,
+        _r(F.corr("l_quantity", "l_extendedprice")).alias("r_qty_price"),
+        _r(F.corr("l_quantity", "l_discount")).alias("r_qty_disc"),
+        _r(F.corr("l_extendedprice", "l_discount")).alias("r_price_disc"),
+        _r(
+            F.corr(
+                F.col("l_extendedprice"),
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
             )
-            + F.lit(0.0)
         ).alias("r_price_net"),
     )
