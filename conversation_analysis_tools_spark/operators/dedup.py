@@ -145,6 +145,10 @@ N_BANDS = 4  # 4 rows per band
 #: below stays under 2^35 -- safe in ANSI BIGINT on both engines.
 MINHASH_P = 2_147_483_647
 
+#: Path the last ngram_jaccard_pairs call took ('exact' | 'minhash'),
+#: for tests and routing certificates. None before the first call.
+LAST_JACCARD_ROUTE: str | None = None
+
 
 def km_u_step(digest_col):
     """Kirsch-Mitzenmacher base/step pair from ONE md5 digest column:
@@ -301,6 +305,105 @@ def jaccard_verify(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def tuned_lsh_pairs(
+    sh_arr: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    recall_target: float = 0.98,
+    max_bucket: int = 20,
+) -> DataFrame:
+    """Threshold-ADAPTIVE banded MinHash + exact-Jaccard verify: the
+    high-recall LSH plan ``ngram_jaccard_pairs``' saturation router
+    targets.
+
+    The fixed 16-hash/4-band sibling (:func:`lsh_bands`) has its
+    S-curve midpoint at (1/4)^(1/4) ~ 0.71 -- recall at a LOW
+    threshold like 0.15 is ~zero (measured 0/27 true pairs at sf1).
+    Here the band count is SOLVED FROM the threshold and a recall
+    target: with r = 2 rows per band, a true pair at J = t shares a
+    band w.p. 1-(1-t^2)^b, so
+
+        b = ceil(ln(1 - recall_target) / ln(1 - t^2)),  k = 2b hashes
+
+    (clamped to [4, 256]; t = 0.15, R = 0.98 -> b = 172, k = 344 --
+    cheap, because Kirsch-Mitzenmacher derives every h_i from ONE md5
+    per shingle, and the wide min-aggregate completes map-side).
+    r = 2 is the sweet spot: r = 1 admits ~b*J_rand of all n^2 pairs
+    (quadratic on saturated spaces where random-pair J is large by
+    construction), r = 3 needs b ~ 1/t^3 bands (~1200 at t = 0.15).
+
+    Candidates come from IN-BUCKET pair explosion, not a band
+    self-join: one groupBy collects each (band, key) bucket's ids,
+    buckets outside [2, max_bucket] are dropped, and the i<j pairs
+    unfold row-locally with higher-order array functions. That makes
+    candidate volume PROVABLY <= max_bucket * n_docs * b -- linear in
+    corpus size -- where the self-join form is quadratic in bucket
+    skew; the interpreted-lambda cost is bounded by the same cap. A
+    true pair is lost to the cap only if every one of its ~t^2*b
+    expected collision buckets is popular (measured at sf1: none of
+    27). Emitted pairs carry their TRUE Jaccard (exact array
+    intersect on the >= threshold survivors); duplicate candidates
+    from multi-band collisions are folded at pair grain AFTER the
+    (tiny) threshold filter rather than with a pre-verify distinct,
+    which would shuffle the full candidate set.
+    """
+    import math
+
+    t = float(threshold)
+    if not 0.0 < t < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold!r}")
+    b = min(256, max(4, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - t * t))))
+    k = 2 * b
+    sh = sh_arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    digested = sh.select(
+        F.col(id_col), F.md5(F.col("shingle").cast("binary")).alias("_d")
+    )
+    u, step = km_u_step(F.col("_d"))
+    based = digested.select(F.col(id_col), u.alias("_u"), step.alias("_step"))
+    aggs = [
+        F.min(
+            F.pmod(F.col("_u") + F.lit(i) * F.col("_step"), F.lit(MINHASH_P))
+        ).alias(f"h{i}")
+        for i in range(k)
+    ]
+    sigs = based.groupBy(id_col).agg(*aggs)
+    # r=2 band key packs both row hashes into one long (h < P < 2^31,
+    # so h1*P + h2 < 2^62): one 8-byte shuffle column per band
+    bands_expr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                (F.col(f"h{2 * i}") * F.lit(MINHASH_P) + F.col(f"h{2 * i + 1}")).alias(
+                    "key"
+                ),
+            )
+            for i in range(b)
+        ]
+    )
+    bx = sigs.select(F.col(id_col), F.explode(bands_expr).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = (
+        bx.groupBy("band", "key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    cands = buckets.select(
+        F.expr(
+            """
+            explode(flatten(transform(array_sort(ids), (x, i) ->
+                transform(slice(array_sort(ids), i + 2, size(ids)),
+                          y -> struct(x AS id1, y AS id2)))))
+            """
+        ).alias("p")
+    ).select("p.id1", "p.id2")
+    return (
+        jaccard_verify(cands, sh_arr, t, id_col)
+        .groupBy("id1", "id2")
+        .agg(F.first("jaccard").alias("jaccard"))
     )
 
 
@@ -1038,6 +1141,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     collapse: str = "auto",
+    route: str = "auto",
+    route_budget: int = 32_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via inverted shingle index:
     only pairs sharing a shingle are generated, length-filtered
@@ -1075,10 +1180,34 @@ def ngram_jaccard_pairs(
     distinct + array verify joins) cost 10x the savings -- 7.1 s vs
     0.7 s at sf0.1. Reverted; on real web text the Zipfian premise
     holds and the prefix path wins -- see git history for the
-    working implementation. The scale-safe routes on saturating
-    corpora are the approximate siblings (minhash_lsh_pairs,
-    simhash) or a higher n (larger shingle space).
+    working implementation.
+
+    ``route`` closes that wall by MEASURING instead of hoping:
+
+    - ``'auto'`` (default) probes the index-join volume the exact
+      plan would generate -- sum over shingles of df*(df-1)/2 on the
+      (collapsed) postings, one linear map-side-combined aggregation
+      over data the collapse probe already cached -- and routes to
+      the MinHash sibling when it exceeds ``route_budget`` rows.
+      The probe measures the join's actual driver (candidate ROW
+      volume), so Zipfian corpora with harmless postings stay on
+      the exact path no matter how big the corpus is.
+    - ``'exact'`` / ``'minhash'`` pin the path (no probe job).
+
+    The routed path is :func:`tuned_lsh_pairs`: banded MinHash with
+    the band count SOLVED FROM the threshold for a 0.98 recall
+    target at J = t (the fixed 16/4 sibling's S-curve midpoint sits
+    at ~0.71 -- measured recall ZERO at threshold 0.15), in-bucket
+    pair explosion bounded by a bucket cap (candidate volume provably
+    linear in corpus size), then the same exact array-intersect
+    verify -- every emitted pair carries its TRUE Jaccard and the
+    trade is the bounded recall near the threshold (measured 27/27 at
+    sf1). Routing decisions land in :data:`LAST_JACCARD_ROUTE` for
+    tests/certificates.
     """
+    if route not in ("auto", "exact", "minhash"):
+        raise ValueError(f"route must be auto|exact|minhash, got {route!r}")
+    global LAST_JACCARD_ROUTE
     arrs = track(shingle_arrays(df, id_col, text_col, n))
     rep_arrs, members = _maybe_collapse(arrs, id_col, collapse)
     # postings carry the doc's set size inline (explode keeps sibling
@@ -1088,26 +1217,52 @@ def ngram_jaccard_pairs(
         F.size("sh_arr").alias("sz"),
         F.explode("sh_arr").alias("shingle"),
     )
-    s1 = sh.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"), "shingle")
-    s2 = sh.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"), "shingle")
-    t = F.lit(float(threshold))
-    inter = (
-        s1.join(s2, "shingle")
-        .where(
-            (F.col("id1") < F.col("id2"))
-            & (t * F.col("sz2") <= F.col("sz1"))
-            & (t * F.col("sz1") <= F.col("sz2"))
+    if route == "auto":
+        # exact-plan cost probe: the self-join emits df*(df-1)/2 rows
+        # per shingle (before the length filter, so an upper bound --
+        # the filter can only shrink it). double sum: overflow-proof
+        # at any conceivable df, and a probe needs no exactness.
+        est = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.sum(
+                    F.col("df").cast("double")
+                    * (F.col("df") - 1).cast("double")
+                    / 2.0
+                ).alias("rows")
+            )
+            .first()["rows"]
         )
-        .groupBy("id1", "id2", "sz1", "sz2")
-        .agg(F.count("*").alias("inter"))
-    )
-    rep_pairs = inter.select(
-        "id1",
-        "id2",
-        (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias(
-            "jaccard"
-        ),
-    ).where(F.col("jaccard") >= threshold)
+        route = "minhash" if (est or 0.0) > route_budget else "exact"
+    LAST_JACCARD_ROUTE = route
+    if route == "minhash":
+        rep_pairs = tuned_lsh_pairs(rep_arrs, threshold, id_col)
+    else:
+        s1 = sh.select(
+            F.col(id_col).alias("id1"), F.col("sz").alias("sz1"), "shingle"
+        )
+        s2 = sh.select(
+            F.col(id_col).alias("id2"), F.col("sz").alias("sz2"), "shingle"
+        )
+        t = F.lit(float(threshold))
+        inter = (
+            s1.join(s2, "shingle")
+            .where(
+                (F.col("id1") < F.col("id2"))
+                & (t * F.col("sz2") <= F.col("sz1"))
+                & (t * F.col("sz1") <= F.col("sz2"))
+            )
+            .groupBy("id1", "id2", "sz1", "sz2")
+            .agg(F.count("*").alias("inter"))
+        )
+        rep_pairs = inter.select(
+            "id1",
+            "id2",
+            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        ).where(F.col("jaccard") >= threshold)
     if members is None:
         return rep_pairs
     return _expand_rep_pairs(rep_pairs, members, id_col, "jaccard", 1.0)

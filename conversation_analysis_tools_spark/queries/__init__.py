@@ -50,58 +50,31 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # genuinely-changed plans IS the cadence
 # discipline.
 #
-# Round-7 window: the r6 pins are cleared (all seven got green r6
-# rows), so the 24-query r3 tail (incl. the whole real-streaming
-# family) auto-promotes at the 4-round staleness bound -- VERDICT r6
-# item 3 requires this list to stay small enough that
-# ceil(oracled / free slots) <= 4; at 180 oracled that means <= 5
-# pins (test_rotation_staleness_bound enforces it). Round 7's NEW
-# queries (ann_ivf_batch_dpp, shard_media_roundtrip,
-# semdedup_dense_fixed, cc_star_chain_fixed, timeseries_gapfill,
-# cumulative_new_users, corr_matrix_by_flag, corpus_drift_kl) need
-# no pin: never-checked oracled queries auto-rank AHEAD of the
-# oldest-green tail, so they occupy round-7 slots either way. Likewise
-# anomaly_daily_zscore (changed plan: year-partitioned trailing
-# window) is r3-green, so the age ranking promotes it without a pin.
-# The manual list holds only round 7's remaining changed-plan
-# re-certifications: dedup_edit_distance +
-# dedup_collapse_editdist_fixed (the verify DP now runs on
-# affix-stripped strings); dedup_ngram_jaccard +
-# dedup_collapse_jaccard_fixed (pair-level length filter inside the
-# index join). rolling_avg_daily also moved to the year-partitioned
-# yearly_windowed plan this round but is NOT pinned for it: the
-# oracled count reached 177 late in round 7 (cc_star_chain_fixed,
-# timeseries_gapfill), so a 6-pin list would push the staleness bound
-# to ceil(177/44) = 5 -- instead the shared operator change gets its
-# round-7 driver row through anomaly_daily_zscore (r3-green,
-# auto-promotes at the head of the age ranking, same yearly_windowed
-# path), both queries passed the full local driver-window gate this
-# session, and rolling_avg_daily's own row (r4-green) auto-promotes
-# in round 8 by age. (lag_day_over_day IS in the pin list below --
-# but for its pct_change -0.0 fold, not for yearly_windowed.) semdedup_prune's
-# round-7 rework is adaptive ON CORPUS SIZE and keeps the pre-round
-# plan byte-identical at every driver sf (the dense path engages
-# only past 2048 vectors), so its driver row needs no refresh.
+# Round-8 window: the r7 pins are cleared (all five got green r7
+# rows). This round's job is the r4 rotation -- the 36 r4-green
+# queries hit the 4-round staleness bound and auto-promote by age
+# (VERDICT r7 item 2), which consumes nearly the whole free window,
+# so the pin list must stay <= 4: oracled reaches ~183 this round
+# (dedup_jaccard_routed_fixed, csv_roundtrip, the planted-pair sf1
+# certificate), and ceil(183 / (50 - 4)) = 4 while 5 pins push the
+# bound to 5 (test_rotation_staleness_bound enforces it). The new
+# queries need no pin -- never-checked oracled queries auto-rank
+# AHEAD of the r4 tail. The manual list holds only round 8's
+# changed-plan re-certifications: dedup_ngram_jaccard +
+# dedup_collapse_jaccard_fixed (both now run the saturation router's
+# cost probe; the exact branch their driver-sf output rides is
+# unchanged, but the plan gained an eager probe job) and
+# corr_matrix_by_flag (NaN->NULL nanvl fold on every coefficient --
+# value-identical on lineitem groups, new expression tree). The
+# _cc_star confirming-round change needs no pin: the extra round
+# fires only on NON-convergence (previously a guaranteed
+# RuntimeError), so every converging query's plan is untouched.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
-    "dedup_edit_distance",
-    "dedup_collapse_editdist_fixed",
     "dedup_ngram_jaccard",
     "dedup_collapse_jaccard_fixed",
-    # pct_change gained the +0.0 negative-zero fold (sf1 gate find);
-    # r4-green and outside the age-ranked window, so pinned. Of the
-    # other seven -0.0 folds: zscore, dsir, corr, drift, and bigram
-    # sit in the round-7 window via age ranking / never-checked
-    # status; nlp_idf and unigram_logprob do NOT (positions ~107/168)
-    # and are deliberately left unpinned -- their fold is provably
-    # value-invariant at every achievable testdata scale (|idf| >=
-    # ln(N/(N+1)) ~ 2e-5 at N=50k, orders above the 5e-7 rounding
-    # boundary where -0.0 appears; both re-verified green locally at
-    # sf0.01 AND sf1 this round), so a driver re-cert would confirm
-    # nothing the arithmetic doesn't already guarantee, and pinning
-    # them would push the staleness bound past 4.
-    "lag_day_over_day",
+    "corr_matrix_by_flag",
 ]
 
 

@@ -249,16 +249,83 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale guidance: identical-set replicas are representative-collapsed
     (operators/dedup.py ngram_jaccard_pairs), so byte-exact dup density
-    no longer inflates the index join. On corpora dense in NEAR- (not
-    exact-) duplicates the remaining cost is the true pair set itself
-    -- inherent to the exact contract; the LSH-gated variant of the
-    same computation (dedup_minhash_lsh: identical shingles, identical
-    exact-Jaccard verify, candidates bounded by banding) is the
-    100-TB operator for that regime, trading bounded recall near the
-    threshold for candidate-volume control. At 0.15 a prefix-filter
-    (ppjoin) index would not help: the required prefix is 1-t = 85%
-    of each shingle set."""
+    no longer inflates the index join, and the exact plan's residual
+    wall -- saturated shingle spaces where sum(df^2) grows
+    quadratically by construction (SCALE.md) -- is closed by the
+    route='auto' cost probe: when the measured index-join volume
+    exceeds route_budget (32M rows default), the call auto-routes to
+    the LSH-banded candidates + exact-Jaccard-verify sibling
+    (identical shingles, identical >= threshold contract, bounded
+    recall near the threshold). At the driver's sf0.01/sf0.1 the
+    probe stays far under budget, so this query runs (and is
+    oracle-verified) on the EXACT path; at sf1 the probe measures
+    ~245M rows and the route engages (the routed path's own
+    correctness is pinned by dedup_jaccard_routed_fixed, where
+    routing provably engages under the driver's oracle gate). At
+    0.15 a prefix-filter (ppjoin) index would not help: the required
+    prefix is 1-t = 85% of each shingle set."""
     pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.15)
+    return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+_RJ_BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+)
+_RJ_CROSS = _RJ_BASE.rsplit(" ", 1)[0] + " mike"  # last word: jaccard 9/11
+_RJ_B2 = "nov oscar papa quebec romeo sierra tango uniform"
+
+
+@register(
+    "dedup_jaccard_routed_fixed",
+    oracle="""
+    SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+           CAST(jaccard AS DOUBLE) AS jaccard
+    FROM (VALUES
+        (1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0),
+        (4, 5, 1.0),
+        (1, 6, 0.818182), (2, 6, 0.818182), (3, 6, 0.818182)
+    ) AS t(id1, id2, jaccard)
+    """,
+)
+def dedup_jaccard_routed_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing certificate for ngram_jaccard_pairs' saturation
+    router: route='auto' with route_budget=0 forces the cost probe's
+    decision to 'minhash' on ANY corpus with a shared shingle, so the
+    oracle gate runs the ROUTED plan (banded-LSH candidates + exact
+    array-intersect verify) end to end -- probe, decision, signature,
+    banding, verify, and rep-expansion -- against a literal oracle.
+
+    The corpus exercises every routed regime: cluster {1,2,3} is
+    trigram-set-identical (collapse representatives; pairs emitted at
+    the 1.0 self-value by expansion, not by LSH), (1,6) differs in
+    its last word (jaccard 9/11 = 0.818182, md5-deterministic band
+    collision, expands over the cluster), {4,5} is a second
+    set-identical cluster, doc 7 is unrelated, and doc 8 shares two
+    trigrams with cluster 1 (jaccard 2/15 = 0.133 < 0.3 -- candidate
+    or not, the exact verify excludes it). The expected rows equal
+    the exact path's output on this corpus, so the certificate pins
+    routed recall 1.0 here, and a post-collect assertion fails
+    loudly if the probe ever picks 'exact'. sf_dir unused (fixed
+    corpus)."""
+    docs = spark.createDataFrame(
+        [
+            (1, _RJ_BASE),
+            (2, _RJ_BASE + "?!"),
+            (3, _RJ_BASE.replace(" ", "  ")),
+            (4, _RJ_B2),
+            (5, _RJ_B2 + "..."),
+            (6, _RJ_CROSS),
+            (7, "victor whiskey xray yankee zulu alpha"),
+            (8, "alpha bravo charlie delta unrelated words here now then"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, route="auto", route_budget=0)
+    if D.LAST_JACCARD_ROUTE != "minhash":  # pragma: no cover - loud guard
+        raise RuntimeError(
+            f"routing certificate ran on route={D.LAST_JACCARD_ROUTE!r}; "
+            "the budget-0 probe must pick 'minhash'"
+        )
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -998,3 +998,64 @@ def test_semdedup_dense_collapse_parity_dup_heavy(spark):
         for r in D.semdedup_prune(emb, cents, threshold=0.9, dense_path=True).collect()
     )
     assert expr_plan == dense_plan
+
+
+# ---------------------------------------------------------------------------
+# ngram-Jaccard saturation router (route='auto' cost probe)
+# ---------------------------------------------------------------------------
+
+
+def _pair_set(df):
+    return {(r["id1"], r["id2"], round(r["jaccard"], 9)) for r in df.collect()}
+
+
+def test_jaccard_route_auto_budget_decision(spark, sample_docs):
+    """budget 0 routes every corpus to the LSH path, an ample budget
+    keeps the exact inverted index; outputs agree here either way."""
+    routed = D.ngram_jaccard_pairs(
+        sample_docs, threshold=0.15, route="auto", route_budget=0
+    )
+    assert D.LAST_JACCARD_ROUTE == "minhash"
+    routed_pairs = _pair_set(routed)
+    exact = D.ngram_jaccard_pairs(
+        sample_docs, threshold=0.15, route="auto", route_budget=10**9
+    )
+    assert D.LAST_JACCARD_ROUTE == "exact"
+    assert routed_pairs == _pair_set(exact)
+
+
+def test_jaccard_route_rejects_bad_mode(spark, sample_docs):
+    import pytest
+
+    with pytest.raises(ValueError, match="route must be"):
+        D.ngram_jaccard_pairs(sample_docs, route="fastest")
+
+
+def test_tuned_lsh_matches_exact_at_low_threshold(spark):
+    """The routed plan's raison d'etre: at threshold 0.15 the fixed
+    16/4 banding has ~zero recall while the threshold-tuned banding
+    (b solved from t and the 0.98 recall target) recovers the exact
+    pair set on a planted near-dup corpus."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa"
+    )
+    words = base.split()
+    fill = [
+        "quebec romeo sierra tango uniform victor whiskey xray yankee zulu",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet black white gray",
+    ]
+    rows = []
+    for i in range(30):
+        rows.append((i, fill[i % 3] + f" filler{i} pad{i} distinct{i} tail{i}"))
+    # planted near-dups: keep the first 6 words of base (4 shared
+    # trigrams), replace the rest -> J in the 0.15-0.35 region
+    rows.append((100, base))
+    rows.append((101, " ".join(words[:8]) + " " + fill[0]))
+    rows.append((102, " ".join(words[:7]) + " " + fill[1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = _pair_set(D.ngram_jaccard_pairs(docs, threshold=0.15, route="exact"))
+    assert any(i >= 100 and j >= 100 for i, j, _ in exact)  # corpus plants pairs
+    routed = _pair_set(D.ngram_jaccard_pairs(docs, threshold=0.15, route="minhash"))
+    assert routed == exact
