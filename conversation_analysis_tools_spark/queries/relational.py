@@ -1078,6 +1078,64 @@ def json_group_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "csv_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS text_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(sum(length('q"uo,te:' || source)) AS BIGINT) AS tricky_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 CSV sink, driver-certified end to end (upgrades the sink
+    from pytest-only): write the documents projection through
+    sources/sinks.write_csv, read the directory BACK with the source
+    schema in FAILFAST mode, and emit per-source aggregates the
+    oracle recomputes straight from the source table -- any row the
+    write dropped/duplicated, any value the text round trip mangled,
+    or any parse drift (FAILFAST turns silent permissive-mode nulls
+    into loud failure) flips a sum. The ``tricky`` column INJECTS the
+    CSV-hostile class (embedded quote + delimiter) so the writer's
+    quoting and the reader's unescaping are exercised on every row,
+    not just on whatever the corpus happens to contain. Embedded
+    NEWLINES are deliberately out of contract for this sink: reading
+    them needs multiLine=true, which makes files non-splittable -- at
+    100 TB newline-bearing exports belong in the parquet/JSON sinks
+    (reference CSV exporter: sql_search.py:1970-2006 csv.writer,
+    which has the same row-per-line framing). Staging is the
+    deterministic per-sf_dir dir (bounded disk, same policy as
+    shard_manifest)."""
+    from conversation_analysis_tools_spark.catalog import staging_dir
+    from conversation_analysis_tools_spark.sources.sinks import write_csv
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.concat(F.lit('q"uo,te:'), F.col("source")).alias("tricky"),
+    )
+    out = staging_dir("csv_export", sf_dir)
+    write_csv(docs, out)
+    back = (
+        spark.read.schema(docs.schema)
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(out)
+    )
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("text_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum(F.length("tricky")).alias("tricky_chars"),
+    )
+
+
+@register(
     "set_except_users",
     oracle="""
     SELECT user_id FROM events WHERE event_type = 'purchase'

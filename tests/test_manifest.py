@@ -204,3 +204,67 @@ def test_pack_and_manifest_repacks_on_definition_change(spark, tmp_path, monkeyp
     open(marker, "w").close()
     man3 = MF.pack_and_manifest(spark, media1, "packmemo", "sfX")
     assert man3.count() == 4
+
+
+def test_pack_version_dir_fingerprint_invalidates_on_regeneration(
+    spark, tmp_path, monkeypatch
+):
+    """The file-derived caller contract from the pack_and_manifest
+    docstring, pinned end to end: media read from files, packed with
+    version=repr(dir_fingerprint(src_dir)), must serve FRESH payloads
+    after the source files are regenerated in place (same names, same
+    sizes allowed -- the fingerprint carries mtime_ns, which an
+    in-place rewrite always advances). Without the version token the
+    memo marker matches and the stale pack is served -- also pinned,
+    as the hazard the token exists to close."""
+    from conversation_analysis_tools_spark import catalog
+    from conversation_analysis_tools_spark.fitcache import dir_fingerprint
+
+    monkeypatch.setattr(
+        catalog, "staging_dir", lambda kind, sf: str(tmp_path / kind)
+    )
+    src = tmp_path / "media_src"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"payload-one")
+
+    def load_media():
+        rows = [
+            (i, p.name, p.read_bytes())
+            for i, p in enumerate(sorted(src.iterdir()))
+        ]
+        return spark.createDataFrame(
+            rows, "media_id bigint, name string, content binary"
+        )
+
+    def first_payload(man):
+        return MF.read_media(man).orderBy("media_id").first()["content"]
+
+    # the hazard the token closes: no version -> after an in-place
+    # regeneration the marker still matches and the STALE pack serves
+    man1 = MF.pack_and_manifest(spark, load_media(), "fpack", "sfX")
+    assert first_payload(man1) == b"payload-one"
+    (src / "a.bin").write_bytes(b"payload-TWO")
+    stale = MF.pack_and_manifest(spark, load_media(), "fpack", "sfX")
+    assert first_payload(stale) == b"payload-one"
+
+    # the contract: version=repr(dir_fingerprint(src)) repacks on the
+    # regeneration (mtime_ns advances on in-place rewrite) ...
+    man2 = MF.pack_and_manifest(
+        spark, load_media(), "fpack2", "sfX",
+        version=repr(dir_fingerprint(str(src))),
+    )
+    assert first_payload(man2) == b"payload-TWO"
+    (src / "a.bin").write_bytes(b"payload-THREE")
+    man3 = MF.pack_and_manifest(
+        spark, load_media(), "fpack2", "sfX",
+        version=repr(dir_fingerprint(str(src))),
+    )
+    assert first_payload(man3) == b"payload-THREE"
+
+    # ... and memoizes while the fingerprint is unchanged
+    mtime = os.path.getmtime(str(tmp_path / "fpack2" / "manifest.parquet"))
+    MF.pack_and_manifest(
+        spark, load_media(), "fpack2", "sfX",
+        version=repr(dir_fingerprint(str(src))),
+    ).count()
+    assert os.path.getmtime(str(tmp_path / "fpack2" / "manifest.parquet")) == mtime
