@@ -89,6 +89,72 @@ def nlp_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.unique_representatives(docs.select(F.col("doc_id").alias("id")), comp)
 
 
+_PL_W = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+).split()
+_PL_V = (
+    "mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray"
+).split()
+
+
+@register(
+    "nlp_dup_planted_fixed",
+    oracle="""
+    SELECT CAST(id AS BIGINT) AS id, CAST(component AS BIGINT) AS component,
+           kept
+    FROM (VALUES
+        (1, 1, TRUE), (2, 1, FALSE), (3, 1, FALSE),
+        (4, 4, TRUE), (5, 4, FALSE),
+        (6, 6, TRUE), (7, 7, TRUE), (8, 8, TRUE)
+    ) AS t(id, component, kept)
+    """,
+)
+def nlp_dup_planted_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-duplicate certificate for the tf-cosine closure chain
+    (the family whose full-corpus DuckDB oracle is sum(df^2)-quadratic
+    and therefore capped at sf0.1 -- SCALE.md): tokenize -> sum-
+    normalized TF -> cosine >= 0.9 pairs -> connected components ->
+    unique-doc selection, the exact operator chain of
+    nlp_duplicate_pairs / nlp_connected_components / nlp_unique_docs
+    / pipeline_analysis_results, run end to end on a corpus whose
+    expected output is PROVABLE by hand: every doc here has n
+    distinct single-occurrence terms, so sum-TF cosine reduces to
+    shared/n exactly. Cluster {1,2,3}: 2 copies 1 (cos 1.0) and 3
+    shares 11 of 12 terms (cos 11/12 = .9167 >= .9); cluster {4,5}:
+    exact copies on a disjoint vocabulary; 6 and 7 are singletons; 8
+    shares 6 of 12 terms with cluster 1 (cos .5 -- the negative
+    control the threshold must exclude). kept = unique_representatives
+    membership (min-id rep per cluster + every standalone,
+    duplicate_detector.py:266-299). The sf1-scale sibling of this
+    check is tools/planted_probe.py (SCALE.md records its runs).
+    sf_dir unused (fixed corpus)."""
+    w, v = _PL_W, _PL_V
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w)),
+            (2, " ".join(w)),
+            (3, " ".join(w[:11] + ["zulu"])),
+            (4, " ".join(v)),
+            (5, " ".join(v)),
+            (6, "one two three four five six seven eight nine ten"),
+            (7, "red orange yellow green blue indigo violet crimson"),
+            (8, " ".join(w[:6] + ["gold", "silver", "bronze", "iron", "tin", "lead"])),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = S.duplicate_pairs(docs, threshold=0.9)
+    comp = C.connected_components(pairs.select("id1", "id2"))
+    uniq = C.unique_representatives(docs.select(F.col("doc_id").alias("id")), comp)
+    all_ids = docs.select(F.col("doc_id").alias("id"))
+    return (
+        all_ids.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        .join(uniq.withColumn("kept", F.lit(True)), "id", "left")
+        .select("id", "component", F.coalesce("kept", F.lit(False)).alias("kept"))
+    )
+
+
 @register("textrank_docs", oracle=None)
 def textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N13/N14 TextRank at document grain: within each source, rank
