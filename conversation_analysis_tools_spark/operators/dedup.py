@@ -149,6 +149,10 @@ MINHASH_P = 2_147_483_647
 #: for tests and routing certificates. None before the first call.
 LAST_JACCARD_ROUTE: str | None = None
 
+#: (bands, hashes) the last tuned_lsh_pairs call solved from its
+#: threshold/recall target, for tests. None before the first call.
+LAST_TUNED_BANDS: tuple[int, int] | None = None
+
 
 def km_u_step(digest_col):
     """Kirsch-Mitzenmacher base/step pair from ONE md5 digest column:
@@ -357,6 +361,8 @@ def tuned_lsh_pairs(
         raise ValueError(f"threshold must be in (0, 1), got {threshold!r}")
     b = min(256, max(4, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - t * t))))
     k = 2 * b
+    global LAST_TUNED_BANDS
+    LAST_TUNED_BANDS = (b, k)
     sh = sh_arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     digested = sh.select(
         F.col(id_col), F.md5(F.col("shingle").cast("binary")).alias("_d")

@@ -939,3 +939,71 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("contrib_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the scrub stage, full pattern set)
+# ---------------------------------------------------------------------------
+
+#: Hostile literal inputs for the redaction certificate: one case per
+#: pattern, the separator variants, the ordering interactions, and
+#: the negative controls the precision-over-recall contract promises
+#: to leave alone.
+_PII_CASES: list[tuple[int, str]] = [
+    (1, "reach me at jane.doe+spam@mail.example.co.uk today"),
+    (2, "card 4111-1111-1111-1111 expires soon"),
+    (3, "card 4111 1111 1111 1111 expires soon"),
+    (4, "ssn 078-05-1120 on file"),
+    (5, "call (555) 867-5309 or 555-867-5309 or 555.867.5309"),
+    (6, "server 192.168.0.1 and 10.0.0.255 up"),
+    (7, "order 1234567890 shipped"),
+    (8, "fake 123-45-6789 vs 123-456-7890 mixed"),
+    (9, "ip 1.2.3.4 via v1.2.3@host.io build"),
+    (10, "no personal data in this sentence."),
+]
+
+
+def _pii_cases_sql() -> str:
+    rows = ", ".join(
+        "({}, '{}')".format(cid, s.replace("'", "''")) for cid, s in _PII_CASES
+    )
+    return f"cases(case_id, s) AS (VALUES {rows})"
+
+
+def _pii_fixed_oracle() -> str:
+    from conversation_analysis_tools_spark.functions.redact import redact_sql
+
+    return f"""
+    WITH {_pii_cases_sql()}
+    SELECT CAST(case_id AS BIGINT) AS case_id, {redact_sql('s')} AS redacted
+    FROM cases
+    """
+
+
+@register("pii_redaction_fixed", oracle=_pii_fixed_oracle())
+def pii_redaction_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-pattern PII redaction certificate (the scrub stage a
+    100-TB curation pipeline runs before training; extends pii_scrub's
+    email+phone pair to the ordered five-pattern chain in
+    functions/redact.py: email, credit-card, SSN, phone, IPv4).
+
+    The corpus is ten hostile literals covering every pattern, the
+    separator variants (CC with dashes AND spaces; phone dotted,
+    dashed, and parenthesized), the ordering interactions the chain's
+    order exists for (an SSN next to a phone number; an email whose
+    local part looks like a dotted version string, which the
+    email-first rule must eat before the IPv4 rule can), and the
+    negative controls (a bare 10-digit order id stays -- the
+    documented precision-over-recall trade). The oracle RECOMPUTES
+    the redaction in DuckDB from the same pattern table via
+    redact_sql, so a driver pass certifies Java-regex/RE2 dialect
+    parity of every pattern on every hostile input; the expected
+    strings are additionally hand-pinned in
+    tests/test_curation_gates.py so both dialects drifting together
+    still fails somewhere. Map-only: at scale this is a pure row
+    expression inside whole-stage codegen, zero shuffle.
+    sf_dir unused (fixed corpus)."""
+    from conversation_analysis_tools_spark.functions.redact import redact_pii
+
+    cases = spark.createDataFrame(_PII_CASES, "case_id long, s string")
+    return cases.select("case_id", redact_pii("s").alias("redacted"))

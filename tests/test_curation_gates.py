@@ -64,3 +64,42 @@ def test_canonical_is_longest_then_lowest_id(spark):
     assert out[3] == (1, False)
     # cluster {7,8}: 8 is longer
     assert out[8] == (7, True) and out[7] == (7, False)
+
+
+def test_pii_redaction_fixed_hand_pinned(spark):
+    """Hand-written expected strings for the full-pattern redaction
+    chain: the driver oracle recomputes via DuckDB (dialect parity),
+    so these literals are the independent anchor that catches both
+    dialects drifting together."""
+    from conversation_analysis_tools_spark.queries.textstats import (
+        pii_redaction_fixed,
+    )
+
+    got = {
+        r["case_id"]: r["redacted"]
+        for r in pii_redaction_fixed(spark, "unused").collect()
+    }
+    assert got == {
+        1: "reach me at <EMAIL> today",
+        2: "card <CC> expires soon",
+        3: "card <CC> expires soon",
+        4: "ssn <SSN> on file",
+        5: "call <PHONE> or <PHONE> or <PHONE>",
+        6: "server <IP> and <IP> up",
+        7: "order 1234567890 shipped",
+        8: "fake <SSN> vs <PHONE> mixed",
+        9: "ip <IP> via <EMAIL> build",
+        10: "no personal data in this sentence.",
+    }
+
+
+def test_redact_pii_replaces_all_occurrences_and_composes(spark):
+    """Spark replaces every match (no 'g' flag needed) and the chain
+    leaves non-PII text byte-identical."""
+    from conversation_analysis_tools_spark.functions.redact import redact_pii
+
+    df = spark.createDataFrame(
+        [("a@b.co then c@d.org and 1.1.1.1 plus plain text",)], "s string"
+    )
+    out = df.select(redact_pii("s").alias("r")).first()["r"]
+    assert out == "<EMAIL> then <EMAIL> and <IP> plus plain text"

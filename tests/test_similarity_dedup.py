@@ -1059,3 +1059,22 @@ def test_tuned_lsh_matches_exact_at_low_threshold(spark):
     assert any(i >= 100 and j >= 100 for i, j, _ in exact)  # corpus plants pairs
     routed = _pair_set(D.ngram_jaccard_pairs(docs, threshold=0.15, route="minhash"))
     assert routed == exact
+
+
+def test_tuned_lsh_band_solver_values(spark):
+    """Pin the threshold->bands solve (b = ceil(ln(1-R)/ln(1-t^2)),
+    clamped to [4, 256]) at representative thresholds. A silent
+    solver regression (e.g. falling back to the fixed 16-hash
+    banding) is exactly the zero-recall failure the router exists to
+    avoid, so the solved values are worth a literal guard."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo")], "doc_id long, text string"
+    )
+    arrs = D.shingle_arrays(docs)
+    for t, want_b in ((0.15, 172), (0.3, 42), (0.4, 23), (0.7, 6), (0.9, 4)):
+        D.tuned_lsh_pairs(arrs, t)
+        assert D.LAST_TUNED_BANDS == (want_b, 2 * want_b), t
+    with pytest.raises(ValueError, match="threshold"):
+        D.tuned_lsh_pairs(arrs, 1.0)
