@@ -111,6 +111,10 @@ HEADLINE = [
     "cumulative_new_users",
     "corr_matrix_by_flag",
     "corpus_drift_kl",
+    # round-8: the CSV sink round trip (sf-scaled corpus write +
+    # FAILFAST read-back; the routed-dedup / planted-dup / PII
+    # certificates run fixed corpora and stay out per the rule)
+    "csv_roundtrip",
 ]
 
 

@@ -394,14 +394,14 @@ def tuned_lsh_pairs(
     )
     buckets = (
         bx.groupBy("band", "key")
-        .agg(F.collect_list(id_col).alias("ids"))
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     cands = buckets.select(
         F.expr(
             """
-            explode(flatten(transform(array_sort(ids), (x, i) ->
-                transform(slice(array_sort(ids), i + 2, size(ids)),
+            explode(flatten(transform(ids, (x, i) ->
+                transform(slice(ids, i + 2, size(ids)),
                           y -> struct(x AS id1, y AS id2)))))
             """
         ).alias("p")
