@@ -259,7 +259,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall near the threshold). At the driver's sf0.01/sf0.1 the
     probe stays far under budget, so this query runs (and is
     oracle-verified) on the EXACT path; at sf1 the probe measures
-    ~245M rows and the route engages (the routed path's own
+    ~121M rows and the route engages (the routed path's own
     correctness is pinned by dedup_jaccard_routed_fixed, where
     routing provably engages under the driver's oracle gate). At
     0.15 a prefix-filter (ppjoin) index would not help: the required

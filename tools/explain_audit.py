@@ -127,6 +127,14 @@ AUDIT = [
     "image_resize_pool",
     "video_frame_sample",
     "audio_dedup_fingerprint",
+    # round-8: the serving-only DPP batch search (must show the
+    # dynamicpruning subquery and NO exceptAll/inline branches); the
+    # CSV round trip (one write job + a scan-side agg over the
+    # read-back -- header/schema options never become a shuffle);
+    # the PII chain (pure whole-stage-codegen projection, no shuffle)
+    "ann_ivf_batch_serve",
+    "csv_roundtrip",
+    "pii_redaction_fixed",
 ]
 
 

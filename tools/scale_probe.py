@@ -67,7 +67,11 @@ SWEEP = [
     # round-7 additions: the two queries the first sf1 sweep caught
     # super-linear, tracked per-round after their fixes
     ("semdedup_prune", "cluster-bucketed semantic dedup, C scales ~n/128 + BLAS stages"),
-    ("dedup_ngram_jaccard", "exact inverted shingle index + length filter (saturating-vocab wall documented)"),
+    ("dedup_ngram_jaccard", "exact inverted index <= sf0.1; sf1 auto-routes to tuned LSH (probe 121M > 32M budget)"),
+    # round-8 additions: the serving-only IVF batch search and the
+    # CSV sink round trip
+    ("ann_ivf_batch_serve", "DPP-pruned batch search over the partitioned list store (serving plan alone)"),
+    ("csv_roundtrip", "distributed CSV write + FAILFAST schema read-back + agg"),
 ]
 
 #: Pair-generating operators run on the replicated corpus; these are
