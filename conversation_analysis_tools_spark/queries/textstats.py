@@ -1007,3 +1007,195 @@ def pii_redaction_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cases = spark.createDataFrame(_PII_CASES, "case_id long, s string")
     return cases.select("case_id", redact_pii("s").alias("redacted"))
+
+
+@register(
+    "gopher_repetition_flags",
+    oracle=r"""
+    WITH pages AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '\S+') AS words,
+               [substr(text, 1, 50),
+                'unique line ' || CAST(doc_id AS VARCHAR),
+                'shared header line',
+                CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 50)
+                     ELSE 'distinct tail ' || CAST(doc_id AS VARCHAR) END,
+                'closing line ' || CAST(doc_id % 5 AS VARCHAR)] AS lines
+        FROM documents
+    ),
+    line_stats AS (
+        SELECT doc_id,
+               round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 4)
+                   AS dup_line_frac,
+               round(list_sum(list_transform(lines, l ->
+                         CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+                              THEN len(l) ELSE 0 END)) * 1.0
+                     / list_sum(list_transform(lines, l -> len(l))), 4)
+                   AS dup_line_char_frac
+        FROM pages
+    ),
+    grams AS (
+        SELECT doc_id, kind, gram, count(*) AS cnt
+        FROM (
+            SELECT doc_id, '2' AS kind,
+                   unnest(CASE WHEN len(words) >= 2
+                          THEN list_transform(range(0, len(words) - 1),
+                               i -> array_to_string(words[i+1:i+2], ' '))
+                          ELSE [] END) AS gram
+            FROM pages
+            UNION ALL
+            SELECT doc_id, '5' AS kind,
+                   unnest(CASE WHEN len(words) >= 5
+                          THEN list_transform(range(0, len(words) - 4),
+                               i -> array_to_string(words[i+1:i+5], ' '))
+                          ELSE [] END) AS gram
+            FROM pages
+        ) GROUP BY 1, 2, 3
+    ),
+    top2 AS (
+        SELECT doc_id, cnt * len(gram) AS top2_chars
+        FROM (SELECT doc_id, gram, cnt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, gram ASC) AS rn
+              FROM grams WHERE kind = '2')
+        WHERE rn = 1
+    ),
+    dup5 AS (
+        SELECT doc_id,
+               sum(CASE WHEN cnt > 1 THEN cnt * len(gram) ELSE 0 END)
+                   AS dup5_chars
+        FROM grams WHERE kind = '5' GROUP BY doc_id
+    ),
+    chars AS (
+        SELECT doc_id, len(array_to_string(words, ' ')) AS n_chars FROM pages
+    )
+    SELECT c.doc_id,
+           l.dup_line_frac, l.dup_line_char_frac,
+           round(least(1.0, coalesce(t.top2_chars, 0) * 1.0 / c.n_chars), 4)
+               AS top_2gram_char_frac,
+           round(least(1.0, coalesce(d.dup5_chars, 0) * 1.0 / c.n_chars), 4)
+               AS dup_5gram_char_frac,
+           (l.dup_line_frac <= 0.3)
+             AND (coalesce(t.top2_chars, 0) * 1.0 / c.n_chars <= 0.2)
+             AND (coalesce(d.dup5_chars, 0) * 1.0 / c.n_chars <= 0.15)
+               AS passes_repetition
+    FROM chars c JOIN line_stats l USING (doc_id)
+    LEFT JOIN top2 t USING (doc_id) LEFT JOIN dup5 d USING (doc_id)
+    """,
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher REPETITION rules (Rae et al. 2021 Table A1), the
+    half of the Gopher gate gopher_quality_flags doesn't cover:
+    duplicate-line fraction (<= 0.30), duplicate-line character
+    fraction, top-2-gram character fraction (<= 0.20), and
+    duplicate-5-gram character fraction (<= 0.15) -- the rules that
+    catch boilerplate and spam at corpus scale.
+
+    The synthetic corpus is single-line, so (c4_line_clean precedent)
+    the query plants a deterministic 5-line page per doc from its own
+    columns -- every fourth doc repeats its first line, so the line
+    rules fire on a known slice. Line metrics are ROW-LOCAL
+    expressions (pages are bounded; the O(n_lines^2) in-row count is
+    over 5 elements); the n-gram metrics explode to (doc, kind, gram)
+    grain and partial-aggregate map-side -- ONE shuffle at gram
+    grain, the shape that survives 100 TB where per-row HOF
+    mode-finding would run interpreted. Ties for the top 2-gram break
+    lexicographically (row_number cnt DESC, gram ASC) so both engines
+    pick the same gram. Character fractions use the space-normalized
+    word join as the denominator; overlapping gram coverage can
+    exceed it, hence the least(1.0, ...) clamp."""
+    docs = _docs(spark, sf_dir)
+    words = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    lines_arr = F.array(
+        F.substring("text", 1, 50),
+        F.concat(F.lit("unique line "), F.col("doc_id").cast("string")),
+        F.lit("shared header line"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.substring("text", 1, 50)
+        ).otherwise(
+            F.concat(F.lit("distinct tail "), F.col("doc_id").cast("string"))
+        ),
+        F.concat(F.lit("closing line "), (F.col("doc_id") % 5).cast("string")),
+    )
+    pages = docs.select(
+        "doc_id", words.alias("words"), lines_arr.alias("lines")
+    )
+
+    n_lines = F.size("lines")
+    line_chars = F.aggregate(
+        F.transform("lines", lambda l: F.length(l)), F.lit(0), lambda a, x: a + x
+    )
+    dup_line_chars = F.aggregate(
+        F.transform(
+            "lines",
+            lambda l: F.when(
+                F.size(F.filter("lines", lambda x: x == l)) > 1, F.length(l)
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    line_stats = pages.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("lines")) * F.lit(1.0) / n_lines, 4
+        ).alias("dup_line_frac"),
+        F.round(dup_line_chars * F.lit(1.0) / line_chars, 4).alias(
+            "dup_line_char_frac"
+        ),
+        F.length(F.array_join("words", " ")).alias("n_chars"),
+    )
+
+    def _grams(n: int, kind: str):
+        seq = F.transform(
+            F.sequence(F.lit(0), F.size("words") - n),
+            lambda i: F.concat_ws(" ", F.slice("words", i + 1, n)),
+        )
+        arr = F.when(F.size("words") >= n, seq).otherwise(
+            F.array().cast("array<string>")
+        )
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram"))
+        )
+
+    counted = (
+        pages.select(
+            "doc_id",
+            F.explode(F.concat(_grams(2, "2"), _grams(5, "5"))).alias("kg"),
+        )
+        .select("doc_id", F.col("kg.kind").alias("kind"), F.col("kg.gram").alias("gram"))
+        .groupBy("doc_id", "kind", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top2 = (
+        counted.where(F.col("kind") == "2")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", (F.col("cnt") * F.length("gram")).alias("top2_chars"))
+    )
+    dup5 = (
+        counted.where(F.col("kind") == "5")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(0)
+            ).alias("dup5_chars")
+        )
+    )
+    t2 = F.coalesce("top2_chars", F.lit(0)) * F.lit(1.0) / F.col("n_chars")
+    d5 = F.coalesce("dup5_chars", F.lit(0)) * F.lit(1.0) / F.col("n_chars")
+    return (
+        line_stats.join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.round(F.least(F.lit(1.0), t2), 4).alias("top_2gram_char_frac"),
+            F.round(F.least(F.lit(1.0), d5), 4).alias("dup_5gram_char_frac"),
+            (
+                (F.col("dup_line_frac") <= 0.3) & (t2 <= 0.2) & (d5 <= 0.15)
+            ).alias("passes_repetition"),
+        )
+    )

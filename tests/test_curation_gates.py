@@ -103,3 +103,38 @@ def test_redact_pii_replaces_all_occurrences_and_composes(spark):
     )
     out = df.select(redact_pii("s").alias("r")).first()["r"]
     assert out == "<EMAIL> then <EMAIL> and <IP> plus plain text"
+
+
+def test_gopher_repetition_hand_computed(spark, monkeypatch):
+    """Planted pages with hand-computable repetition stats: a
+    six-fold repeated word saturates both gram rules (clamped 1.0),
+    and an all-distinct doc's top-2-gram fraction is exactly
+    len(first 2-gram)/len(text)."""
+    from conversation_analysis_tools_spark.queries import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(TS, "_docs", lambda spark, sf_dir: docs)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in TS.gopher_repetition_flags(spark, "unused").collect()
+    }
+    # doc 0: 2-gram 'spam spam' occurs 5x, len 9 -> 45 chars over a
+    # 29-char text -> clamped 1.0; 5-gram dup 2*24=48 -> 1.0. The
+    # planted page duplicates line 1 for doc_id%4==0: 5 lines, 4
+    # distinct -> dup_line_frac 0.2.
+    assert got[0]["top_2gram_char_frac"] == 1.0
+    assert got[0]["dup_5gram_char_frac"] == 1.0
+    assert got[0]["dup_line_frac"] == 0.2
+    assert got[0]["passes_repetition"] is False
+    # doc 1: all 2-grams distinct -> top2 = len('alpha bravo')=11 over
+    # len(text)=55 -> 0.2 exactly; no duplicate 5-grams; no dup lines.
+    assert got[1]["top_2gram_char_frac"] == 0.2
+    assert got[1]["dup_5gram_char_frac"] == 0.0
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[1]["passes_repetition"] is True
