@@ -68,17 +68,6 @@ def redact_pii(col: Column | str) -> Column:
     return out
 
 
-def pii_hit_counts(col: Column | str) -> list[Column]:
-    """One count column per pattern (``n_<name>``): how many matches
-    redaction would replace in this row. regexp_count is a native
-    expression in Spark 3.5+ and DuckDB both."""
-    src = F.col(col) if isinstance(col, str) else col
-    return [
-        F.regexp_count(src, F.lit(pat)).alias(f"n_{name}")
-        for name, pat, _rep in PII_PATTERNS
-    ]
-
-
 def redact_sql(expr: str) -> str:
     """The DuckDB-side equivalent of :func:`redact_pii` for oracle
     SQL: nested regexp_replace with the 'g' (global) flag -- DuckDB

@@ -128,7 +128,16 @@ def _cc_distributed(
     dst: str = "id2",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Iterative min-label propagation (the at-scale path)."""
+    """Iterative min-label propagation (the at-scale path).
+
+    Labels only ever DECREASE, so an unchanged label sum proves a
+    fixpoint; exhausting ``max_iter`` without reaching one raises
+    instead of returning silently-split components (the same loud
+    contract as ``_cc_star`` -- with max_iter below the graph
+    diameter the partial labels would make downstream dedup KEEP
+    duplicates)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter!r}")
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
@@ -142,6 +151,7 @@ def _cc_distributed(
     )
 
     prev_sum = labels.agg(F.sum("component")).first()[0]
+    converged = False
     for _ in range(max_iter):
         # neighbor labels flowing over edges + own label, min per node
         msgs = (
@@ -156,8 +166,34 @@ def _cc_distributed(
         )
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # same +1 courtesy as _cc_star: the sum probe proves a
+        # fixpoint one round AFTER the last change, so a graph whose
+        # labels settle exactly at round max_iter gets its single
+        # change-free confirming round before the loud failure
+        msgs = (
+            sym.join(labels, sym.a == labels.id)
+            .select(F.col("b").alias("id"), "component")
+        )
+        confirm = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        if confirm.agg(F.sum("component")).first()[0] == prev_sum:
+            converged = True
+            labels = confirm
+    if not converged:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            "(+1 change-free confirming round; rounds needed ~= graph "
+            "diameter); raise max_iter or use strategy='star' (O(log n) "
+            "rounds on any topology)"
+        )
     return labels
 
 
@@ -273,6 +309,7 @@ def _cc_star(
         # rounds: grant that single change-free confirming round for
         # free before declaring failure (it cannot advance a
         # non-converged contraction past where max_iter+1 would)
+        rounds += 1  # the confirm round ran, so the census counts it
         confirm = _one_round(cur)
         if _edge_fingerprint(confirm) == fp:
             converged = True

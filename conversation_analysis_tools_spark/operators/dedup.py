@@ -359,6 +359,10 @@ def tuned_lsh_pairs(
     t = float(threshold)
     if not 0.0 < t < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold!r}")
+    if not 0.0 < recall_target < 1.0:
+        raise ValueError(
+            f"recall_target must be in (0, 1), got {recall_target!r}"
+        )
     b = min(256, max(4, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - t * t))))
     k = 2 * b
     global LAST_TUNED_BANDS

@@ -261,7 +261,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-verified) on the EXACT path; at sf1 the probe measures
     ~121M rows and the route engages (the routed path's own
     correctness is pinned by dedup_jaccard_routed_fixed, where
-    routing provably engages under the driver's oracle gate). At
+    routing provably engages under the driver's oracle gate). A
+    LAST_JACCARD_ROUTE == 'exact' guard here was considered and
+    REJECTED: the sf1 oracle run deliberately executes the ROUTED
+    plan against the exact DuckDB oracle (value-identical there,
+    SCALE.md), so pinning the route would forfeit that evidence; if
+    corpus density ever pushes an oracle-gated sf over budget, the
+    gate's red row plus this paragraph is the diagnosis. At
     0.15 a prefix-filter (ppjoin) index would not help: the required
     prefix is 1-t = 85% of each shingle set."""
     pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.15)

@@ -1085,7 +1085,9 @@ def json_group_export(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(length(text)) AS BIGINT) AS text_chars,
            CAST(min(doc_id) AS BIGINT) AS min_doc_id,
            CAST(max(doc_id) AS BIGINT) AS max_doc_id,
-           CAST(sum(length('q"uo,te:' || source)) AS BIGINT) AS tricky_chars
+           CAST(sum(length('q"uo,te:' || source)) AS BIGINT) AS tricky_chars,
+           CAST(sum(length('  pad ' || source || '  ')) AS BIGINT)
+               AS padded_chars
     FROM documents
     GROUP BY source
     """,
@@ -1101,7 +1103,11 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     into loud failure) flips a sum. The ``tricky`` column INJECTS the
     CSV-hostile class (embedded quote + delimiter) so the writer's
     quoting and the reader's unescaping are exercised on every row,
-    not just on whatever the corpus happens to contain. Embedded
+    not just on whatever the corpus happens to contain; the
+    ``padded`` column injects leading/trailing whitespace, the class
+    the writer's default ignore*WhiteSpace=true would silently trim
+    (write_csv pins both options false -- this column keeps that
+    pin honest). Embedded
     NEWLINES are deliberately out of contract for this sink: reading
     them needs multiLine=true, which makes files non-splittable -- at
     100 TB newline-bearing exports belong in the parquet/JSON sinks
@@ -1117,6 +1123,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "text",
         F.concat(F.lit('q"uo,te:'), F.col("source")).alias("tricky"),
+        F.concat(F.lit("  pad "), F.col("source"), F.lit("  ")).alias("padded"),
     )
     out = staging_dir("csv_export", sf_dir)
     write_csv(docs, out)
@@ -1132,6 +1139,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
         F.sum(F.length("tricky")).alias("tricky_chars"),
+        F.sum(F.length("padded")).alias("padded_chars"),
     )
 
 

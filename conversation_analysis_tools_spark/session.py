@@ -229,12 +229,15 @@ def get_spark(
         # threshold-tuned MinHash signature aggregate (up to 2*256
         # min columns, operators/dedup.tuned_lsh_pairs) out of
         # whole-stage codegen into interpreted mode -- measured 3.2x
-        # on the sf1 signature stage (1.3 s -> 0.4 s). 500 covers the
-        # widest plan in this repo; Spark splits oversized generated
-        # methods itself and falls back per-plan past
-        # hugeMethodLimit, so the only cost is compile time on plans
-        # that were already near the cap.
-        "spark.sql.codegen.maxFields": "500",
+        # on the sf1 signature stage (1.3 s -> 0.4 s). 600 covers the
+        # widest plan in this repo INCLUDING the clamp edge (b=256 ->
+        # 512 hash columns + id and join-side columns; a 500 cap
+        # would silently re-introduce the interpreted regression
+        # exactly at thresholds <= ~0.123 where the solver hits the
+        # clamp). Spark splits oversized generated methods itself and
+        # falls back per-plan past hugeMethodLimit, so the only cost
+        # is compile time on plans that were already near the cap.
+        "spark.sql.codegen.maxFields": "600",
         # --- Python boundary: Arrow batches, never per-row pickling ---
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -15,8 +15,20 @@ from pyspark.sql import functions as F
 
 
 def write_csv(df: DataFrame, path: str) -> None:
-    """S7 CSV sink (sql_search.py:1970-2006)."""
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    """S7 CSV sink (sql_search.py:1970-2006).
+
+    ignore*WhiteSpace default TRUE on the write path (univocity), so
+    a padded value would be silently trimmed while the read defaults
+    preserve -- an asymmetric value-mangling class the round-trip
+    certificate (csv_roundtrip) now injects and checks. Both are
+    pinned false: the sink writes bytes as given."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+    )
 
 
 def write_json_nested(messages: DataFrame, conversations: DataFrame, path: str) -> None:

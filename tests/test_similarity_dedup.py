@@ -176,8 +176,14 @@ def test_cc_star_high_diameter(spark):
     from conversation_analysis_tools_spark.operators import components as C
 
     assert C.LAST_STAR_ROUNDS <= 12  # logarithmic, not O(diameter)
-    dist = connected_components(path, strategy="distributed", max_iter=12).collect()
-    assert {r["component"] for r in dist} != {0}
+    # min-label advances the minimum ONE hop per round, so 12 rounds
+    # cannot close a 199-diameter path -- and that must now be LOUD
+    # (silent partial labels would make downstream dedup keep
+    # duplicates; review round 8)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, strategy="distributed", max_iter=12)
 
 
 def test_cc_star_raises_at_cap(spark):
