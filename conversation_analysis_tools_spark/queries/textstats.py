@@ -1199,3 +1199,89 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("passes_repetition"),
         )
     )
+
+
+@register(
+    "url_domain_filter",
+    oracle=r"""
+    WITH pages AS (
+        SELECT doc_id,
+               'https://' ||
+               CASE doc_id % 5
+                   WHEN 0 THEN 'spam.example.com'
+                   WHEN 1 THEN 'blog.example.org'
+                   WHEN 2 THEN 'news.example.org'
+                   WHEN 3 THEN 'ads.tracker.net'
+                   ELSE 'docs.example.io'
+               END || '/page/' || CAST(doc_id AS VARCHAR) ||
+               CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END
+                   AS url
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id, url,
+               regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+        FROM pages
+    )
+    SELECT host,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS registered_domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN contains(url, '?') THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_query,
+           host IN ('spam.example.com', 'ads.tracker.net') AS blocked
+    FROM parsed
+    GROUP BY host
+    """,
+)
+def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain curation (the FIRST stage of web-pipeline filtering
+    -- RefinedWeb/C4 drop whole domains by blocklist before any
+    content rule runs): host extraction, registered-domain (eTLD+1
+    approximation: last two labels), per-domain doc counts, and the
+    blocklist verdict.
+
+    The synthetic corpus carries no URLs, so (pii_scrub precedent)
+    each doc plants a deterministic URL from its own columns; the
+    REAL operator -- portable regex host parse, domain aggregation,
+    broadcast-sized blocklist membership -- then runs unmodified. At
+    100 TB this is a map-only extract + one domain-grain aggregate
+    (domains are millions, not billions: the shuffle carries domain
+    cardinality) and the blocklist is literal plan data (a real one
+    would broadcast-join a dimension table, same shape as
+    decontamination_bloom's bitset). Regexes use the Java/RE2 common
+    dialect with a single capture group, identical in both engines;
+    host parsing stops at '/', '?', or '#' so path-less and
+    query-bearing URLs parse alike."""
+    docs = _docs(spark, sf_dir)
+    host_name = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("spam.example.com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("blog.example.org"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("news.example.org"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("ads.tracker.net"))
+        .otherwise(F.lit("docs.example.io"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host_name,
+        F.lit("/page/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+    )
+    parsed = docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+    )
+    blocklist = ["spam.example.com", "ads.tracker.net"]
+    return parsed.groupBy("host").agg(
+        F.first(F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)).alias(
+            "registered_domain"
+        ),
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("url").contains("?"), 1).otherwise(0)).alias(
+            "n_with_query"
+        ),
+        F.first(F.col("host").isin(blocklist)).alias("blocked"),
+    )
