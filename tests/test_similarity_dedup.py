@@ -1084,3 +1084,22 @@ def test_tuned_lsh_band_solver_values(spark):
         assert D.LAST_TUNED_BANDS == (want_b, 2 * want_b), t
     with pytest.raises(ValueError, match="threshold"):
         D.tuned_lsh_pairs(arrs, 1.0)
+
+
+def test_cc_distributed_confirming_round_boundary(spark):
+    """A 5-node path (diameter 4) settles its min-labels in exactly 4
+    propagation rounds: max_iter=4 leaves the loop without an
+    in-loop fixpoint proof and must converge via the free confirming
+    round, while max_iter=3 must raise loudly (review round 8: the
+    distributed path previously returned silently split components
+    at the cap)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = spark.range(0, 4).select(
+        F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+    )
+    ok = connected_components(path, strategy="distributed", max_iter=4).collect()
+    assert {r["component"] for r in ok} == {0} and len(ok) == 5
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, strategy="distributed", max_iter=3)
