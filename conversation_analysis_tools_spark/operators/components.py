@@ -152,7 +152,12 @@ def _cc_distributed(
 
     prev_sum = labels.agg(F.sum("component")).first()[0]
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1: the sum probe proves a fixpoint one round AFTER
+    # the last change, so a graph whose labels settle exactly at
+    # round max_iter needs one change-free confirming round -- the
+    # same +1 courtesy _cc_star grants (and the failure path costs
+    # the same one extra round either way)
+    for _ in range(max_iter + 1):
         # neighbor labels flowing over edges + own label, min per node
         msgs = (
             sym.join(labels, sym.a == labels.id)
@@ -169,24 +174,6 @@ def _cc_distributed(
             converged = True
             break
         prev_sum = cur_sum
-    if not converged:
-        # same +1 courtesy as _cc_star: the sum probe proves a
-        # fixpoint one round AFTER the last change, so a graph whose
-        # labels settle exactly at round max_iter gets its single
-        # change-free confirming round before the loud failure
-        msgs = (
-            sym.join(labels, sym.a == labels.id)
-            .select(F.col("b").alias("id"), "component")
-        )
-        confirm = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        if confirm.agg(F.sum("component")).first()[0] == prev_sum:
-            converged = True
-            labels = confirm
     if not converged:
         raise RuntimeError(
             f"min-label propagation did not converge in {max_iter} rounds "

@@ -62,15 +62,22 @@ def main() -> None:
     for n in sizes:
         edges = path_edges(spark, n)
         run(edges, f"path n={n}", "star")
-        # min-label on the same path, capped: rounds = diameter, so the
-        # cap documents the wall rather than waiting n rounds
+        # min-label on the same path, capped: rounds = diameter, so
+        # hitting the cap now RAISES (round 8: silent partial labels
+        # were the failure mode the loud contract closed) -- the probe
+        # documents the wall by catching the loud failure
         if n <= 4096:
             t0 = time.time()
-            out = C.connected_components(edges, strategy="distributed", max_iter=40)
-            bad = out.where(F.col("component") != 0).count()
+            try:
+                C.connected_components(
+                    edges, strategy="distributed", max_iter=40
+                ).count()
+                outcome = "converged (unexpected on a path this long)"
+            except RuntimeError as e:
+                outcome = f"raised as designed: {e}"
             print(
                 f"{'path n=' + str(n):>28} strategy=distributed rounds=40cap "
-                f"unconverged_nodes={bad} wall={time.time() - t0:6.2f}s"
+                f"{outcome} wall={time.time() - t0:6.2f}s"
             )
     edges = clique_batch_edges(spark, 2000, 8)
     run(edges, "cliques 2000x8", "star")
