@@ -113,8 +113,11 @@ HEADLINE = [
     "corpus_drift_kl",
     # round-8: the CSV sink round trip (sf-scaled corpus write +
     # FAILFAST read-back; the routed-dedup / planted-dup / PII
-    # certificates run fixed corpora and stay out per the rule)
+    # certificates run fixed corpora and stay out per the rule) and
+    # the v2 curation capstone (domain gate -> PII redact -> Gopher
+    # gate -> fingerprint dedup in one DAG, per-source funnel)
     "csv_roundtrip",
+    "curation_pipeline_v2",
 ]
 
 

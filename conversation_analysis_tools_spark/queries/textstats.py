@@ -1285,3 +1285,190 @@ def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.first(F.col("host").isin(blocklist)).alias("blocked"),
     )
+
+
+def _v2_oracle() -> str:
+    from conversation_analysis_tools_spark.functions.redact import redact_sql
+
+    red = redact_sql(
+        "text || ' contact ' || source || '@example.com or call 555-867-' || "
+        "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' now'"
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CASE doc_id % 5
+                   WHEN 0 THEN 'spam.example.com'
+                   WHEN 1 THEN 'blog.example.org'
+                   WHEN 2 THEN 'news.example.org'
+                   WHEN 3 THEN 'ads.tracker.net'
+                   ELSE 'docs.example.io'
+               END AS host,
+               {red} AS red
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source, red,
+               host IN ('spam.example.com', 'ads.tracker.net') AS blocked,
+               regexp_extract_all(red, '\\S+') AS words
+        FROM base
+    ),
+    gop AS (
+        SELECT doc_id, source, red, blocked,
+               len(words) >= 50 AND len(words) <= 100000
+               AND list_sum(list_transform(words, w -> len(w))) * 1.0
+                   / len(words) BETWEEN 3 AND 10
+               AND len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+                   * 1.0 / len(words) >= 0.8
+               AND len(list_intersect(
+                       list_transform(words, w -> lower(w)),
+                       {STOPWORDS_SQL_ARRAY})) >= 2 AS q,
+               md5(array_to_string(list_sort(list_distinct(list_filter(
+                   regexp_extract_all(lower(red), '\\b[a-z]{{3,}}\\b'),
+                   t -> NOT list_contains({STOPWORDS_SQL_ARRAY}, t)))), ' '))
+                   AS fp
+        FROM feats
+    ),
+    surv AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gop WHERE NOT blocked AND q
+    ),
+    funnel AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_after_domain,
+               CAST(sum(CASE WHEN NOT blocked AND q THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_after_quality
+        FROM gop GROUP BY source
+    ),
+    kept AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_after_dedup,
+               CAST(sum(len(red)) AS BIGINT) AS kept_chars
+        FROM surv WHERE rn = 1 GROUP BY source
+    )
+    SELECT f.source, f.n_total, f.n_after_domain, f.n_after_quality,
+           coalesce(k.n_after_dedup, 0) AS n_after_dedup,
+           coalesce(k.kept_chars, 0) AS kept_chars
+    FROM funnel f LEFT JOIN kept k USING (source)
+    """
+
+
+@register("curation_pipeline_v2", oracle=_v2_oracle())
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 curation capstone: every new stage composed into
+    ONE DAG with per-source funnel observability -- the job shape a
+    100 TB pretraining-data run executes nightly:
+
+    1. DOMAIN gate (url_domain_filter semantics): planted per-doc
+       host, blocklist drop -- map-only, runs first so nothing
+       downstream touches blocked docs;
+    2. PII REDACTION (functions/redact.py, the ordered five-pattern
+       chain) over text + a planted contact line -- the redacted doc
+       is the content every later stage sees, exactly as a real
+       pipeline orders it (never quality-score text you are about to
+       mutate);
+    3. GOPHER word rules on the REDACTED text (word count, mean word
+       length, alpha fraction, stopword count -- the
+       gopher_quality_flags thresholds);
+    4. EXACT DEDUP at token-set-fingerprint grain of the redacted
+       text (md5 of sorted distinct tokens, keep min doc_id --
+       curation_pipeline's recipe), restricted to survivors so the
+       window only shuffles docs that can still be kept.
+
+    Output: per-source funnel (n_total -> n_after_domain ->
+    n_after_quality -> n_after_dedup, plus kept chars) -- the drop
+    accounting a data-governance review asks for. Stages 1-3 are
+    pure row expressions (zero shuffle); the only exchanges are the
+    fingerprint window over survivors and the two source-grain
+    aggregates."""
+    from conversation_analysis_tools_spark.functions.redact import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("spam.example.com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("blog.example.org"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("news.example.org"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("ads.tracker.net"))
+        .otherwise(F.lit("docs.example.io"))
+    )
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("@example.com or call 555-867-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" now"),
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        host.isin("spam.example.com", "ads.tracker.net").alias("blocked"),
+        redact_pii(with_pii).alias("red"),
+    )
+    words = F.regexp_extract_all(F.col("red"), F.lit(r"\S+"), 0)
+    n_words = F.size(words)
+    mean_len = (
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+        )
+        * F.lit(1.0)
+        / n_words
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) * F.lit(1.0) / n_words
+    )
+    n_stops = F.size(
+        F.array_intersect(
+            F.transform(words, lambda w: F.lower(w)), array_lit(sorted(STOPWORDS))
+        )
+    )
+    toks = F.regexp_extract_all(F.lower("red"), F.lit(r"\b[a-z]{3,}\b"), 0)
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_except(F.array_distinct(toks), array_lit(sorted(STOPWORDS)))
+            ),
+            " ",
+        ).cast("binary")
+    )
+    gop = base.select(
+        "doc_id",
+        "source",
+        "red",
+        "blocked",
+        (
+            n_words.between(50, 100000)
+            & mean_len.between(3, 10)
+            & (alpha_frac >= 0.8)
+            & (n_stops >= 2)
+        ).alias("q"),
+        fp.alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        gop.where(~F.col("blocked") & F.col("q"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_after_dedup"),
+            F.sum(F.length("red")).alias("kept_chars"),
+        )
+    )
+    funnel = gop.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(~F.col("blocked"), 1).otherwise(0)).alias("n_after_domain"),
+        F.sum(F.when(~F.col("blocked") & F.col("q"), 1).otherwise(0)).alias(
+            "n_after_quality"
+        ),
+    )
+    return funnel.join(kept, "source", "left").select(
+        "source",
+        "n_total",
+        "n_after_domain",
+        "n_after_quality",
+        F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+        F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+    )
