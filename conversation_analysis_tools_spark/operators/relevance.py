@@ -6,9 +6,12 @@ Semantics (pipeline/relevance_scorer.py:127-224):
 * tfidf_kw = sum(tfidf[kw] for matched kw) / |keywords| (0 if none)
 * combined = normalized weights {density .3, coverage .4, tfidf .3}
 
-Everything is a column expression over the documents DataFrame plus
-one broadcast join against the per-doc keyword-tfidf sums -- no UDFs,
-one shuffle (the tfidf aggregation), scales linearly in corpus size.
+All three scores derive from ONE tokenize pass: the shared (id,
+term, cnt) counts table feeds the density/coverage aggregation, the
+max-TF window, and the IDF aggregation (no UDFs anywhere), and the
+doc-grain score tables join back on id -- broadcast at test scale,
+id-grain shuffle joins of narrow score rows at corpus scale. Scales
+linearly in corpus size.
 """
 
 from __future__ import annotations
@@ -16,32 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from conversation_analysis_tools_spark.functions.text import tokens_with_dupes_expr
 from conversation_analysis_tools_spark.operators import tfidf as T
-from conversation_analysis_tools_spark.functions.lits import array_lit
 
 DEFAULT_WEIGHTS = {"density": 0.3, "coverage": 0.4, "tfidf": 0.3}
-
-
-def with_keyword_scores(
-    docs: DataFrame,
-    keywords: list[str],
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Add density/coverage columns (pure expressions, no shuffle)."""
-    kw_arr = array_lit([k.lower() for k in keywords])
-    toks = tokens_with_dupes_expr(text_col)
-    docs = docs.withColumn("_toks", toks)
-    density = F.when(
-        F.size("_toks") > 0,
-        F.size(F.filter("_toks", lambda t: F.array_contains(kw_arr, t)))
-        / F.size("_toks"),
-    ).otherwise(0.0)
-    coverage = F.size(F.array_intersect(F.array_distinct("_toks"), kw_arr)) / F.lit(
-        len(keywords)
-    )
-    return docs.withColumn("density", density).withColumn("coverage", coverage)
 
 
 def keyword_tfidf_scores(
@@ -87,7 +67,23 @@ def score_documents(
     text_col: str = "text",
     counts: DataFrame | None = None,
 ) -> DataFrame:
-    """N9/N10: combined relevance score per document."""
+    """N9/N10: combined relevance score per document.
+
+    ONE tokenize pass feeds all three scores (round 8): the (id,
+    term, cnt) counts table uses the same token definition as the
+    density/coverage expressions (``explode_tokens`` wraps
+    ``tokens_with_dupes_expr``), so density is sum(cnt | term in
+    kw) / sum(cnt) -- the multiset ratio -- and coverage's numerator
+    is a countIf over the already-distinct (id, term) grain. The
+    previous plan tokenized TWICE (a row-local array branch for
+    density/coverage plus the exploded branch for tfidf), and the
+    regexp tokenize is the dominant cost at corpus scale (measured
+    2.5 s of nlp_relevance's 9.7 s at sf1, per branch). Docs whose
+    text yields no tokens fall out of the exploded grain and rejoin
+    with all-zero scores, the reference value. When the caller does
+    not pass a shared ``counts``, the one built here is track()'d:
+    three consumers (density agg, tf window, idf agg) would
+    otherwise re-run tokenize+count per branch."""
     w = dict(weights or DEFAULT_WEIGHTS)
     total = sum(w.values())
     # Same ulp-drift guard as priority.combined_score_expr: 0.3+0.4+0.3
@@ -96,14 +92,28 @@ def score_documents(
     if abs(total - 1.0) > 1e-12:
         w = {k: v / total for k, v in w.items()}
 
-    # drop the token array BEFORE the join: if kw_tfidf outgrows the
-    # broadcast threshold (corpus-scale keyword lists), the scored side
-    # shuffles on id -- it must shuffle narrow score rows, not the full
-    # per-doc token arrays
-    scored = with_keyword_scores(docs, keywords, id_col, text_col).drop("_toks")
+    from conversation_analysis_tools_spark.operators.cache import track
+
+    if counts is None:
+        counts = track(
+            T.term_counts(T.explode_tokens(docs, id_col, text_col), id_col)
+        )
+    kw = [k.lower() for k in keywords]
+    is_kw = F.col("term").isin(kw)
+    dens = counts.groupBy(id_col).agg(
+        (
+            F.sum(F.when(is_kw, F.col("cnt")).otherwise(0)) / F.sum("cnt")
+        ).alias("density"),
+        (F.sum(F.when(is_kw, 1).otherwise(0)) / F.lit(len(keywords))).alias(
+            "coverage"
+        ),
+    )
     kw_tfidf = keyword_tfidf_scores(docs, keywords, id_col, text_col, counts)
     return (
-        scored.join(kw_tfidf, id_col, "left")
+        docs.join(dens, id_col, "left")
+        .join(kw_tfidf, id_col, "left")
+        .withColumn("density", F.coalesce(F.col("density"), F.lit(0.0)))
+        .withColumn("coverage", F.coalesce(F.col("coverage"), F.lit(0.0)))
         .withColumn("tfidf_score", F.coalesce(F.col("tfidf_score"), F.lit(0.0)))
         .withColumn(
             "relevance",

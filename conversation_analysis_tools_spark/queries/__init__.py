@@ -69,6 +69,17 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # _cc_star confirming-round change needs no pin: the extra round
 # fires only on NON-convergence (previously a guaranteed
 # RuntimeError), so every converging query's plan is untouched.
+# Late round 8: score_documents moved to the shared-counts plan (one
+# tokenize pass feeds density/coverage/tfidf; nlp_relevance sf1
+# 9.7 -> 5.3 s). All five consumers (nlp_relevance,
+# nlp_relevance_topk, nlp_priority, nlp_priority_distribution,
+# pipeline_analysis_results) passed the local oracle gate after the
+# change; the rolling_avg_daily precedent applies for the driver
+# row -- pipeline_analysis_results is r4-green and auto-promotes
+# into the r8 window carrying the changed operator, while the
+# r5-green members' own rows auto-promote in round 9 by age
+# (pinning them would push the staleness bound past 4 at 187
+# oracled).
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
