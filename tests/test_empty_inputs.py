@@ -39,6 +39,15 @@ def test_dedup_family_empty(spark, empty_docs):
     assert D.minhash_dedup_pairs(empty_docs, threshold=0.2).count() == 0
     assert D.simhash(empty_docs).count() == 0
     assert D.edit_distance_pairs(empty_docs).count() == 0
+    # the saturation router's three paths: the auto probe must read a
+    # NULL volume sum as 0 (not route or crash), and the tuned-LSH
+    # plan must survive zero buckets
+    for route in ("auto", "exact", "minhash"):
+        assert (
+            D.ngram_jaccard_pairs(empty_docs, threshold=0.15, route=route).count()
+            == 0
+        ), route
+    assert D.LAST_JACCARD_ROUTE == "minhash"  # explicit route sticks
 
 
 def test_connected_components_empty(spark):
