@@ -1158,12 +1158,21 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr, lambda g: F.struct(F.lit(kind).alias("kind"), g.alias("gram"))
         )
 
+    # ONE exchange for the whole gram side: repartition the exploded
+    # stream by doc_id up front -- HashPartitioning(doc_id) satisfies
+    # the clustered distribution of groupBy(doc_id, kind, gram), the
+    # top-2-gram window (PARTITION BY doc_id), AND the dup-5-gram
+    # per-doc aggregate, so none of them re-shuffles (census: 4
+    # exchanges -> 1 on the gram path). The trade is shuffling raw
+    # gram rows instead of map-combined counts, a wash here: 5-grams
+    # are near-unique, so the combine barely shrinks the stream.
     counted = (
         pages.select(
             "doc_id",
             F.explode(F.concat(_grams(2, "2"), _grams(5, "5"))).alias("kg"),
         )
         .select("doc_id", F.col("kg.kind").alias("kind"), F.col("kg.gram").alias("gram"))
+        .repartition(F.col("doc_id"))
         .groupBy("doc_id", "kind", "gram")
         .agg(F.count("*").alias("cnt"))
     )

@@ -87,6 +87,13 @@ CENSUS = [
     # plan, so the pipeline's persisted token-table feeder stages
     # appear as InMemoryTableScan, not as their own exchanges
     "pipeline_analysis_results",
+    # round-8: the serving-only DPP batch search, the CSV round trip,
+    # the repetition/url curation gates, and the v2 funnel pipeline
+    "ann_ivf_batch_serve",
+    "csv_roundtrip",
+    "gopher_repetition_flags",
+    "url_domain_filter",
+    "curation_pipeline_v2",
 ]
 
 
