@@ -80,6 +80,12 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # r5-green members' own rows auto-promote in round 9 by age
 # (pinning them would push the staleness bound past 4 at 187
 # oracled).
+# ROUND-9 HEADROOM WARNING: at 187 oracled, ceil(O / (50 - pins))
+# stays <= 4 only while O + pin-pressure is low -- with 3 pins the
+# registry can reach 188 oracled, with 2 pins 192, with 1 pin 196.
+# Adding oracled queries in round 9 therefore requires SHRINKING the
+# pin list first (the r8 pins all clear once CORRECTNESS_r08 lands);
+# test_rotation_staleness_bound enforces the arithmetic.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
