@@ -1210,19 +1210,44 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted per-doc host table + blocklist, shared by
+#: url_domain_filter and curation_pipeline_v2 -- ONE definition feeds
+#: both Spark bodies and both oracles so the queries can never drift.
+_PLANTED_HOSTS = [
+    "spam.example.com",
+    "blog.example.org",
+    "news.example.org",
+    "ads.tracker.net",
+    "docs.example.io",
+]
+_HOST_BLOCKLIST = ["spam.example.com", "ads.tracker.net"]
+
+
+def _planted_host_expr():
+    c = F.when(F.col("doc_id") % 5 == 0, F.lit(_PLANTED_HOSTS[0]))
+    for i in range(1, len(_PLANTED_HOSTS) - 1):
+        c = c.when(F.col("doc_id") % 5 == i, F.lit(_PLANTED_HOSTS[i]))
+    return c.otherwise(F.lit(_PLANTED_HOSTS[-1]))
+
+
+def _planted_host_sql() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, h in enumerate(_PLANTED_HOSTS[:-1])
+    )
+    return f"CASE doc_id % 5 {whens} ELSE '{_PLANTED_HOSTS[-1]}' END"
+
+
+def _blocklist_sql() -> str:
+    return ", ".join(f"'{h}'" for h in _HOST_BLOCKLIST)
+
+
 @register(
     "url_domain_filter",
-    oracle=r"""
+    oracle=rf"""
     WITH pages AS (
         SELECT doc_id,
-               'https://' ||
-               CASE doc_id % 5
-                   WHEN 0 THEN 'spam.example.com'
-                   WHEN 1 THEN 'blog.example.org'
-                   WHEN 2 THEN 'news.example.org'
-                   WHEN 3 THEN 'ads.tracker.net'
-                   ELSE 'docs.example.io'
-               END || '/page/' || CAST(doc_id AS VARCHAR) ||
+               'https://' || {_planted_host_sql()}
+               || '/page/' || CAST(doc_id AS VARCHAR) ||
                CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END
                    AS url
         FROM documents
@@ -1237,7 +1262,7 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN contains(url, '?') THEN 1 ELSE 0 END) AS BIGINT)
                AS n_with_query,
-           host IN ('spam.example.com', 'ads.tracker.net') AS blocked
+           host IN ({_blocklist_sql()}) AS blocked
     FROM parsed
     GROUP BY host
     """,
@@ -1262,16 +1287,9 @@ def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     host parsing stops at '/', '?', or '#' so path-less and
     query-bearing URLs parse alike."""
     docs = _docs(spark, sf_dir)
-    host_name = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit("spam.example.com"))
-        .when(F.col("doc_id") % 5 == 1, F.lit("blog.example.org"))
-        .when(F.col("doc_id") % 5 == 2, F.lit("news.example.org"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("ads.tracker.net"))
-        .otherwise(F.lit("docs.example.io"))
-    )
     url = F.concat(
         F.lit("https://"),
-        host_name,
+        _planted_host_expr(),
         F.lit("/page/"),
         F.col("doc_id").cast("string"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed")).otherwise(
@@ -1283,7 +1301,6 @@ def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         url.alias("url"),
         F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1).alias("host"),
     )
-    blocklist = ["spam.example.com", "ads.tracker.net"]
     return parsed.groupBy("host").agg(
         F.first(F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1)).alias(
             "registered_domain"
@@ -1292,7 +1309,7 @@ def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("url").contains("?"), 1).otherwise(0)).alias(
             "n_with_query"
         ),
-        F.first(F.col("host").isin(blocklist)).alias("blocked"),
+        F.first(F.col("host").isin(_HOST_BLOCKLIST)).alias("blocked"),
     )
 
 
@@ -1306,32 +1323,27 @@ def _v2_oracle() -> str:
     return f"""
     WITH base AS (
         SELECT doc_id, source,
-               CASE doc_id % 5
-                   WHEN 0 THEN 'spam.example.com'
-                   WHEN 1 THEN 'blog.example.org'
-                   WHEN 2 THEN 'news.example.org'
-                   WHEN 3 THEN 'ads.tracker.net'
-                   ELSE 'docs.example.io'
-               END AS host,
+               {_planted_host_sql()} AS host,
                {red} AS red
         FROM documents
     ),
     feats AS (
         SELECT doc_id, source, red,
-               host IN ('spam.example.com', 'ads.tracker.net') AS blocked,
+               host IN ({_blocklist_sql()}) AS blocked,
                regexp_extract_all(red, '\\S+') AS words
         FROM base
     ),
     gop AS (
         SELECT doc_id, source, red, blocked,
                len(words) >= 50 AND len(words) <= 100000
-               AND list_sum(list_transform(words, w -> len(w))) * 1.0
-                   / len(words) BETWEEN 3 AND 10
-               AND len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
-                   * 1.0 / len(words) >= 0.8
+               AND round(list_sum(list_transform(words, w -> len(w))) * 1.0
+                   / len(words), 4) BETWEEN 3 AND 10
+               AND round(len(list_filter(words,
+                       w -> regexp_matches(w, '[a-zA-Z]')))
+                   * 1.0 / len(words), 4) >= 0.8
                AND len(list_intersect(
                        list_transform(words, w -> lower(w)),
-                       {STOPWORDS_SQL_ARRAY})) >= 2 AS q,
+                       {_GOPHER_STOPS!r})) >= 2 AS q,
                md5(array_to_string(list_sort(list_distinct(list_filter(
                    regexp_extract_all(lower(red), '\\b[a-z]{{3,}}\\b'),
                    t -> NOT list_contains({STOPWORDS_SQL_ARRAY}, t)))), ' '))
@@ -1378,30 +1390,29 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
        is the content every later stage sees, exactly as a real
        pipeline orders it (never quality-score text you are about to
        mutate);
-    3. GOPHER word rules on the REDACTED text (word count, mean word
-       length, alpha fraction, stopword count -- the
-       gopher_quality_flags thresholds);
+    3. GOPHER word rules on the REDACTED text, via the SAME
+       gopher_metrics operator (and therefore the same rounded
+       values and 8-word Gopher stop list) gopher_quality_flags
+       gates on -- the word-rule subset (line rules are not
+       meaningful on the single-line redacted docs);
     4. EXACT DEDUP at token-set-fingerprint grain of the redacted
-       text (md5 of sorted distinct tokens, keep min doc_id --
-       curation_pipeline's recipe), restricted to survivors so the
-       window only shuffles docs that can still be kept.
+       text (md5 of sorted distinct analysis tokens via the shared
+       tokenizer -- curation_pipeline's recipe, keep min doc_id),
+       restricted to survivors so the window only shuffles docs
+       that can still be kept.
 
     Output: per-source funnel (n_total -> n_after_domain ->
     n_after_quality -> n_after_dedup, plus kept chars) -- the drop
-    accounting a data-governance review asks for. Stages 1-3 are
-    pure row expressions (zero shuffle); the only exchanges are the
-    fingerprint window over survivors and the two source-grain
-    aggregates."""
+    accounting a data-governance review asks for. ``base`` (the
+    redacted corpus) is track()'d: the metrics derivation and the
+    join-back would otherwise re-run the 5-regex redaction chain per
+    consumer; beyond that the only exchanges are the survivor
+    fingerprint window and the two source-grain aggregates."""
     from conversation_analysis_tools_spark.functions.redact import redact_pii
+    from conversation_analysis_tools_spark.functions.text import tokens_expr
+    from conversation_analysis_tools_spark.operators.cache import track
 
     docs = _docs(spark, sf_dir)
-    host = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit("spam.example.com"))
-        .when(F.col("doc_id") % 5 == 1, F.lit("blog.example.org"))
-        .when(F.col("doc_id") % 5 == 2, F.lit("news.example.org"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("ads.tracker.net"))
-        .otherwise(F.lit("docs.example.io"))
-    )
     with_pii = F.concat(
         F.col("text"),
         F.lit(" contact "),
@@ -1410,48 +1421,28 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
         F.lit(" now"),
     )
-    base = docs.select(
-        "doc_id",
-        "source",
-        host.isin("spam.example.com", "ads.tracker.net").alias("blocked"),
-        redact_pii(with_pii).alias("red"),
-    )
-    words = F.regexp_extract_all(F.col("red"), F.lit(r"\S+"), 0)
-    n_words = F.size(words)
-    mean_len = (
-        F.aggregate(
-            F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
-        )
-        * F.lit(1.0)
-        / n_words
-    )
-    alpha_frac = (
-        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) * F.lit(1.0) / n_words
-    )
-    n_stops = F.size(
-        F.array_intersect(
-            F.transform(words, lambda w: F.lower(w)), array_lit(sorted(STOPWORDS))
+    base = track(
+        docs.select(
+            "doc_id",
+            "source",
+            _planted_host_expr().isin(_HOST_BLOCKLIST).alias("blocked"),
+            redact_pii(with_pii).alias("red"),
         )
     )
-    toks = F.regexp_extract_all(F.lower("red"), F.lit(r"\b[a-z]{3,}\b"), 0)
+    metrics = gopher_metrics(base.select("doc_id", F.col("red").alias("text")))
     fp = F.md5(
-        F.array_join(
-            F.array_sort(
-                F.array_except(F.array_distinct(toks), array_lit(sorted(STOPWORDS)))
-            ),
-            " ",
-        ).cast("binary")
+        F.array_join(F.array_sort(tokens_expr("red")), " ").cast("binary")
     )
-    gop = base.select(
+    gop = base.join(metrics, "doc_id").select(
         "doc_id",
         "source",
         "red",
         "blocked",
         (
-            n_words.between(50, 100000)
-            & mean_len.between(3, 10)
-            & (alpha_frac >= 0.8)
-            & (n_stops >= 2)
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_frac") >= 0.8)
+            & (F.col("n_stops") >= 2)
         ).alias("q"),
         fp.alias("fp"),
     )

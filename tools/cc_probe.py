@@ -72,7 +72,11 @@ def main() -> None:
                 C.connected_components(
                     edges, strategy="distributed", max_iter=40
                 ).count()
-                outcome = "converged (unexpected on a path this long)"
+                outcome = (
+                    "converged within the cap"
+                    if n <= 41
+                    else "converged (unexpected on a path this long)"
+                )
             except RuntimeError as e:
                 outcome = f"raised as designed: {e}"
             print(
