@@ -1103,3 +1103,38 @@ def test_cc_distributed_confirming_round_boundary(spark):
     assert {r["component"] for r in ok} == {0} and len(ok) == 5
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(path, strategy="distributed", max_iter=3)
+
+
+def test_tuned_lsh_seeded_random_parity(spark):
+    """Seeded random corpora: the routed plan must find every pair
+    the exact plan scores WELL above threshold (J >= 0.5 at t=0.3:
+    per-pair miss probability < 1e-4 under the solved banding, and
+    md5 determinism makes the outcome fixed for these seeds), with
+    zero extras and value-exact Jaccard on everything it emits."""
+    import random
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    for trial in range(3):
+        rows = []
+        for i in range(40):
+            rows.append((i, " ".join(rng.choices(vocab, k=rng.randint(8, 20)))))
+        # planted near-dups: copy with a small suffix perturbation
+        for j, src in enumerate(rng.sample(range(40), 5)):
+            rows.append((100 + j, rows[src][1] + f" tail{j} extra{j}"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        exact = {
+            (r["id1"], r["id2"]): round(r["jaccard"], 9)
+            for r in D.ngram_jaccard_pairs(docs, 0.3, route="exact").collect()
+        }
+        routed = {
+            (r["id1"], r["id2"]): round(r["jaccard"], 9)
+            for r in D.ngram_jaccard_pairs(docs, 0.3, route="minhash").collect()
+        }
+        extras = set(routed) - set(exact)
+        assert not extras, (trial, extras)
+        for k, v in routed.items():
+            assert exact[k] == v, (trial, k)
+        strong = {k for k, v in exact.items() if v >= 0.5}
+        missed_strong = strong - set(routed)
+        assert not missed_strong, (trial, missed_strong)
