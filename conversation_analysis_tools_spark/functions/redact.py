@@ -44,8 +44,14 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
         # separator-REQUIRED 3-3-4 (optionally parenthesized area
         # code): a bare 10-digit run is more often an id than a phone
         # number, so it is deliberately NOT matched (precision over
-        # recall -- the standard scrub-stage trade)
-        r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+        # recall -- the standard scrub-stage trade). The \b after the
+        # optional '(' anchors the LEADING edge too: without it the
+        # pattern matched the suffix of a longer digit run
+        # ('12345-678-9012' -> '12<PHONE>'), mangling ids. \b between
+        # two digits never holds, so a digit-preceded area code is
+        # rejected while '(' or start-of-string still matches --
+        # RE2/Java-common, dialect parity preserved.
+        r"\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
         "<PHONE>",
     ),
     (

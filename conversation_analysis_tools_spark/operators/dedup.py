@@ -11,19 +11,26 @@ Design constraints:
   bound the join.
 * At 100 TB: shingle explode is a flatMap; the per-band groupBy is the
   only shuffle; bucket skew (a degenerate band key shared by everyone)
-  is capped with ``max_bucket`` -- buckets larger than that are almost
-  always boilerplate collisions and are dropped, mirroring common
-  practice (e.g. spark.mllib's MinHashLSH OR-amplification followed by
-  verification).
+  is capped with ``max_bucket`` -- over-cap buckets are dropped in the
+  fixed-band paths (almost always boilerplate collisions, mirroring
+  common practice: spark.mllib's MinHashLSH OR-amplification followed
+  by verification) and STAR-degraded (each id paired with the bucket
+  min; linear) in :func:`tuned_lsh_pairs`, the saturation router's
+  target, where popular buckets carry real near-threshold pairs.
 """
 
 from __future__ import annotations
+
+import logging
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from conversation_analysis_tools_spark.operators.cache import track
+
+_LOG = logging.getLogger(__name__)
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -145,13 +152,26 @@ N_BANDS = 4  # 4 rows per band
 #: below stays under 2^35 -- safe in ANSI BIGINT on both engines.
 MINHASH_P = 2_147_483_647
 
-#: Path the last ngram_jaccard_pairs call took ('exact' | 'minhash'),
-#: for tests and routing certificates. None before the first call.
-LAST_JACCARD_ROUTE: str | None = None
+#: Per-THREAD routing record (ADVICE r8: module globals were racy
+#: under concurrent query execution -- an interleaved call on another
+#: thread could overwrite the record between plan construction and a
+#: certificate's check). ``LAST_JACCARD_ROUTE`` / ``LAST_TUNED_BANDS``
+#: remain readable as module attributes via ``__getattr__`` below, but
+#: each thread sees only its own calls; race-free callers (the routing
+#: certificate) should prefer the per-call ``route_info`` out-param of
+#: :func:`ngram_jaccard_pairs`.
+_ROUTE_STATE = threading.local()
 
-#: (bands, hashes) the last tuned_lsh_pairs call solved from its
-#: threshold/recall target, for tests. None before the first call.
-LAST_TUNED_BANDS: tuple[int, int] | None = None
+
+def __getattr__(name: str):
+    """PEP 562 shim: LAST_JACCARD_ROUTE ('exact'|'minhash'|None before
+    the first call on this thread) and LAST_TUNED_BANDS ((bands,
+    hashes) tuple) read the THREAD-LOCAL record."""
+    if name == "LAST_JACCARD_ROUTE":
+        return getattr(_ROUTE_STATE, "route", None)
+    if name == "LAST_TUNED_BANDS":
+        return getattr(_ROUTE_STATE, "bands", None)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def km_u_step(digest_col):
@@ -340,19 +360,28 @@ def tuned_lsh_pairs(
     construction), r = 3 needs b ~ 1/t^3 bands (~1200 at t = 0.15).
 
     Candidates come from IN-BUCKET pair explosion, not a band
-    self-join: one groupBy collects each (band, key) bucket's ids,
-    buckets outside [2, max_bucket] are dropped, and the i<j pairs
-    unfold row-locally with higher-order array functions. That makes
-    candidate volume PROVABLY <= max_bucket * n_docs * b -- linear in
-    corpus size -- where the self-join form is quadratic in bucket
-    skew; the interpreted-lambda cost is bounded by the same cap. A
-    true pair is lost to the cap only if every one of its ~t^2*b
-    expected collision buckets is popular (measured at sf1: none of
-    27). Emitted pairs carry their TRUE Jaccard (exact array
-    intersect on the >= threshold survivors); duplicate candidates
-    from multi-band collisions are folded at pair grain AFTER the
-    (tiny) threshold filter rather than with a pre-verify distinct,
-    which would shuffle the full candidate set.
+    self-join: one groupBy collects each (band, key) bucket's ids and
+    the i<j pairs unfold row-locally with higher-order array
+    functions. Buckets up to ``max_bucket`` full-pair; OVER-cap
+    buckets are NOT dropped wholesale (ADVICE r8: saturated corpora
+    -- exactly the ones that trigger routing -- are where buckets get
+    popular, so wholesale drops lose near-threshold true pairs) --
+    they degrade to STAR pairs: each id paired with the bucket's min
+    id, m-1 rows instead of m(m-1)/2. Candidate volume stays PROVABLY
+    linear -- <= max_bucket * n_docs * b from full buckets plus
+    <= n_docs * b from star arms -- where the self-join form is
+    quadratic in bucket skew. A true pair is now lost only if in
+    EVERY one of its ~t^2*b expected collision buckets it is (a)
+    over-cap AND (b) neither member is the bucket min -- strictly
+    rarer than the old any-bucket-under-cap condition (measured at
+    sf1: 27/27 before, 27/27 after). Upstream rep-collapse keeps
+    replica clusters out of the buckets, so over-cap buckets of
+    DISTINCT shingle sets are band collisions, not dup mass. Emitted
+    pairs carry their TRUE Jaccard (exact array intersect on the
+    >= threshold survivors); duplicate candidates from multi-band
+    collisions are folded at pair grain AFTER the (tiny) threshold
+    filter rather than with a pre-verify distinct, which would
+    shuffle the full candidate set.
     """
     import math
 
@@ -365,8 +394,7 @@ def tuned_lsh_pairs(
         )
     b = min(256, max(4, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - t * t))))
     k = 2 * b
-    global LAST_TUNED_BANDS
-    LAST_TUNED_BANDS = (b, k)
+    _ROUTE_STATE.bands = (b, k)
     sh = sh_arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     digested = sh.select(
         F.col(id_col), F.md5(F.col("shingle").cast("binary")).alias("_d")
@@ -399,14 +427,22 @@ def tuned_lsh_pairs(
     buckets = (
         bx.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .where(F.size("ids") >= 2)
     )
+    # <= max_bucket: full i<j pairs. Over-cap: star pairs around the
+    # bucket's min id (ids is sorted, so element 1 is the min and
+    # id1 < id2 holds by construction) -- linear degrade, not a drop.
     cands = buckets.select(
         F.expr(
-            """
-            explode(flatten(transform(ids, (x, i) ->
-                transform(slice(ids, i + 2, size(ids)),
-                          y -> struct(x AS id1, y AS id2)))))
+            f"""
+            explode(CASE WHEN size(ids) <= {int(max_bucket)}
+                THEN flatten(transform(ids, (x, i) ->
+                    transform(slice(ids, i + 2, size(ids)),
+                              y -> struct(x AS id1, y AS id2))))
+                ELSE transform(slice(ids, 2, size(ids)),
+                               y -> struct(element_at(ids, 1) AS id1,
+                                           y AS id2))
+            END)
             """
         ).alias("p")
     ).select("p.id1", "p.id2")
@@ -1153,6 +1189,7 @@ def ngram_jaccard_pairs(
     collapse: str = "auto",
     route: str = "auto",
     route_budget: int = 32_000_000,
+    route_info: dict | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard >= threshold via inverted shingle index:
     only pairs sharing a shingle are generated, length-filtered
@@ -1212,12 +1249,20 @@ def ngram_jaccard_pairs(
     linear in corpus size), then the same exact array-intersect
     verify -- every emitted pair carries its TRUE Jaccard and the
     trade is the bounded recall near the threshold (measured 27/27 at
-    sf1). Routing decisions land in :data:`LAST_JACCARD_ROUTE` for
-    tests/certificates.
+    sf1). Routing decisions are recorded three ways (ADVICE r8): a
+    WARNING log line when 'auto' swaps the exact operator for the
+    approximate path (visible in driver logs, not just a global), the
+    thread-local :data:`LAST_JACCARD_ROUTE` for tests, and -- the
+    race-free channel certificates should use -- the ``route_info``
+    out-param: pass a dict and it is filled in place with
+    ``{'requested': ..., 'route': ..., 'probe_rows': ...,
+    'route_budget': ..., 'bands': ...}`` for THIS call. Callers who
+    need the exact contract unconditionally pin ``route='exact'`` and
+    own the quadratic cost the probe would have refused.
     """
     if route not in ("auto", "exact", "minhash"):
         raise ValueError(f"route must be auto|exact|minhash, got {route!r}")
-    global LAST_JACCARD_ROUTE
+    requested = route
     arrs = track(shingle_arrays(df, id_col, text_col, n))
     rep_arrs, members = _maybe_collapse(arrs, id_col, collapse)
     # postings carry the doc's set size inline (explode keeps sibling
@@ -1227,6 +1272,7 @@ def ngram_jaccard_pairs(
         F.size("sh_arr").alias("sz"),
         F.explode("sh_arr").alias("shingle"),
     )
+    est: float | None = None
     if route == "auto":
         # exact-plan cost probe: the self-join emits df*(df-1)/2 rows
         # per shingle (before the length filter, so an upper bound --
@@ -1245,7 +1291,17 @@ def ngram_jaccard_pairs(
             .first()["rows"]
         )
         route = "minhash" if (est or 0.0) > route_budget else "exact"
-    LAST_JACCARD_ROUTE = route
+        if route == "minhash":
+            _LOG.warning(
+                "ngram_jaccard_pairs: auto-routing to tuned-LSH "
+                "(approximate, recall-bounded near threshold): probed "
+                "exact-plan candidate volume %.3g rows > budget %d. "
+                "Pin route='exact' to force the exact plan at its "
+                "measured quadratic cost.",
+                est or 0.0,
+                route_budget,
+            )
+    _ROUTE_STATE.route = route
     if route == "minhash":
         rep_pairs = tuned_lsh_pairs(rep_arrs, threshold, id_col)
     else:
@@ -1273,6 +1329,14 @@ def ngram_jaccard_pairs(
                 "jaccard"
             ),
         ).where(F.col("jaccard") >= threshold)
+    if route_info is not None:
+        route_info.update(
+            requested=requested,
+            route=route,
+            probe_rows=est,
+            route_budget=route_budget,
+            bands=getattr(_ROUTE_STATE, "bands", None) if route == "minhash" else None,
+        )
     if members is None:
         return rep_pairs
     return _expand_rep_pairs(rep_pairs, members, id_col, "jaccard", 1.0)

@@ -310,8 +310,10 @@ def dedup_jaccard_routed_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams with cluster 1 (jaccard 2/15 = 0.133 < 0.3 -- candidate
     or not, the exact verify excludes it). The expected rows equal
     the exact path's output on this corpus, so the certificate pins
-    routed recall 1.0 here, and a post-collect assertion fails
-    loudly if the probe ever picks 'exact'. sf_dir unused (fixed
+    routed recall 1.0 here, and a loud guard on the PER-CALL
+    route_info record (race-free under concurrent query execution --
+    ADVICE r8; the thread-local LAST_JACCARD_ROUTE is for tests)
+    fails if the probe ever picks 'exact'. sf_dir unused (fixed
     corpus)."""
     docs = spark.createDataFrame(
         [
@@ -326,10 +328,13 @@ def dedup_jaccard_routed_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "doc_id long, text string",
     )
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.3, route="auto", route_budget=0)
-    if D.LAST_JACCARD_ROUTE != "minhash":  # pragma: no cover - loud guard
+    info: dict = {}
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=0.3, route="auto", route_budget=0, route_info=info
+    )
+    if info.get("route") != "minhash":  # pragma: no cover - loud guard
         raise RuntimeError(
-            f"routing certificate ran on route={D.LAST_JACCARD_ROUTE!r}; "
+            f"routing certificate ran on route_info={info!r}; "
             "the budget-0 probe must pick 'minhash'"
         )
     return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))

@@ -956,7 +956,7 @@ _PII_CASES: list[tuple[int, str]] = [
     (4, "ssn 078-05-1120 on file"),
     (5, "call (555) 867-5309 or 555-867-5309 or 555.867.5309"),
     (6, "server 192.168.0.1 and 10.0.0.255 up"),
-    (7, "order 1234567890 shipped"),
+    (7, "order 1234567890 and ref 12345-678-9012 shipped"),
     (8, "fake 123-45-6789 vs 123-456-7890 mixed"),
     (9, "ip 1.2.3.4 via v1.2.3@host.io build"),
     (10, "no personal data in this sentence."),
@@ -1076,6 +1076,7 @@ def pii_redaction_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(least(1.0, coalesce(d.dup5_chars, 0) * 1.0 / c.n_chars), 4)
                AS dup_5gram_char_frac,
            (l.dup_line_frac <= 0.3)
+             AND (l.dup_line_char_frac <= 0.2)
              AND (coalesce(t.top2_chars, 0) * 1.0 / c.n_chars <= 0.2)
              AND (coalesce(d.dup5_chars, 0) * 1.0 / c.n_chars <= 0.15)
                AS passes_repetition
@@ -1087,9 +1088,11 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher REPETITION rules (Rae et al. 2021 Table A1), the
     half of the Gopher gate gopher_quality_flags doesn't cover:
     duplicate-line fraction (<= 0.30), duplicate-line character
-    fraction, top-2-gram character fraction (<= 0.20), and
+    fraction (<= 0.20), top-2-gram character fraction (<= 0.20), and
     duplicate-5-gram character fraction (<= 0.15) -- the rules that
-    catch boilerplate and spam at corpus scale.
+    catch boilerplate and spam at corpus scale. All four are GATED in
+    passes_repetition (the char-fraction rule was reported but
+    ungated until round 9 -- ADVICE r8), per Rae et al. Table A1.
 
     The synthetic corpus is single-line, so (c4_line_clean precedent)
     the query plants a deterministic 5-line page per doc from its own
@@ -1204,7 +1207,10 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.least(F.lit(1.0), t2), 4).alias("top_2gram_char_frac"),
             F.round(F.least(F.lit(1.0), d5), 4).alias("dup_5gram_char_frac"),
             (
-                (F.col("dup_line_frac") <= 0.3) & (t2 <= 0.2) & (d5 <= 0.15)
+                (F.col("dup_line_frac") <= 0.3)
+                & (F.col("dup_line_char_frac") <= 0.2)
+                & (t2 <= 0.2)
+                & (d5 <= 0.15)
             ).alias("passes_repetition"),
         )
     )

@@ -86,7 +86,10 @@ def test_pii_redaction_fixed_hand_pinned(spark):
         4: "ssn <SSN> on file",
         5: "call <PHONE> or <PHONE> or <PHONE>",
         6: "server <IP> and <IP> up",
-        7: "order 1234567890 shipped",
+        # both digit runs survive: the bare 10-digit id (no separator)
+        # and the 13-digit separated run whose 3-3-4 SUFFIX the old
+        # boundary-less phone pattern used to eat ('12<PHONE>')
+        7: "order 1234567890 and ref 12345-678-9012 shipped",
         8: "fake <SSN> vs <PHONE> mixed",
         9: "ip <IP> via <EMAIL> build",
         10: "no personal data in this sentence.",

@@ -1138,3 +1138,52 @@ def test_tuned_lsh_seeded_random_parity(spark):
         strong = {k for k, v in exact.items() if v >= 0.5}
         missed_strong = strong - set(routed)
         assert not missed_strong, (trial, missed_strong)
+
+
+def test_tuned_lsh_overcap_bucket_star_degrades_not_drops(spark):
+    """ADVICE r8 (medium): over-cap buckets used to be dropped
+    wholesale, losing near-threshold pairs exactly on the saturated
+    corpora that trigger routing. They now degrade to STAR pairs
+    around the bucket min: with max_bucket=2 and four docs sharing
+    10 of 11 trigrams (every shared bucket holds all four), every
+    (min, x) pair must still surface with its exact Jaccard."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima"
+    )
+    tails = {1: "taila", 2: "tailb", 3: "tailc", 4: "taild"}
+    docs = spark.createDataFrame(
+        [(i, f"{base} {tails[i]}") for i in (1, 2, 3, 4)],
+        "doc_id long, text string",
+    )
+    arrs = D.shingle_arrays(docs)
+    got = {
+        (r["id1"], r["id2"]): round(r["jaccard"], 9)
+        for r in D.tuned_lsh_pairs(arrs, 0.5, max_bucket=2).collect()
+    }
+    # doc 1 is the min of every bucket it lands in (sorted ids), so
+    # star arms guarantee its pairs; J = 10 shared / 12 union
+    want = round(10.0 / 12.0, 9)
+    for other in (2, 3, 4):
+        assert got.get((1, other)) == want, got
+
+
+def test_jaccard_route_info_out_param(spark, sample_docs):
+    """route_info is the race-free per-call record (ADVICE r8: the
+    module record is now thread-local, but certificates read the
+    out-param): it carries the request, the decision, the probe's
+    measured volume, and the solved banding on the routed path."""
+    info: dict = {}
+    D.ngram_jaccard_pairs(
+        sample_docs, threshold=0.15, route="auto", route_budget=0,
+        route_info=info,
+    )
+    assert info["requested"] == "auto" and info["route"] == "minhash"
+    assert info["probe_rows"] is not None and info["probe_rows"] > 0
+    assert info["route_budget"] == 0 and info["bands"] == (172, 344)
+    info2: dict = {}
+    D.ngram_jaccard_pairs(
+        sample_docs, threshold=0.15, route="exact", route_info=info2
+    )
+    assert info2["route"] == "exact" and info2["probe_rows"] is None
+    assert info2["bands"] is None
