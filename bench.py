@@ -182,7 +182,7 @@ def main() -> None:
         if name == "pipeline_analysis_results":
             n_docs = len(rows)
 
-    line, detail = emit_line(timings, medians, sf, n_docs)
+    line, detail = emit_line(timings, medians, sf, n_docs, jobs, stages)
     detail["queries_jobs"] = jobs
     detail["queries_stages"] = stages
     detail_path = os.path.join(
@@ -194,14 +194,27 @@ def main() -> None:
 
 
 def emit_line(
-    timings: dict, medians: dict, sf, n_docs
+    timings: dict,
+    medians: dict,
+    sf,
+    n_docs,
+    jobs: dict | None = None,
+    stages: dict | None = None,
 ) -> tuple[str, dict]:
     """(final stdout line, detail document). The driver captures only
     the last ~2000 bytes of stdout and json-parses the final line, so
-    the line must stay under that budget at ANY headline size: if the
-    per-query map outgrows it, the line keeps the totals and points at
-    BENCH_DETAIL.json instead (which always carries the full per-query
-    best + median maps). Pinned by tests/test_metrics.py."""
+    the line must stay under that budget at ANY headline size --
+    degrading gracefully: first the census drops (it stays in
+    BENCH_DETAIL.json), then the per-query map itself gives way to a
+    pointer. Pinned by tests/test_metrics.py.
+
+    ``census`` (VERDICT r8 item 3): the steady-state jobs/stages
+    counts ride the PARSED line so the driver artifact itself can
+    adjudicate noise-vs-plan -- a wall move with unchanged counts is
+    box noise, changed counts are a plan change. Encoding is
+    positional ("jobs/stages" comma-joined, one entry per key of
+    ``queries`` in order) because a second name-keyed map would not
+    fit the tail budget."""
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_headline_sec",
@@ -219,9 +232,17 @@ def emit_line(
         out["pipeline_docs_per_sec"] = round(
             n_docs / timings["pipeline_analysis_results"], 1
         )
+    if jobs is not None and stages is not None:
+        out["census"] = ",".join(
+            f"{jobs.get(q, 0)}/{stages.get(q, 0)}" for q in timings
+        )
     detail = dict(out, queries_median=medians)
+    detail.pop("census", None)  # detail carries the name-keyed maps
     line = json.dumps(out)
-    if len(line) > 1800:
+    if len(line) > 1950:
+        out.pop("census", None)
+        line = json.dumps(out)
+    if len(line) > 1950:
         out.pop("queries")
         out["queries_detail"] = "BENCH_DETAIL.json"
         line = json.dumps(out)

@@ -222,6 +222,21 @@ def read_media(
     return manifest.mapInPandas(fetch, out_schema)
 
 
+def _has_file_lineage(df: DataFrame) -> bool:
+    """True when the DataFrame's analyzed plan contains a file-source
+    relation (``Relation [...] parquet|csv|json|...``). In-code
+    corpora (createDataFrame/range) produce LocalRelation/LogicalRDD,
+    which the word-boundary regex deliberately does not match. Plan
+    introspection only -- no job runs."""
+    import re as _re
+
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 - lint must never block a pack
+        return False
+    return _re.search(r"\bRelation \[[^\]]*\] [A-Za-z]+", plan) is not None
+
+
 def pack_and_manifest(
     spark: SparkSession,
     media: DataFrame,
@@ -242,12 +257,23 @@ def pack_and_manifest(
     instead of silently serving stale packfiles -- the failure mode
     where a changed media definition turns a downstream oracle red
     far from the actual cause. Callers whose media derives from files
-    should pass ``version=repr(fitcache.dir_fingerprint(dir))`` so
-    regenerated source data also invalidates the pack; the in-code
-    synthetic corpora change schema or ``version`` when their
-    definition changes."""
+    MUST pass ``version=repr(fitcache.dir_fingerprint(dir))`` so
+    regenerated source data also invalidates the pack -- ENFORCED
+    (VERDICT r8 item 7): when the media plan's lineage contains a
+    file-source relation and ``version`` is empty, this raises
+    instead of building a pack that stale source data could silently
+    poison. The in-code synthetic corpora change schema or
+    ``version`` when their definition changes, which the marker
+    already catches."""
     from conversation_analysis_tools_spark.catalog import staging_dir
 
+    if not version and _has_file_lineage(media):
+        raise ValueError(
+            "pack_and_manifest: media derives from file sources but no "
+            "version= token was passed; pass version=repr(fitcache."
+            "dir_fingerprint(<source dir>)) so regenerated files "
+            "invalidate the memoized pack (manifest marker contract)"
+        )
     out = staging_dir(staging_kind, sf_dir)
     marker = os.path.join(out, "_SUCCESS_pack")
     want = (

@@ -268,3 +268,43 @@ def test_pack_version_dir_fingerprint_invalidates_on_regeneration(
         version=repr(dir_fingerprint(str(src))),
     ).count()
     assert os.path.getmtime(str(tmp_path / "fpack2" / "manifest.parquet")) == mtime
+
+
+def test_pack_rejects_file_derived_media_without_version(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r8 item 7: the version= contract is enforced, not
+    conventional -- a caller whose media plan reads FILES (Spark file
+    source in the analyzed plan) must pass a version token or
+    pack_and_manifest raises; with the token the same plan packs
+    fine. In-code corpora (LocalRelation lineage) stay exempt: the
+    marker's schema record already invalidates them."""
+    import pytest
+
+    from conversation_analysis_tools_spark import catalog
+
+    monkeypatch.setattr(
+        catalog, "staging_dir", lambda kind, sf: str(tmp_path / kind)
+    )
+    src = str(tmp_path / "media_pq")
+    spark.createDataFrame(
+        [(1, "a", bytearray(b"xx")), (2, "b", bytearray(b"yyy"))],
+        "media_id bigint, name string, content binary",
+    ).write.parquet(src)
+    filed = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="version="):
+        MF.pack_and_manifest(spark, filed, "lintpack", "sfX")
+    man = MF.pack_and_manifest(
+        spark, filed, "lintpack", "sfX", version="fp-v1"
+    )
+    assert man.count() == 2
+    # a narrowed projection of a file read still counts as file-derived
+    with pytest.raises(ValueError, match="version="):
+        MF.pack_and_manifest(
+            spark, filed.select("media_id", "content"), "lintpack2", "sfX"
+        )
+    # synthetic media keeps working without a token
+    synth = spark.createDataFrame(
+        [(1, bytearray(b"z"))], "media_id bigint, content binary"
+    )
+    assert MF.pack_and_manifest(spark, synth, "lintpack3", "sfX").count() == 1

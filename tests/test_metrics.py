@@ -86,24 +86,33 @@ def test_bench_emit_line_stays_parseable_at_any_size():
     sys.path.insert(0, "/root/repo")
     import bench
 
-    # today's size
+    # today's size, with the jobs/stages census riding the line
+    # (VERDICT r8 item 3: positional "jobs/stages" per queries key)
     timings = {q: 1.234 for q in bench.HEADLINE}
     medians = {q: 1.345 for q in bench.HEADLINE}
-    line, detail = bench.emit_line(timings, medians, 0.1, 5000)
+    jobs = {q: 3 for q in bench.HEADLINE}
+    stages = {q: 7 for q in bench.HEADLINE}
+    line, detail = bench.emit_line(timings, medians, 0.1, 5000, jobs, stages)
     doc = _json.loads(line)
-    assert len(line) <= 1800 and doc["metric"] == "total_headline_sec"
+    assert len(line) <= 1950 and doc["metric"] == "total_headline_sec"
     assert doc["pipeline_docs_per_sec"] > 0
+    assert doc["census"].split(",") == ["3/7"] * len(bench.HEADLINE)
     # BOTH statistics ride the parsed line (VERDICT r5 item 8)
     assert doc["value"] == round(sum(timings.values()), 3)
     assert doc["total_median"] == round(sum(medians.values()), 3)
     assert detail["queries_median"] == medians
-    # 3x the headline: the line must degrade to the pointer form, not grow
+    assert "census" not in detail  # detail carries name-keyed maps instead
+    # 3x the headline: census drops first, then the map gives way to
+    # the pointer form -- the line must degrade, not grow
     big_t = {f"very_long_query_name_number_{i:03d}": 1.234 for i in range(120)}
     big_t["pipeline_analysis_results"] = 3.0
     big_m = dict(big_t)
-    line2, detail2 = bench.emit_line(big_t, big_m, 0.1, 5000)
+    big_j = {q: 3 for q in big_t}
+    big_s = {q: 7 for q in big_t}
+    line2, detail2 = bench.emit_line(big_t, big_m, 0.1, 5000, big_j, big_s)
     doc2 = _json.loads(line2)
-    assert len(line2) <= 1800
+    assert len(line2) <= 1950
+    assert "census" not in doc2
     assert doc2.get("queries_detail") == "BENCH_DETAIL.json"
     assert doc2["value"] == round(sum(big_t.values()), 3)
     assert detail2["queries"] == big_t  # detail always carries the full map

@@ -15,6 +15,22 @@ SCALE.md sweep spans a true 1000x (sf0.001 -> sf1) instead of 100x.
 
 Usage: python tools/gen_testdata.py [--sf 1.0] [--out /root/repo/testdata_sf1]
 Deterministic (numpy PCG64 seed 42); ~170 MB at sf1.
+
+Round-9 extensions (VERDICT r8 items 1 and 4):
+
+* ``--docs-only`` emits only documents + embeddings -- the sf10
+  corpus (500k docs) exists for the dedup/pipeline scale decade and
+  the relational tables can stay at sf1; skipping the 15M-row
+  lineitem draw makes sf10 generation minutes, not an hour. NOTE:
+  skipping the earlier tables advances the shared rng differently, so
+  a docs-only corpus is a DIFFERENT (equally distributed) draw than
+  the documents table of a full run at the same sf.
+* ``--multiline-frac p`` rewrites fraction p of docs into 4-line
+  pages with a shared boilerplate header/footer line planted, so the
+  LINE-grain curation rules (c4_line_clean, boilerplate removal,
+  Gopher dup-line fractions) have real newline text to chew on
+  beyond the single-line driver corpus. Default 0 keeps every
+  existing corpus byte-reproducible.
 """
 
 from __future__ import annotations
@@ -53,6 +69,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default="/root/repo/testdata_sf1")
+    ap.add_argument("--docs-only", action="store_true")
+    ap.add_argument("--multiline-frac", type=float, default=0.0)
     args = ap.parse_args()
     sf = args.sf
     os.makedirs(args.out, exist_ok=True)
@@ -66,6 +84,10 @@ def main() -> None:
     n_users = int(15_000 * sf)
     n_docs = int(50_000 * sf)
     n_vec = int(20_000 * sf)
+
+    if args.docs_only:
+        _write_docs(args, rng, n_docs, n_vec)
+        return
 
     # dims
     write(args.out, "region", pa.table({
@@ -152,11 +174,34 @@ def main() -> None:
         "props": np.array([f'{{"k": {k}}}' for k in ks]),
     }))
 
+    _write_docs(args, rng, n_docs, n_vec)
+
+
+#: Boilerplate lines planted by --multiline-frac: the web-page chrome
+#: the line-grain curation rules exist to strip. Lowercase letters
+#: only so every tokenizer path treats them like corpus words.
+BOILER_HEADER = "subscribe to our newsletter for updates"
+BOILER_FOOTER = "copyright example corp all rights reserved"
+
+
+def _write_docs(args, rng, n_docs: int, n_vec: int) -> None:
     # documents: U(10,100)-word soup over the 31-word vocab
     wc = rng.integers(10, 101, n_docs)
     words = np.array(VOCAB)[rng.integers(0, len(VOCAB), int(wc.sum()))]
     bounds = np.cumsum(wc)[:-1]
     texts = [" ".join(chunk) for chunk in np.split(words, bounds)]
+    if args.multiline_frac > 0.0:
+        # rewrite a deterministic slice into 4-line pages with shared
+        # boilerplate chrome (header + footer) around two body lines;
+        # the body keeps the original words so corpus-level token
+        # stats stay comparable to the single-line draw
+        ml = rng.random(n_docs) < args.multiline_frac
+        for i in np.flatnonzero(ml):
+            w = texts[i].split(" ")
+            h = max(1, len(w) // 2)
+            texts[i] = "\n".join(
+                [BOILER_HEADER, " ".join(w[:h]), " ".join(w[h:]), BOILER_FOOTER]
+            )
     write(args.out, "documents", pa.table({
         "doc_id": pa.array(np.arange(n_docs), pa.int64()),
         "text": texts,
