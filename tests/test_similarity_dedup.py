@@ -1187,3 +1187,31 @@ def test_jaccard_route_info_out_param(spark, sample_docs):
     )
     assert info2["route"] == "exact" and info2["probe_rows"] is None
     assert info2["bands"] is None
+
+
+def test_recall_grid_routed_matches_exact(spark):
+    """The near-threshold grid certificate's ground truth, pinned
+    against the EXACT plan (the driver oracle pins literals; this
+    anchors the literals to the exact operator so both drifting
+    together still fails): routed recall 6/6 on J in (t, t+0.05],
+    both sub-threshold controls excluded, values analytic n/(n+s)."""
+    from conversation_analysis_tools_spark.queries.dedup import (
+        _RG_CONTROLS,
+        _RG_GRID,
+        _recall_grid_rows,
+    )
+
+    docs = spark.createDataFrame(
+        _recall_grid_rows(), "doc_id long, text string"
+    )
+    exact = _pair_set(D.ngram_jaccard_pairs(docs, 0.3, route="exact"))
+    routed = _pair_set(
+        D.ngram_jaccard_pairs(docs, 0.3, route="auto", route_budget=0)
+    )
+    assert routed == exact and len(exact) == len(_RG_GRID)
+    n = 31.0
+    want = {round(n / (n + s), 9) for s in _RG_GRID}
+    assert {round(j, 9) for _, _, j in exact} == want
+    # controls sit below threshold: no doc id from the control block
+    control_ids = set(range(2 * len(_RG_GRID) + 1, 2 * len(_RG_GRID) + 5))
+    assert not {i for i, j, _ in exact} & control_ids
