@@ -86,12 +86,31 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # Adding oracled queries in round 9 therefore requires SHRINKING the
 # pin list first (the r8 pins all clear once CORRECTNESS_r08 lands);
 # test_rotation_staleness_bound enforces the arithmetic.
+#
+# Round-9 window: the r8 pins cleared (all three green r8). The 43
+# r5-green queries hit the 4-round staleness bound and auto-promote
+# by age; the round's new oracled certificates
+# (dedup_jaccard_recall_grid_fixed, curation_pipeline_v3,
+# streaming_curation_funnel_fixed) are never-checked and auto-rank
+# ahead of them, so O reaches 190 and the pin budget is TWO
+# (ceil(190/48) = 4; a third pin pushes the bound to 5). The two
+# pins are this round's changed-plan re-certifications:
+# dedup_jaccard_routed_fixed (tuned_lsh_pairs over-cap buckets now
+# star-degrade instead of dropping; route recording moved to the
+# per-call route_info) and gopher_repetition_flags (passes_repetition
+# gained the dup_line_char_frac <= 0.2 gate in both engines -- value
+# change on every dup-line doc). pii_redaction_fixed's plan also
+# changed (leading \b on the phone pattern + a new negative control
+# in case 7) but is NOT pinned: its oracle recomputes from the same
+# PII_PATTERNS/case constants via redact_sql, so parity is mechanical
+# -- it re-certifies by age in r10. Window arithmetic: 2 pins + 3
+# never-checked + 43 r5 = 48 of 50 slots; the 2 spares go to the
+# oldest r6 rows.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
-    "dedup_ngram_jaccard",
-    "dedup_collapse_jaccard_fixed",
-    "corr_matrix_by_flag",
+    "dedup_jaccard_routed_fixed",
+    "gopher_repetition_flags",
 ]
 
 
