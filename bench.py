@@ -118,6 +118,9 @@ HEADLINE = [
     # gate -> fingerprint dedup in one DAG, per-source funnel)
     "csv_roundtrip",
     "curation_pipeline_v2",
+    # round-9: the v3 capstone adds the line-grain stages (C4 rules +
+    # CCNet cross-doc boilerplate cut) to the v2 funnel -- sf-scaled
+    "curation_pipeline_v3",
 ]
 
 

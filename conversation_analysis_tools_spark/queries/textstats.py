@@ -1478,3 +1478,276 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
         F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
     )
+
+
+def _v3_oracle() -> str:
+    from conversation_analysis_tools_spark.functions.redact import redact_sql
+
+    red = redact_sql("cleaned")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               {_planted_host_sql()} AS host,
+               'doc ' || CAST(doc_id AS VARCHAR)
+                   || ' opener with the unique content contact ' || source
+                   || '@example.com now.' || chr(10) ||
+               'subscribe to our newsletter for daily updates.' || chr(10) ||
+               'the lorem ipsum filler line number '
+                   || CAST(doc_id AS VARCHAR) || ' is dropped.' || chr(10) ||
+               'short line' || chr(10) ||
+               array_to_string(list_transform(string_split(text, chr(10)),
+                                              l -> l || ' .'), chr(10)) AS page
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, source, host IN ({_blocklist_sql()}) AS blocked, page
+        FROM base
+    ),
+    c4 AS (
+        SELECT doc_id, source,
+               len(string_split(page, chr(10))) AS n_lines_in,
+               list_filter(string_split(page, chr(10)), l ->
+                   regexp_matches(l, '[.!?"]$')
+                   AND len(string_split(l, ' ')) >= 5
+                   AND NOT contains(lower(l), 'lorem ipsum')
+                   AND NOT contains(l, '{{')) AS kept
+        FROM flags WHERE NOT blocked
+    ),
+    lines AS (
+        SELECT doc_id, source, n_lines_in, u.pos, u.line,
+               md5(lower(trim(u.line))) AS line_hash
+        FROM c4,
+             LATERAL (SELECT generate_subscripts(kept, 1) - 1 AS pos,
+                             unnest(kept) AS line) u
+        WHERE len(kept) > 0
+    ),
+    boiler AS (
+        SELECT line_hash
+        FROM (SELECT DISTINCT doc_id, line_hash FROM lines)
+        GROUP BY line_hash HAVING count(*) >= 5
+    ),
+    keptl AS (SELECT l.* FROM lines l ANTI JOIN boiler b USING (line_hash)),
+    rebuilt AS (
+        SELECT doc_id, source, n_lines_in,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS cleaned
+        FROM keptl GROUP BY doc_id, source, n_lines_in
+    ),
+    red AS (
+        SELECT doc_id, source, n_lines_in, n_kept, {red} AS red
+        FROM rebuilt
+    ),
+    gop AS (
+        SELECT doc_id, source, n_lines_in, n_kept, red,
+               len(words) >= 50 AND len(words) <= 100000
+               AND round(list_sum(list_transform(words, w -> len(w))) * 1.0
+                   / len(words), 4) BETWEEN 3 AND 10
+               AND round(len(list_filter(words,
+                       w -> regexp_matches(w, '[a-zA-Z]')))
+                   * 1.0 / len(words), 4) >= 0.8
+               AND len(list_intersect(
+                       list_transform(words, w -> lower(w)),
+                       {_GOPHER_STOPS!r})) >= 2 AS q,
+               md5(array_to_string(list_sort(list_distinct(list_filter(
+                   regexp_extract_all(lower(red), '\\b[a-z]{{3,}}\\b'),
+                   t -> NOT list_contains({STOPWORDS_SQL_ARRAY}, t)))), ' '))
+                   AS fp
+        FROM (SELECT *, regexp_extract_all(red, '\\S+') AS words FROM red)
+    ),
+    surv AS (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gop WHERE q
+    ),
+    funnel0 AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_after_domain
+        FROM flags GROUP BY source
+    ),
+    funnel1 AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_after_lines,
+               CAST(sum(n_lines_in) AS BIGINT) AS n_lines_in,
+               CAST(sum(n_kept) AS BIGINT) AS n_lines_kept,
+               CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_after_quality
+        FROM gop GROUP BY source
+    ),
+    kept AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_after_dedup,
+               CAST(sum(len(red)) AS BIGINT) AS kept_chars
+        FROM surv WHERE rn = 1 GROUP BY source
+    )
+    SELECT f0.source, f0.n_total, f0.n_after_domain,
+           coalesce(f1.n_after_lines, 0) AS n_after_lines,
+           coalesce(f1.n_lines_in, 0) AS n_lines_in,
+           coalesce(f1.n_lines_kept, 0) AS n_lines_kept,
+           coalesce(f1.n_after_quality, 0) AS n_after_quality,
+           coalesce(k.n_after_dedup, 0) AS n_after_dedup,
+           coalesce(k.kept_chars, 0) AS kept_chars
+    FROM funnel0 f0
+    LEFT JOIN funnel1 f1 USING (source)
+    LEFT JOIN kept k USING (source)
+    """
+
+
+@register("curation_pipeline_v3", oracle=_v3_oracle())
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 curation capstone (VERDICT r8 item 4): v2's funnel
+    with the LINE-grain stages composed in, so the full published
+    curation recipe runs in ONE DAG:
+
+    1. DOMAIN gate (map-only, first -- blocked docs never reach the
+       line shuffle);
+    2. PAGE construction: the doc body's REAL lines (split on
+       newline -- multi-line on corpora like testdata_sf1ml, where
+       gen_testdata plants boilerplate chrome; single-line driver
+       docs become one body line) sentence-terminated, plus planted
+       chrome that each later rule provably catches: a unique opener
+       carrying the PII contact (survives everything), a universal
+       newsletter line (survives C4, only the FREQUENCY cut can kill
+       it), a per-doc lorem-ipsum line (unique -- only C4 can kill
+       it), and a short unterminated line (C4 word/punct rules);
+    3. C4 LINE RULES (c4_line_clean semantics, Raffel et al. 2020):
+       row-local HOF filter, runs BEFORE the frequency cut so the
+       line-hash shuffle only carries rule-surviving lines;
+    4. CROSS-DOC BOILERPLATE CUT (operators/dedup.py
+       remove_boilerplate_lines, Wenzek et al. 2019 CCNet, df >= 5):
+       the one line-grain exchange, hash-keyed;
+    5. PII REDACTION of the rebuilt page (functions/redact.py chain);
+    6. GOPHER word rules on the redacted text (same rounded
+       gopher_metrics exprs as v2);
+    7. EXACT DEDUP at token-set-fingerprint grain, survivors only.
+
+    Output: per-source funnel n_total -> n_after_domain ->
+    n_after_lines (docs with >= 1 surviving line) -> n_after_quality
+    -> n_after_dedup, plus line observability (n_lines_in /
+    n_lines_kept over line-stage survivors) and kept chars.
+    Exchanges: the line-hash distinct+count (reused by the anti
+    join), the per-doc rebuild, the survivor fingerprint window, and
+    three source-grain aggregates -- everything else is map-only, the
+    shape that survives 100 TB. Reference semantics anchor:
+    analyzer.py's filter pipeline ordering; the line stages are the
+    C4/CCNet recipe the reference's single-doc scope never needed."""
+    from conversation_analysis_tools_spark.functions.redact import redact_pii
+    from conversation_analysis_tools_spark.functions.text import tokens_expr
+    from conversation_analysis_tools_spark.operators import dedup as D2
+    from conversation_analysis_tools_spark.operators.cache import track
+
+    docs = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    page = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("doc "), sid,
+            F.lit(" opener with the unique content contact "),
+            F.col("source"), F.lit("@example.com now."),
+        ),
+        F.lit("subscribe to our newsletter for daily updates."),
+        F.concat(
+            F.lit("the lorem ipsum filler line number "), sid,
+            F.lit(" is dropped."),
+        ),
+        F.lit("short line"),
+        F.array_join(
+            F.transform(F.split("text", "\n"), lambda l: F.concat(l, F.lit(" ."))),
+            "\n",
+        ),
+    )
+    base = track(
+        docs.select(
+            "doc_id",
+            "source",
+            _planted_host_expr().isin(_HOST_BLOCKLIST).alias("blocked"),
+            page.alias("page"),
+        )
+    )
+    lines_arr = F.split("page", "\n")
+    c4_kept = F.filter(
+        lines_arr,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(l, " ")) >= 5)
+        & ~F.contains(F.lower(l), F.lit("lorem ipsum"))
+        & ~F.contains(l, F.lit("{")),
+    )
+    staged = (
+        base.where(~F.col("blocked"))
+        .select(
+            "doc_id",
+            "source",
+            F.size(lines_arr).alias("n_lines_in"),
+            c4_kept.alias("kept_arr"),
+        )
+        .where(F.size("kept_arr") > 0)
+        .select(
+            "doc_id", "source", "n_lines_in",
+            F.array_join("kept_arr", "\n").alias("page"),
+        )
+    )
+    bl = D2.remove_boilerplate_lines(staged.select("doc_id", "page"), max_df=5)
+    survivors = staged.select("doc_id", "source", "n_lines_in").join(
+        bl.select("doc_id", "n_kept", "cleaned").where(F.col("n_kept") > 0),
+        "doc_id",
+    )
+    red = track(
+        survivors.select(
+            "doc_id", "source", "n_lines_in", "n_kept",
+            redact_pii("cleaned").alias("red"),
+        )
+    )
+    metrics = gopher_metrics(red.select("doc_id", F.col("red").alias("text")))
+    fp = F.md5(
+        F.array_join(F.array_sort(tokens_expr("red")), " ").cast("binary")
+    )
+    gop = red.join(metrics, "doc_id").select(
+        "doc_id",
+        "source",
+        "n_lines_in",
+        "n_kept",
+        "red",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_frac") >= 0.8)
+            & (F.col("n_stops") >= 2)
+        ).alias("q"),
+        fp.alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        gop.where(F.col("q"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_after_dedup"),
+            F.sum(F.length("red")).alias("kept_chars"),
+        )
+    )
+    funnel0 = base.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(~F.col("blocked"), 1).otherwise(0)).alias("n_after_domain"),
+    )
+    funnel1 = gop.groupBy("source").agg(
+        F.count("*").alias("n_after_lines"),
+        F.sum("n_lines_in").alias("n_lines_in"),
+        F.sum("n_kept").alias("n_lines_kept"),
+        F.sum(F.when(F.col("q"), 1).otherwise(0)).alias("n_after_quality"),
+    )
+    return (
+        funnel0.join(funnel1, "source", "left")
+        .join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            "n_after_domain",
+            F.coalesce("n_after_lines", F.lit(0)).alias("n_after_lines"),
+            F.coalesce("n_lines_in", F.lit(0)).alias("n_lines_in"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            F.coalesce("n_after_quality", F.lit(0)).alias("n_after_quality"),
+            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+    )

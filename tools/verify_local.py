@@ -22,6 +22,7 @@ mimic the driver's pandas-based canonicalizer:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -76,9 +77,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # docs-only corpora (gen_testdata --docs-only) carry a table
+        # subset; register what exists so their queries still verify
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     qs = entrymod.queries()
