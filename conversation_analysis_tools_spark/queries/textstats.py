@@ -1319,6 +1319,53 @@ def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v2_gop(docs: DataFrame, cache: bool = True) -> DataFrame:
+    """The v2 capstone's stage builder, shared with the STREAMING
+    funnel (streaming/curation.py) so the two paths can never drift:
+    docs (doc_id, source, text) -> (doc_id, source, red, blocked, q,
+    fp). All map-only except the gopher_metrics join (same-grain,
+    doc_id-keyed). ``cache=False`` for per-micro-batch use, where the
+    caller persists/unpersists around its own consumers instead of
+    parking relations in the process-wide tracker."""
+    from conversation_analysis_tools_spark.functions.redact import redact_pii
+    from conversation_analysis_tools_spark.functions.text import tokens_expr
+    from conversation_analysis_tools_spark.operators.cache import track
+
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("@example.com or call 555-867-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" now"),
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        _planted_host_expr().isin(_HOST_BLOCKLIST).alias("blocked"),
+        redact_pii(with_pii).alias("red"),
+    )
+    if cache:
+        base = track(base)
+    metrics = gopher_metrics(base.select("doc_id", F.col("red").alias("text")))
+    fp = F.md5(
+        F.array_join(F.array_sort(tokens_expr("red")), " ").cast("binary")
+    )
+    return base.join(metrics, "doc_id").select(
+        "doc_id",
+        "source",
+        "red",
+        "blocked",
+        (
+            F.col("n_words").between(50, 100000)
+            & F.col("mean_word_len").between(3, 10)
+            & (F.col("alpha_frac") >= 0.8)
+            & (F.col("n_stops") >= 2)
+        ).alias("q"),
+        fp.alias("fp"),
+    )
+
+
 def _v2_oracle() -> str:
     from conversation_analysis_tools_spark.functions.redact import redact_sql
 
@@ -1413,45 +1460,10 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted corpus) is track()'d: the metrics derivation and the
     join-back would otherwise re-run the 5-regex redaction chain per
     consumer; beyond that the only exchanges are the survivor
-    fingerprint window and the two source-grain aggregates."""
-    from conversation_analysis_tools_spark.functions.redact import redact_pii
-    from conversation_analysis_tools_spark.functions.text import tokens_expr
-    from conversation_analysis_tools_spark.operators.cache import track
-
-    docs = _docs(spark, sf_dir)
-    with_pii = F.concat(
-        F.col("text"),
-        F.lit(" contact "),
-        F.col("source"),
-        F.lit("@example.com or call 555-867-"),
-        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
-        F.lit(" now"),
-    )
-    base = track(
-        docs.select(
-            "doc_id",
-            "source",
-            _planted_host_expr().isin(_HOST_BLOCKLIST).alias("blocked"),
-            redact_pii(with_pii).alias("red"),
-        )
-    )
-    metrics = gopher_metrics(base.select("doc_id", F.col("red").alias("text")))
-    fp = F.md5(
-        F.array_join(F.array_sort(tokens_expr("red")), " ").cast("binary")
-    )
-    gop = base.join(metrics, "doc_id").select(
-        "doc_id",
-        "source",
-        "red",
-        "blocked",
-        (
-            F.col("n_words").between(50, 100000)
-            & F.col("mean_word_len").between(3, 10)
-            & (F.col("alpha_frac") >= 0.8)
-            & (F.col("n_stops") >= 2)
-        ).alias("q"),
-        fp.alias("fp"),
-    )
+    fingerprint window and the two source-grain aggregates. The stage
+    builder lives in _v2_gop, SHARED with the streaming funnel
+    (streaming/curation.py) -- one definition, two execution modes."""
+    gop = _v2_gop(_docs(spark, sf_dir))
     w = Window.partitionBy("fp").orderBy("doc_id")
     kept = (
         gop.where(~F.col("blocked") & F.col("q"))
