@@ -1291,6 +1291,7 @@ def ngram_jaccard_pairs(
             .first()["rows"]
         )
         route = "minhash" if (est or 0.0) > route_budget else "exact"
+        _ROUTE_STATE.probe_rows = est
         if route == "minhash":
             _LOG.warning(
                 "ngram_jaccard_pairs: auto-routing to tuned-LSH "
