@@ -1727,9 +1727,19 @@ def semdedup_prune(
                     }
                 )
 
+        # _spread first (round 9, sf10 probe): a 500k-vector corpus
+        # arrives as 1-2 parquet splits, so the per-batch matmul ran
+        # single-core -- measured 35 s of the sf10 wall; spread to
+        # full parallelism it is ~32 tasks of ~1e9 flops each. Small
+        # corpora never take the dense path, so driver-sf plans are
+        # untouched.
         assigned = track(
-            emb.select(
-                F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+            _spread(
+                emb.select(
+                    F.col(id_col),
+                    F.col(vec_col).cast("array<double>").alias(vec_col),
+                ),
+                id_col,
             ).mapInPandas(assign_batches, schema=out_schema)
         )
         # IDENTICAL-EMBEDDING collapse before the pair scan (round 7,

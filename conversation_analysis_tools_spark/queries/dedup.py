@@ -1066,7 +1066,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     2.1 s -> 94.9 s on the 10x sf0.1 -> sf1 decade, a 45x wall);
     C ~ n/128 makes total pairs ~ n*128/2, linear. This is the
     paper's own regime (SemDeDup uses tens of thousands of clusters
-    at web scale). At the driver sfs (n <= 2000) C stays 16, so the
+    at web scale). The quantizer FIT is sample-bounded for the same
+    reason (round 9): full-corpus k-means at C ~ n/128 costs ~n^2 --
+    the quadratic piece the disk-memoized fit hid from re-run
+    benchmarks; training on ~20 deterministic-md5-sampled vectors
+    per centroid keeps the fit ~linear and the buckets as useful for
+    dedup as the full fit (the paper also trains on a subset). At the driver sfs (n <= 2000) C stays 16, so the
     checked plan is unchanged. Rows-only (k-means float iteration is
     engine-specific); semantics pinned in
     tests/test_similarity_dedup.py with hand-built embeddings.
@@ -1079,11 +1084,33 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _catalog_table(spark, "embeddings", sf_dir)
     n_vec = emb.count()  # one column-pruned count scan, driver-side int
     n_cent = max(16, math.ceil(n_vec / 128))
+    # Fit on a bounded deterministic sample (round 9, sf10 probe):
+    # with C ~ n/128 a FULL-corpus k-means fit costs n*C*dim*iters ~
+    # n^2 -- the quadratic piece fitcache memoization hid on re-runs.
+    # The paper's regime trains the quantizer on a subset; ~20
+    # vectors per centroid keeps cluster assignment useful for dedup
+    # bucketing while the fit stays ~linear in n. md5-hash selection
+    # is deterministic per vec_id (the random_sample recipe). At
+    # n <= max(2048, 20*C) every vector is sampled, so driver-sf fits
+    # are byte-identical to the unsampled ones.
+    fit_n = max(2048, 20 * n_cent)
+    if n_vec > fit_n:
+        step = math.ceil(n_vec / fit_n)
+        fit_emb = emb.where(
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+                .cast("bigint"),
+                F.lit(step),
+            )
+            == 0
+        )
+    else:
+        fit_emb = emb
     cents = cached_fit(
         "semdedup_centroids",
-        (n_cent,),
+        (n_cent, min(n_vec, fit_n)),
         sf_dir,
-        lambda: A.kmeans_centroids(emb, n_centroids=n_cent),
+        lambda: A.kmeans_centroids(fit_emb, n_centroids=n_cent),
     )
     # same 2048-row knee as the C rule: driver sfs keep the
     # pure-expression plan, scaled corpora take the BLAS path

@@ -47,7 +47,11 @@ PROBES = [
     ("dedup_span_removal", "pairwise span cut"),
     ("decontamination_bloom", "broadcast Bloom + exact verify"),
     ("semdedup_prune", "cluster-bucketed semantic dedup"),
-    ("dedup_embedding_cosine", "label-blocked cosine pairs"),
+    # dedup_embedding_cosine is EXCLUDED deliberately: it is the
+    # documented brute-force BASELINE (label-blocked exact pairs with
+    # a fixed 10-label cardinality -> pair volume ~n^2/10 by
+    # contract; its docstring points at the ANN/semdedup bucketing as
+    # the scale path, which IS probed here via semdedup_prune).
     ("nlp_duplicate_pairs", "grid-blocked BLAS cosine pairs"),
     ("pipeline_analysis_results", "full NLP pipeline, one DAG"),
     ("curation_pipeline_v2", "curation funnel (word rules)"),
@@ -55,15 +59,21 @@ PROBES = [
 ]
 
 
-def best_of(fn, n: int = 2) -> float:
-    best = None
+def best_of(fn, n: int = 2) -> tuple[float, int]:
+    """(best wall, result rows). Row counts ride the table because a
+    super-linear WALL with a matching super-linear OUTPUT is the
+    pair-set contract doing its job on a saturated corpus (every pair
+    >= threshold must be emitted), while a super-linear wall over a
+    ~linear output is a plan defect -- the distinction the r8 verdict
+    asks this probe to draw."""
+    best, rows = None, 0
     for _ in range(n):
         t0 = time.time()
-        fn()
+        rows = fn()
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
         release_all()
-    return round(best, 2)
+    return round(best, 2), int(rows)
 
 
 def main() -> None:
@@ -84,22 +94,27 @@ def main() -> None:
 
     lines = [
         "",
-        "| query | sf1 (50k docs) | sf10 (500k docs) | x10 rows -> x wall |",
-        "|---|---|---|---|",
+        "| query | sf1 (50k docs) | sf10 (500k docs) | x10 rows -> x wall | out rows sf1 -> sf10 |",
+        "|---|---|---|---|---|",
     ]
     routes: dict[str, str] = {}
     for name, note in PROBES:
         row = [name]
-        ts = []
-        for d in (SF1_DIR, SF10_DIR):
+        ts, ns = [], []
+        for d, trials in ((SF1_DIR, 2), (SF10_DIR, 1)):
+            # sf10 runs once: fitcache artifacts are disk-memoized and
+            # the signals read here are 2x-30x, not 5% deltas
             try:
-                t = best_of(lambda d=d: qs[name](spark, d).count())
+                t, nrows = best_of(
+                    lambda d=d: qs[name](spark, d).count(), n=trials
+                )
             except Exception as e:  # noqa: BLE001 - record, keep probing
-                t = None
+                t, nrows = None, None
                 row.append(f"ERR {type(e).__name__}")
             else:
                 row.append(f"{t} s")
             ts.append(t)
+            ns.append(nrows)
             if name == "dedup_ngram_jaccard" and t is not None:
                 routes[d] = (
                     f"route={getattr(D, 'LAST_JACCARD_ROUTE', None)} "
@@ -111,7 +126,12 @@ def main() -> None:
             if ts[0] is not None and ts[1] is not None
             else f"- ({note})"
         )
-        lines.append("| " + " | ".join(row + [ratio]) + " |")
+        out = (
+            f"{ns[0]} -> {ns[1]} ({round(ns[1] / max(ns[0], 1), 1)}x)"
+            if ns[0] is not None and ns[1] is not None
+            else "-"
+        )
+        lines.append("| " + " | ".join(row + [ratio, out]) + " |")
         print(lines[-1], flush=True)
 
     route_lines = [
