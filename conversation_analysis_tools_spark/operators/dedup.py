@@ -424,15 +424,30 @@ def tuned_lsh_pairs(
     bx = sigs.select(F.col(id_col), F.explode(bands_expr).alias("bk")).select(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    cands = capped_bucket_pairs(bx, id_col, max_bucket)
+    return (
+        jaccard_verify(cands, sh_arr, t, id_col)
+        .groupBy("id1", "id2")
+        .agg(F.first("jaccard").alias("jaccard"))
+    )
+
+
+def capped_bucket_pairs(
+    bx: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """(id, band, key) bucket rows -> candidate (id1, id2) pairs:
+    buckets up to ``max_bucket`` full-pair (i < j row-local explosion),
+    OVER-cap buckets degrade to STAR pairs around the bucket's min id
+    (ids is sorted, so element 1 is the min and id1 < id2 holds by
+    construction) -- linear degrade, not a drop (ADVICE r8). Shared by
+    the tuned Jaccard-LSH and the tuned cosine-LSH
+    (operators/similarity.tuned_simhash_pairs) routed paths."""
     buckets = (
         bx.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    # <= max_bucket: full i<j pairs. Over-cap: star pairs around the
-    # bucket's min id (ids is sorted, so element 1 is the min and
-    # id1 < id2 holds by construction) -- linear degrade, not a drop.
-    cands = buckets.select(
+    return buckets.select(
         F.expr(
             f"""
             explode(CASE WHEN size(ids) <= {int(max_bucket)}
@@ -446,11 +461,6 @@ def tuned_lsh_pairs(
             """
         ).alias("p")
     ).select("p.id1", "p.id2")
-    return (
-        jaccard_verify(cands, sh_arr, t, id_col)
-        .groupBy("id1", "id2")
-        .agg(F.first("jaccard").alias("jaccard"))
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -467,6 +467,9 @@ def duplicate_pairs(
     strategy: str = "auto",
     counts: DataFrame | None = None,
     collapse: str = "auto",
+    route: str = "exact",
+    route_budget: int = 32_000_000,
+    route_info: dict | None = None,
 ) -> DataFrame:
     """N17: pairs with cosine >= threshold (default 0.8,
     pipeline/duplicate_detector.py:127-167).
@@ -504,11 +507,68 @@ def duplicate_pairs(
     corpus (df drops by cluster_size-1 per dup cluster), surviving
     terms the full-corpus filter drops, and its within-group selfdot
     would ignore the filter entirely -- not output-identical.
+
+    ``route`` (round 9, the dedup-family saturation-router discipline
+    at tf-cosine grain): 'exact' (DEFAULT -- every certified caller's
+    plan is untouched) runs the inverted-index/dense plan; 'auto'
+    probes the inverted plan's candidate volume (sum over terms of
+    df*(df-1)/2 -- one linear aggregation) and past ``route_budget``
+    swaps in :func:`tuned_simhash_pairs` (banded cosine-LSH
+    candidates + exact-cosine verify: recall-bounded near the
+    threshold, zero false positives, candidate volume ~linear).
+    All-pairs cosine has NO feasible exact plan once every pair
+    shares a term (500k 55-word docs over a 4096-word vocabulary put
+    ~52% of all pairs in the inverted index: ~1e11 candidate rows --
+    measured killing the JVM through a 126 GiB scratch). The routed
+    decision is WARN-logged and recorded in the ``route_info``
+    out-param; ``max_df`` pins the exact plan (the routed path has no
+    df filter).
     """
+    import logging
+
     from conversation_analysis_tools_spark.operators.cache import track
 
     if collapse not in ("auto", "never", "always"):
         raise ValueError(f"collapse must be auto|never|always, got {collapse!r}")
+    if route not in ("exact", "auto", "simhash"):
+        raise ValueError(f"route must be exact|auto|simhash, got {route!r}")
+    if max_df is not None:
+        route = "exact"
+
+    def _cos(tf_df: DataFrame) -> DataFrame:
+        est = None
+        rt = route
+        if rt == "auto":
+            est = (
+                tf_df.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(
+                    F.sum(
+                        F.col("df").cast("double")
+                        * (F.col("df") - 1).cast("double")
+                        / 2.0
+                    ).alias("rows")
+                )
+                .first()["rows"]
+            )
+            rt = "simhash" if (est or 0.0) > route_budget else "exact"
+            if rt == "simhash":
+                logging.getLogger(__name__).warning(
+                    "duplicate_pairs: auto-routing to tuned cosine-LSH "
+                    "(approximate, recall-bounded near threshold): probed "
+                    "inverted-index candidate volume %.3g rows > budget %d.",
+                    est or 0.0,
+                    route_budget,
+                )
+        if route_info is not None:
+            route_info.update(
+                requested=route, route=rt, probe_rows=est,
+                route_budget=route_budget,
+            )
+        if rt == "simhash":
+            return tuned_simhash_pairs(tf_df, threshold, id_col)
+        sims = pairwise_cosine(tf_df, id_col, max_df, strategy, threshold)
+        return sims.where(F.col("sim") >= threshold - THRESHOLD_EPS)
     member = docs.select(
         F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_tsig")
     )
@@ -519,14 +579,7 @@ def duplicate_pairs(
     else:
         do_collapse = _dup_density_decision(docs, member)
     if not do_collapse:
-        sims = pairwise_cosine(
-            tf_vectors(docs, id_col, text_col, counts),
-            id_col,
-            max_df,
-            strategy,
-            threshold,
-        )
-        return sims.where(F.col("sim") >= threshold - THRESHOLD_EPS)
+        return _cos(tf_vectors(docs, id_col, text_col, counts))
     member = track(member)  # collapse path: 3 consumers below
     groups = track(
         member.groupBy("_tsig").agg(F.min(id_col).alias("_rep"))
@@ -537,9 +590,7 @@ def duplicate_pairs(
         counts.join(rep_ids, id_col, "left_semi") if counts is not None else None
     )
     tf = track(tf_vectors(docs_r, id_col, text_col, counts_r))
-    rep_sims = pairwise_cosine(tf, id_col, max_df, strategy, threshold).where(
-        F.col("sim") >= threshold - THRESHOLD_EPS
-    )
+    rep_sims = _cos(tf)
     # --- expand: within-group pairs score the rep's self-cosine ------
     # (inner join on selfdot drops term-less docs, matching the direct
     # plan where they never enter the index). The _tsig self-join only
@@ -581,6 +632,127 @@ def duplicate_pairs(
         )
     )
     return within.unionByName(cross)
+
+
+def tuned_simhash_pairs(
+    tf: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    recall_target: float = 0.98,
+    r: int = 20,
+    max_bucket: int = 20,
+) -> DataFrame:
+    """Threshold-ADAPTIVE banded cosine-LSH + exact-cosine verify: the
+    ``duplicate_pairs`` saturation router's target (round 9) -- the
+    cosine mirror of dedup.tuned_lsh_pairs.
+
+    Charikar (STOC 2002) random-hyperplane LSH: a hyperplane drawn
+    from md5 bits agrees on a pair with cosine t w.p. p = 1 -
+    arccos(t)/pi, so a band of ``r`` hyperplane signs collides w.p.
+    p^r and b bands give recall 1-(1-p^r)^b; solving
+
+        b = ceil(ln(1 - recall_target) / ln(1 - p^r)),  clamped [4, 256]
+
+    (t = 0.9, R = 0.98 -> b = 85; t = 0.8 -> the clamp binds at 256
+    and measured recall drops to ~0.93 -- the routed path is designed
+    for the HIGH-threshold dedup regime; the exact plan remains the
+    contract at low thresholds). r = 20 sets the random-pair collision
+    floor: near-orthogonal pairs (p ~ 0.5) collide w.p. b * 2^-20, so
+    candidates stay ~linear in n even on corpora where every pair
+    shares a term and the inverted index is ~n^2 by construction.
+
+    Signatures: per doc, sign of (tf-weighted sum of +-1 bit
+    projections) over k = r*b hyperplanes, the bits drawn from salted
+    md5(term) digests (deterministic; the per-task memo means each
+    distinct term hashes once per task). The per-doc sign matmul runs
+    vectorized in Arrow-batched applyInPandas at id grain -- the
+    signature stage is one pass over the (id, term, tf) table.
+    Sum-normalized tf is a positive per-doc scalar times the count
+    vector, so the signs equal the count-vector simhash's.
+
+    Candidates come from :func:`dedup.capped_bucket_pairs` (full pairs
+    <= max_bucket, star degrade above -- linear volume). Every
+    candidate is verified EXACTLY: per-doc term->tf maps join by pair
+    and an array_intersect/aggregate fold computes the true cosine
+    JVM-side, so emitted pairs carry exact sims and false positives
+    are impossible -- the trade is bounded recall near the threshold,
+    exactly the tuned-LSH contract.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from conversation_analysis_tools_spark.operators.dedup import (
+        capped_bucket_pairs,
+    )
+
+    t = float(threshold)
+    if not 0.0 < t < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold!r}")
+    p = 1.0 - math.acos(t) / math.pi
+    b = min(256, max(4, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p**r))))
+    k = r * b
+    salts = math.ceil(k / 60)
+    id_type = tf.schema[id_col].dataType.simpleString()
+    weights = (1 << np.arange(r, dtype=np.int64))
+
+    memo: dict = {}  # per-task term-bits cache (closure survives the pickle)
+
+    def sign_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        def term_bits(term: str) -> np.ndarray:
+            v = memo.get(term)
+            if v is None:
+                import hashlib
+
+                chunks = []
+                for s in range(salts):
+                    d = hashlib.md5(f"{term}#c{s}".encode()).digest()
+                    chunks.append(
+                        np.unpackbits(np.frombuffer(d, dtype=np.uint8))[:60]
+                    )
+                v = np.concatenate(chunks)[:k].astype(np.float64) * 2.0 - 1.0
+                memo[term] = v
+            return v
+
+        tfv = pdf["tf"].to_numpy(dtype=np.float64)
+        M = np.stack([term_bits(tm) for tm in pdf["term"]])
+        bits = (tfv @ M > 0).astype(np.int64).reshape(b, r)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(pdf[id_col].iloc[0], b),
+                "band": np.arange(b, dtype=np.int32),
+                "key": bits @ weights,
+            }
+        )
+
+    bx = tf.groupBy(id_col).applyInPandas(
+        sign_one, schema=f"{id_col} {id_type}, band int, key long"
+    )
+    cands = capped_bucket_pairs(bx, id_col, max_bucket)
+    # exact verify: per-doc term->unit-tf maps, one fold over the
+    # shared-term intersection per candidate -- JVM-side, no Python
+    unit = _l2_normalize(tf, id_col)
+    vec = unit.groupBy(id_col).agg(
+        F.map_from_arrays(
+            F.collect_list("term"), F.collect_list("tf")
+        ).alias("m")
+    )
+    v1 = vec.select(F.col(id_col).alias("id1"), F.col("m").alias("m1"))
+    v2 = vec.select(F.col(id_col).alias("id2"), F.col("m").alias("m2"))
+    dot = F.aggregate(
+        F.array_intersect(F.map_keys("m1"), F.map_keys("m2")),
+        F.lit(0.0),
+        lambda acc, tm: acc + F.element_at("m1", tm) * F.element_at("m2", tm),
+    )
+    return (
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", dot.alias("sim"))
+        .where(F.col("sim") >= t - THRESHOLD_EPS)
+        .groupBy("id1", "id2")
+        .agg(F.first("sim").alias("sim"))
+    )
 
 
 def near_duplicates_of(

@@ -32,6 +32,11 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "keywords": [],
     "relevance_weights": {"density": 0.3, "coverage": 0.4, "tfidf": 0.3},
     "duplicate_threshold": 0.8,
+    # 'exact' keeps the certified inverted-index/dense dup plan;
+    # 'auto' lets the duplicate stage probe its candidate volume and
+    # route to tuned cosine-LSH + exact verify past the budget -- the
+    # 100-TB configuration (operators/similarity.duplicate_pairs)
+    "duplicate_route": "exact",
     "remove_duplicates": False,
     "summary_top_k": 3,
     "textrank_damping": 0.85,
@@ -82,7 +87,8 @@ def run_content_pipeline(
     )
 
     pairs = S.duplicate_pairs(
-        docs, cfg["duplicate_threshold"], id_col, text_col, counts=counts
+        docs, cfg["duplicate_threshold"], id_col, text_col, counts=counts,
+        route=cfg["duplicate_route"],
     )
     comp = C.connected_components(pairs.select("id1", "id2"))
     uniq = C.unique_representatives(

@@ -355,6 +355,74 @@ def nlp_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id1", "id2", F.round("sim", 6).alias("sim"))
 
 
+def _routed_cos_rows() -> list[tuple[int, str]]:
+    """Planted corpus with hand-derivable cosines: every word is a
+    unique 5-letter token occurring ONCE per doc, so sum-normalized
+    tf cosine of an equal-length pair = shared/len. Pairs land at
+    29/30 = 0.966667 and 28/30 = 0.933333 (above t = 0.9), the
+    control pair at 26/30 = 0.866667 (below -- the exact verify must
+    exclude it no matter what the banding admits), plus an unrelated
+    singleton."""
+    ctr = [0]
+
+    def w() -> str:
+        i = ctr[0]
+        ctr[0] += 1
+        s = ""
+        for _ in range(4):
+            s += chr(97 + i % 26)
+            i //= 26
+        return "q" + s
+
+    def doc(shared: list[str], extra: int) -> str:
+        return " ".join(shared + [w() for _ in range(extra)])
+
+    rows: list[tuple[int, str]] = []
+    sh = [w() for _ in range(29)]
+    rows += [(1, doc(sh, 1)), (2, doc(sh, 1))]
+    sh = [w() for _ in range(28)]
+    rows += [(3, doc(sh, 2)), (4, doc(sh, 2))]
+    sh = [w() for _ in range(26)]
+    rows += [(5, doc(sh, 4)), (6, doc(sh, 4))]
+    rows.append((7, doc([w() for _ in range(10)], 0)))
+    return rows
+
+
+@register(
+    "nlp_dup_routed_fixed",
+    oracle="""
+    SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+           CAST(sim AS DOUBLE) AS sim
+    FROM (VALUES (1, 2, 0.966667), (3, 4, 0.933333)) AS t(id1, id2, sim)
+    """,
+)
+def nlp_dup_routed_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing certificate for duplicate_pairs' round-9 saturation
+    router (the tf-cosine mirror of dedup_jaccard_routed_fixed):
+    route='auto' with route_budget=0 forces the probe's 'simhash'
+    decision, so the oracle gate runs the ROUTED plan end to end --
+    probe, decision, salted-md5 hyperplane signatures (b = 85 bands
+    of r = 20 signs at t = 0.9), capped/star-degraded bucket
+    explosion, exact map-fold cosine verify -- against a literal
+    oracle. The planted pairs sit at 0.966667 and 0.933333 (found
+    with their EXACT sims), the 0.866667 control must be excluded by
+    the verify regardless of banding, and a loud guard on the
+    per-call route_info record fails if the probe ever picks 'exact'.
+    Reference semantics preserved: duplicate_detector.py:127-167
+    (threshold contract). sf_dir unused (fixed corpus)."""
+    docs = spark.createDataFrame(_routed_cos_rows(), "doc_id long, text string")
+    info: dict = {}
+    pairs = S.duplicate_pairs(
+        docs, threshold=0.9, route="auto", route_budget=0, route_info=info
+    )
+    if info.get("route") != "simhash":  # pragma: no cover - loud guard
+        raise RuntimeError(
+            f"cosine routing certificate ran on route_info={info!r}; "
+            "the budget-0 probe must pick 'simhash'"
+        )
+    return pairs.select("id1", "id2", F.round("sim", 6).alias("sim"))
+
+
 @register(
     "nlp_near_duplicates",
     oracle=f"""

@@ -71,6 +71,18 @@ def main() -> None:
     ap.add_argument("--out", default="/root/repo/testdata_sf1")
     ap.add_argument("--docs-only", action="store_true")
     ap.add_argument("--multiline-frac", type=float, default=0.0)
+    ap.add_argument(
+        "--vocab",
+        type=int,
+        default=len(VOCAB),
+        help="document vocabulary size: 31 (default) reproduces the "
+        "driver-profiled SATURATED corpus where long docs' tf vectors "
+        "all converge to the vocab distribution and the true near-dup "
+        "pair set is ~quadratic by construction; larger values append "
+        "deterministic letter-words so similarity structure matches "
+        "real (vocabulary-rich) text -- near-dups rare, pipelines "
+        "plan-scalable",
+    )
     args = ap.parse_args()
     sf = args.sf
     os.makedirs(args.out, exist_ok=True)
@@ -184,10 +196,21 @@ BOILER_HEADER = "subscribe to our newsletter for updates"
 BOILER_FOOTER = "copyright example corp all rights reserved"
 
 
+def _letter_word(i: int) -> str:
+    s = ""
+    for _ in range(4):
+        s += chr(97 + i % 26)
+        i //= 26
+    return "v" + s  # 5 letters, [a-z]{3,}-tokenizer-safe, digit-free
+
+
 def _write_docs(args, rng, n_docs: int, n_vec: int) -> None:
-    # documents: U(10,100)-word soup over the 31-word vocab
+    vocab = list(VOCAB) + [
+        _letter_word(i) for i in range(max(0, args.vocab - len(VOCAB)))
+    ]
+    # documents: U(10,100)-word soup over the vocabulary
     wc = rng.integers(10, 101, n_docs)
-    words = np.array(VOCAB)[rng.integers(0, len(VOCAB), int(wc.sum()))]
+    words = np.array(vocab)[rng.integers(0, len(vocab), int(wc.sum()))]
     bounds = np.cumsum(wc)[:-1]
     texts = [" ".join(chunk) for chunk in np.split(words, bounds)]
     if args.multiline_frac > 0.0:

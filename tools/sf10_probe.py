@@ -2,25 +2,49 @@
 evidence one more decade beyond the sf1 corpus the round-8 saturation
 router was tuned on.
 
-The corpus is 500k documents + 200k embeddings from
-``tools/gen_testdata.py --sf 10 --docs-only`` (the relational tables
-stay at sf1 per the verdict -- nothing here reads them). Every probe
-query runs at sf1 AND sf10 (best-of-2, .count() so the pair sets stay
-distributed), and the router's decision record (route, measured
-candidate volume vs budget, solved banding) is captured at both scales
-for ``dedup_ngram_jaccard`` -- the query whose exact plan is
-super-linear by construction on this saturated-vocabulary corpus and
-whose routed plan must hold ~linear for the 100-TB posture to stand.
+Two corpus pairs, because the 31-word driver-profiled vocabulary is
+itself a scale adversary:
 
-Writes the results table into SCALE.md between the ``sf10-probe``
-markers (its own block -- tools/scale_probe.py owns the ``scale-probe``
-block and rewrites it wholesale).
+* **saturated** (testdata_sf1 -> testdata_sf10docs, 31-word vocab):
+  long docs' tf vectors converge to the vocabulary distribution, so
+  the TRUE near-dup pair set grows ~quadratically by construction
+  (measured: simhash output 7k -> 726k pairs, 103x per decade). This
+  pair stress-tests the DEDUP family's candidate generation and the
+  saturation router -- operators whose contract bounds candidates, not
+  output.
+* **rich** (testdata_sf1rich -> testdata_sf10rich, 4096-word vocab):
+  similarity structure matches real text (near-dups rare), so the
+  content pipelines' walls measure PLAN scaling instead of an output
+  that is quadratic no matter the plan. The all-pairs queries run
+  here; on the saturated corpus their output alone exhausts any
+  engine (the round-9 first probe run filled the 126 GiB tmpfs
+  scratch from nlp_duplicate_pairs' true pair set and killed the JVM
+  -- that is the corpus's answer being huge, not the plan's shuffle
+  being wrong).
 
-Usage: python tools/sf10_probe.py
+Excluded deliberately: ``dedup_embedding_cosine`` -- the documented
+brute-force BASELINE (label-blocked exact pairs, fixed 10-label
+cardinality -> pair volume ~n^2/10 by contract; its scale path IS
+probed via semdedup_prune and the ANN family).
+
+Every probe query reports best wall AND output rows at both scales: a
+super-linear wall with matching super-linear output is the pair-set
+contract doing its job on an adversarial corpus; a super-linear wall
+over ~linear output is a plan defect (that distinction closed two
+real defects in round 9: semdedup's single-core assignment matmul and
+its full-corpus quantizer fit).
+
+Results merge into tools/sf10_results.json across runs (so a probe
+set can be re-run alone), and the full table is rewritten into
+SCALE.md between the ``sf10-probe`` markers (tools/scale_probe.py
+owns the separate ``scale-probe`` block).
+
+Usage: python tools/sf10_probe.py [--only saturated|rich]
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -32,40 +56,72 @@ from conversation_analysis_tools_spark.operators import dedup as D
 from conversation_analysis_tools_spark.operators.cache import release_all
 from conversation_analysis_tools_spark.session import get_spark
 
-SF1_DIR = "/root/repo/testdata_sf1"
-SF10_DIR = "/root/repo/testdata_sf10docs"
+RESULTS = "/root/repo/tools/sf10_results.json"
 
-#: (query, why it's in the sf10 set)
+#: corpus pair name -> ((sf1 dir, sf10 dir), gen args for the sf10 dir)
+PAIRS = {
+    "saturated": ("/root/repo/testdata_sf1", "/root/repo/testdata_sf10docs",
+                  ["--sf", "10", "--docs-only"]),
+    "rich": ("/root/repo/testdata_sf1rich", "/root/repo/testdata_sf10rich",
+             ["--sf", "10", "--docs-only", "--vocab", "4096"]),
+}
+
+#: (query, corpus pair, why it's in the sf10 set)
 PROBES = [
-    ("dedup_exact", "hash-groupBy; the linear floor"),
-    ("dedup_minhash_lsh", "banded LSH bucket join"),
-    ("dedup_simhash", "bit-block banding + rep collapse"),
-    ("dedup_ngram_jaccard", "saturation router: probe -> tuned LSH"),
-    ("dedup_edit_distance", "length-blocked verify"),
-    ("near_dup_canonicalize", "greedy canonical set over pair graph"),
-    ("dedup_substring_spans", "span-hash expansion"),
-    ("dedup_span_removal", "pairwise span cut"),
-    ("decontamination_bloom", "broadcast Bloom + exact verify"),
-    ("semdedup_prune", "cluster-bucketed semantic dedup"),
-    # dedup_embedding_cosine is EXCLUDED deliberately: it is the
-    # documented brute-force BASELINE (label-blocked exact pairs with
-    # a fixed 10-label cardinality -> pair volume ~n^2/10 by
-    # contract; its docstring points at the ANN/semdedup bucketing as
-    # the scale path, which IS probed here via semdedup_prune).
-    ("nlp_duplicate_pairs", "grid-blocked BLAS cosine pairs"),
-    ("pipeline_analysis_results", "full NLP pipeline, one DAG"),
-    ("curation_pipeline_v2", "curation funnel (word rules)"),
-    ("curation_pipeline_v3", "curation funnel + line rules"),
+    ("dedup_exact", "saturated", "hash-groupBy; the linear floor"),
+    ("dedup_minhash_lsh", "saturated", "banded LSH bucket join"),
+    ("dedup_simhash", "saturated", "bit-block banding + rep collapse"),
+    ("dedup_ngram_jaccard", "saturated", "saturation router: probe -> tuned LSH"),
+    ("dedup_edit_distance", "saturated", "length-blocked verify"),
+    ("near_dup_canonicalize", "saturated", "greedy canonical set over pair graph"),
+    ("dedup_substring_spans", "saturated", "span-hash expansion"),
+    ("dedup_span_removal", "saturated", "pairwise span cut"),
+    ("decontamination_bloom", "saturated", "broadcast Bloom + exact verify"),
+    ("semdedup_prune", "saturated", "cluster-bucketed semantic dedup"),
+    ("nlp_duplicate_pairs_routed", "rich", "cosine pairs, route=auto (tuned simhash-LSH)"),
+    ("pipeline_analysis_results_routed", "rich", "full NLP pipeline, routed dup stage"),
+    ("curation_pipeline_v2", "rich", "curation funnel (word rules)"),
+    ("curation_pipeline_v3", "rich", "curation funnel + line rules"),
 ]
+
+
+def _runners(spark, qs):
+    """Probe-only runners for the two all-pairs consumers: their
+    REGISTERED queries keep route='exact' (the certified plan; the
+    driver gate re-certifies it every window), but exact all-pairs
+    cosine has no feasible plan at 500k docs on ANY corpus (~52% of
+    pairs share a term on the rich vocabulary), so the sf10 evidence
+    runs the 100-TB configuration -- route='auto', certified by
+    nlp_dup_routed_fixed under the driver's oracle gate."""
+    from conversation_analysis_tools_spark.catalog import table
+    from conversation_analysis_tools_spark.operators import similarity as S
+    from conversation_analysis_tools_spark.pipeline import run_content_pipeline
+
+    def dup_routed(d):
+        docs = table(spark, "documents", d).select("doc_id", "text")
+        return S.duplicate_pairs(docs, threshold=0.9, route="auto").count()
+
+    def pipeline_routed(d):
+        docs = table(spark, "documents", d).select("doc_id", "text")
+        out = run_content_pipeline(
+            docs,
+            {"keywords": ["data", "query", "stream"],
+             "duplicate_threshold": 0.9, "duplicate_route": "auto"},
+        )
+        return out["analysis_results"].count()
+
+    return {
+        "nlp_duplicate_pairs_routed": dup_routed,
+        "pipeline_analysis_results_routed": pipeline_routed,
+    }
 
 
 def best_of(fn, n: int = 2) -> tuple[float, int]:
     """(best wall, result rows). Row counts ride the table because a
     super-linear WALL with a matching super-linear OUTPUT is the
-    pair-set contract doing its job on a saturated corpus (every pair
-    >= threshold must be emitted), while a super-linear wall over a
-    ~linear output is a plan defect -- the distinction the r8 verdict
-    asks this probe to draw."""
+    pair-set contract doing its job on a saturated corpus, while a
+    super-linear wall over a ~linear output is a plan defect -- the
+    distinction the r8 verdict asks this probe to draw."""
     best, rows = None, 0
     for _ in range(n):
         t0 = time.time()
@@ -77,50 +133,91 @@ def best_of(fn, n: int = 2) -> tuple[float, int]:
 
 
 def main() -> None:
-    if not os.path.isdir(SF10_DIR):
-        import subprocess
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    state: dict = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            state = json.load(f)
 
-        subprocess.run(
-            [
-                sys.executable,
-                "/root/repo/tools/gen_testdata.py",
-                "--sf", "10", "--docs-only", "--out", SF10_DIR,
-            ],
-            check=True,
-        )
+    for pair, (d1, d10, gen_args) in PAIRS.items():
+        if only and pair != only:
+            continue
+        for d, extra in ((d1, ["--sf", "1"]), (d10, None)):
+            if not os.path.isdir(d):
+                import subprocess
+
+                args = gen_args if extra is None else extra + gen_args[2:]
+                subprocess.run(
+                    [sys.executable, "/root/repo/tools/gen_testdata.py"]
+                    + args + ["--out", d],
+                    check=True,
+                )
+
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
     qs = entrymod.queries()
+    runners = _runners(spark, qs)
     qs["dedup_exact"](spark, "/root/testdata/sf0.01").count()  # JIT warmup
 
-    lines = [
-        "",
-        "| query | sf1 (50k docs) | sf10 (500k docs) | x10 rows -> x wall | out rows sf1 -> sf10 |",
-        "|---|---|---|---|---|",
-    ]
-    routes: dict[str, str] = {}
-    for name, note in PROBES:
-        row = [name]
-        ts, ns = [], []
-        for d, trials in ((SF1_DIR, 2), (SF10_DIR, 1)):
+    for name, pair, note in PROBES:
+        if only and pair != only:
+            continue
+        d1, d10, _ = PAIRS[pair]
+        rec = {"pair": pair, "note": note}
+        for key, d, trials in (("sf1", d1, 2), ("sf10", d10, 1)):
             # sf10 runs once: fitcache artifacts are disk-memoized and
             # the signals read here are 2x-30x, not 5% deltas
+            run = runners.get(name) or (
+                lambda d, q=qs[name]: q(spark, d).count()
+            )
             try:
-                t, nrows = best_of(
-                    lambda d=d: qs[name](spark, d).count(), n=trials
-                )
+                t, nrows = best_of(lambda d=d: run(d), n=trials)
             except Exception as e:  # noqa: BLE001 - record, keep probing
-                t, nrows = None, None
-                row.append(f"ERR {type(e).__name__}")
+                rec[key] = {"err": type(e).__name__}
             else:
-                row.append(f"{t} s")
-            ts.append(t)
-            ns.append(nrows)
-            if name == "dedup_ngram_jaccard" and t is not None:
-                routes[d] = (
+                rec[key] = {"sec": t, "rows": nrows}
+            if name == "dedup_ngram_jaccard" and "err" not in rec[key]:
+                rec[key]["route"] = (
                     f"route={getattr(D, 'LAST_JACCARD_ROUTE', None)} "
                     f"probe={getattr(D._ROUTE_STATE, 'probe_rows', None):.3g} "
                     f"bands={getattr(D, 'LAST_TUNED_BANDS', None)}"
                 )
+        state[name] = rec
+        print(name, json.dumps(rec), flush=True)
+        with open(RESULTS, "w") as f:
+            json.dump(state, f, indent=1)
+
+    _write_block(state)
+    print("SCALE.md sf10-probe block updated")
+
+
+def _write_block(state: dict) -> None:
+    lines = [
+        "",
+        "| query | corpus | sf1 (50k docs) | sf10 (500k docs) "
+        "| x10 rows -> x wall | out rows sf1 -> sf10 |",
+        "|---|---|---|---|---|---|",
+    ]
+    routes = []
+    for name, pair, note in PROBES:
+        rec = state.get(name)
+        if not rec:
+            continue
+        cells = [name, rec["pair"]]
+        ts, ns = [], []
+        for key in ("sf1", "sf10"):
+            r = rec.get(key, {})
+            if "err" in r:
+                cells.append(f"ERR {r['err']}")
+                ts.append(None)
+                ns.append(None)
+            else:
+                cells.append(f"{r.get('sec')} s")
+                ts.append(r.get("sec"))
+                ns.append(r.get("rows"))
+            if r.get("route"):
+                routes.append(f"- `{name}` @ {key}: {r['route']}")
         ratio = (
             f"{round(ts[1] / max(ts[0], 0.01), 1)}x ({note})"
             if ts[0] is not None and ts[1] is not None
@@ -131,33 +228,29 @@ def main() -> None:
             if ns[0] is not None and ns[1] is not None
             else "-"
         )
-        lines.append("| " + " | ".join(row + [ratio, out]) + " |")
-        print(lines[-1], flush=True)
-
-    route_lines = [
-        "",
-        "Router decision record (dedup_ngram_jaccard, budget 32M rows):",
-        "",
-    ] + [f"- `{os.path.basename(d)}`: {r}" for d, r in routes.items()]
+        lines.append("| " + " | ".join(cells + [ratio, out]) + " |")
 
     from tools.md_block import write_md_block
 
     body = (
         "## sf10 scale probe (tools/sf10_probe.py)\n"
         "\n"
-        "Wall seconds, best-of-2, local[32], .count() actions. sf10 is\n"
-        "the docs-only gen_testdata corpus (500k docs / 200k embeddings,\n"
-        "same distributions as sf1; relational tables intentionally\n"
-        "absent). The sf1->sf10 decade is the one the round-8 router's\n"
-        "32M-row budget and tuned-LSH bucket handling were NOT tuned on\n"
-        "-- ~linear growth here is the evidence the 100-TB posture\n"
-        "rests on; the fixed ~0.3-1 s job overhead means ratios well\n"
-        "under 10x are scan/shuffle-bound plans leaving the overhead\n"
-        "floor.\n"
-        + "\n".join(lines + route_lines)
+        "Wall seconds, best-of-2 at sf1 / single steady-state trial at\n"
+        "sf10 (fitcache artifacts disk-memoized), local[32], .count()\n"
+        "actions. Corpus pairs: `saturated` = the driver-profiled\n"
+        "31-word vocabulary (true near-dup volume grows ~quadratically\n"
+        "by construction -- the candidate-generation stress test);\n"
+        "`rich` = 4096-word vocabulary (real-text similarity structure\n"
+        "-- the plan-scaling test for the content pipelines; the\n"
+        "all-pairs queries' true answer on the saturated corpus is\n"
+        "output-quadratic and exhausts any engine). The wall-vs-output\n"
+        "columns adjudicate every super-linear wall: output-bound =\n"
+        "contract, output-flat = plan defect.\n"
+        + "\n".join(lines)
+        + "\n\nRouter decision record (dedup_ngram_jaccard, budget 32M rows):\n\n"
+        + "\n".join(routes)
     )
     write_md_block("/root/repo/SCALE.md", "sf10-probe", body)
-    print("SCALE.md sf10-probe block updated")
 
 
 if __name__ == "__main__":
