@@ -91,9 +91,9 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # r5-green queries hit the 4-round staleness bound and auto-promote
 # by age; the round's new oracled certificates
 # (dedup_jaccard_recall_grid_fixed, curation_pipeline_v3,
-# streaming_curation_funnel_fixed) are never-checked and auto-rank
-# ahead of them, so O reaches 190 and the pin budget is TWO
-# (ceil(190/48) = 4; a third pin pushes the bound to 5). The two
+# streaming_curation_funnel, nlp_dup_routed_fixed) are never-checked
+# and auto-rank ahead of them, so O reaches 191 and the pin budget is
+# TWO (ceil(191/48) = 4; a third pin pushes the bound to 5). The two
 # pins are this round's changed-plan re-certifications:
 # dedup_jaccard_routed_fixed (tuned_lsh_pairs over-cap buckets now
 # star-degrade instead of dropping; route recording moved to the
