@@ -249,6 +249,38 @@ def _write_block(state: dict) -> None:
         + "\n".join(lines)
         + "\n\nRouter decision record (dedup_ngram_jaccard, budget 32M rows):\n\n"
         + "\n".join(routes)
+        + "\n"
+        + """
+Round-9 adjudications from this table:
+
+- **dedup_simhash 25x wall / 103x output**: output-bound -- on the
+  saturated vocabulary the TRUE hamming<=3 pair set grows
+  quadratically (7k -> 726k pairs per decade); wall grows 4x SLOWER
+  than output. Contract, not plan.
+- **dedup_ngram_jaccard 9.2x at 10x rows**: the routed tuned-LSH plan
+  is ~linear one decade past where its budget was tuned; the probe
+  measured the exact plan at 1.21e10 candidate rows (100x sf1 --
+  quadratic as constructed) and routed, as designed.
+- **semdedup_prune**: the first probe pass caught two real defects --
+  the dense-path assignment matmul ran on the scan's 1-2 parquet
+  splits (single-core; fixed with _spread) and the quantizer fit was
+  full-corpus k-means at C ~ n/128 (~n^2, hidden by fitcache on
+  re-runs; fixed with ~20-per-centroid sampled fit). Steady state
+  moved 90.9 s -> 22.1 s at sf10 (3.7x per decade).
+- **all-pairs cosine** (nlp_duplicate_pairs / the pipeline's dup
+  stage): NO exact plan is feasible at 500k docs -- the first probe
+  pass measured the inverted index filling the 126 GiB tmpfs scratch
+  and killing the JVM on BOTH corpus pairs (saturated: output
+  quadratic; rich: ~52% of pairs share a term). Round 9 routes it:
+  duplicate_pairs(route='auto') probes candidate volume and swaps in
+  tuned simhash-LSH + exact-cosine verify (nlp_dup_routed_fixed
+  certifies the routed plan under the driver gate). Routed: 7.0x per
+  decade for the pair stage, 6.7x for the full pipeline -- and the
+  registered exact queries keep their certified plans at driver sfs.
+- **curation funnels** (v2 7.9x, v3 2.8x): map+window shapes, wall
+  dominated by scan+fingerprint window; the v3 line stages add one
+  hash-keyed exchange and stay well inside the decade budget.
+"""
     )
     write_md_block("/root/repo/SCALE.md", "sf10-probe", body)
 
