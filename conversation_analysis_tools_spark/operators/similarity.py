@@ -715,6 +715,11 @@ def tuned_simhash_pairs(
                 memo[term] = v
             return v
 
+        # sort by term FIRST: the float dot below sums in row order,
+        # which otherwise follows shuffle order -- a hyperplane sum
+        # near zero could flip sign between runs and make the routed
+        # output (and its driver certificate) shuffle-luck-dependent
+        pdf = pdf.sort_values("term")
         tfv = pdf["tf"].to_numpy(dtype=np.float64)
         M = np.stack([term_bits(tm) for tm in pdf["term"]])
         bits = (tfv @ M > 0).astype(np.int64).reshape(b, r)
