@@ -135,6 +135,16 @@ AUDIT = [
     "ann_ivf_batch_serve",
     "csv_roundtrip",
     "pii_redaction_fixed",
+    # round-9: the v2/v3 curation funnels (v3 adds exactly one
+    # line-hash exchange reused by the anti join + the per-doc
+    # rebuild; everything else stays map-only before the fingerprint
+    # window); the routed-cosine and recall-grid certificates (their
+    # plans must show the bucket explosion + exact verify, no
+    # cartesian anywhere)
+    "curation_pipeline_v2",
+    "curation_pipeline_v3",
+    "nlp_dup_routed_fixed",
+    "dedup_jaccard_recall_grid_fixed",
 ]
 
 
