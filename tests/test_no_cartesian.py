@@ -35,6 +35,7 @@ STREAM_DRAINS = {
     "window_sliding_2h1h",
     "streaming_neardup_dedup",
     "streaming_hll_maintenance",
+    "streaming_curation_funnel",
 }
 
 #: Queries allowed to plan BroadcastNestedLoopJoin: each broadcasts a
