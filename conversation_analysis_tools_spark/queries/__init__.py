@@ -103,9 +103,16 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # changed (leading \b on the phone pattern + a new negative control
 # in case 7) but is NOT pinned: its oracle recomputes from the same
 # PII_PATTERNS/case constants via redact_sql, so parity is mechanical
-# -- it re-certifies by age in r10. Window arithmetic: 2 pins + 3
-# never-checked + 43 r5 = 48 of 50 slots; the 2 spares go to the
-# oldest r6 rows.
+# -- it re-certifies by age in r10. Window arithmetic: 2 pins + 4
+# never-checked + 43 r5 = 49 of 50 slots; the spare goes to the
+# oldest r6 row.
+# ROUND-10 HEADROOM: at 191 oracled, ceil(191 / (50 - P)) <= 4 holds
+# for P <= 2 pins and ONE more oracled registration (192 = 4 * 48);
+# any further growth requires zero pins (196 = 4 * 49) or shrinking
+# the registry. The r6-green cohort hits the staleness bound at r10
+# and auto-promotes by age; candidates deserving an r10 pin if their
+# plans change again: none pre-committed (the r9 pins clear once
+# CORRECTNESS_r09 lands).
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
