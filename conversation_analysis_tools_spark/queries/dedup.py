@@ -1302,21 +1302,25 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# engaged-collapse driver certificates (fixed dup-dense corpora)
+# engaged-collapse driver certificate (fixed dup-dense corpora)
 # ---------------------------------------------------------------------------
 #
 # The adaptive representative-collapse plan (operators/dedup.py
 # _maybe_collapse -> _expand_rep_pairs) never engages at sf0.01's
-# dup-light density, so these three queries pin collapse="always" on
-# FIXED in-query corpora with planted identical-content clusters --
-# the driver's oracle gate then proves the ENGAGED plan, not just the
-# direct one (local parity tests already pin always == never).
+# dup-light density, so this query pins collapse="always" on FIXED
+# in-query corpora with planted identical-content clusters -- the
+# driver's oracle gate then proves the ENGAGED plan, not just the
+# direct one (local parity tests already pin always == never). One
+# query, three families (round-10 registry consolidation: the former
+# dedup_collapse_{jaccard,minhash,editdist}_fixed rows survive
+# verbatim as the family-tagged VALUES below -- every assertion of
+# the three retired certificates is preserved).
 # Corpus design notes:
 #  - "token-invisible drift": docs 2/3 differ from doc 1 only in
 #    punctuation/case/whitespace, which the [a-z]{3,} tokenizer
 #    ignores -- byte-distinct, shingle-SET-identical, the exact
 #    regime the set-grain fingerprint collapse exists for.
-#  - every oracle is a literal VALUES table: the corpora are fixed,
+#  - the oracle is a literal VALUES table: the corpora are fixed,
 #    so the expected pairs are hand-derivable (within-group pairs
 #    score 1.0 by identity; cross-group pairs inherit the verified
 #    rep-pair score; edit distances are counted appends/substitutions).
@@ -1327,31 +1331,71 @@ _CJ_BASE = "alpha bravo charlie delta echo"
 _CJ_B2 = "zulu yankee xray whiskey victor"
 _CJ_CROSS = "bravo charlie delta echo foxtrot"  # jaccard 2/4 with base
 
+_CM_BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+)
+_CM_CROSS = _CM_BASE.rsplit(" ", 1)[0] + " mike"  # last word: jaccard 9/11
+
 
 @register(
-    "dedup_collapse_jaccard_fixed",
+    "dedup_collapse_fixed",
     oracle="""
-    SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
-           CAST(jaccard AS DOUBLE) AS jaccard
+    SELECT family, CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+           CAST(score AS DOUBLE) AS score
     FROM (VALUES
-        (1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0),
-        (4, 5, 1.0),
-        (1, 6, 0.5), (2, 6, 0.5), (3, 6, 0.5)
-    ) AS t(id1, id2, jaccard)
+        ('jaccard', 1, 2, 1.0), ('jaccard', 1, 3, 1.0),
+        ('jaccard', 2, 3, 1.0), ('jaccard', 4, 5, 1.0),
+        ('jaccard', 1, 6, 0.5), ('jaccard', 2, 6, 0.5),
+        ('jaccard', 3, 6, 0.5),
+        ('minhash', 1, 2, 1.0), ('minhash', 1, 3, 1.0),
+        ('minhash', 2, 3, 1.0), ('minhash', 4, 5, 1.0),
+        ('minhash', 1, 6, 0.818182), ('minhash', 2, 6, 0.818182),
+        ('minhash', 3, 6, 0.818182),
+        ('editdist', 1, 2, 0.986301), ('editdist', 1, 4, 0.986111),
+        ('editdist', 1, 5, 1.0), ('editdist', 1, 6, 0.986301),
+        ('editdist', 2, 3, 0.986486), ('editdist', 2, 5, 0.986301),
+        ('editdist', 2, 6, 1.0), ('editdist', 3, 6, 0.986486),
+        ('editdist', 4, 5, 0.986111), ('editdist', 5, 6, 0.986301)
+    ) AS t(family, id1, id2, score)
     """,
 )
-def dedup_collapse_jaccard_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-grain FULL collapse certificate (ngram_jaccard_pairs with
-    collapse='always'): cluster {1,2,3} is byte-distinct but
-    trigram-set-identical (token-invisible punctuation/case drift),
-    cluster {4,5} likewise; doc 6 overlaps cluster 1's set at exactly
-    jaccard 2/4 = 0.5 (intersection 2 trigrams, union 4). The inverted
-    index runs on TWO representatives + two singletons; within-group
-    pairs come back at the 1.0 self-value and the one verified
-    cross-group rep pair (1,6) expands over cluster members to
-    (1,6),(2,6),(3,6) -- both _expand_rep_pairs paths under the
-    driver's oracle gate. sf_dir unused (fixed corpus)."""
-    docs = spark.createDataFrame(
+def dedup_collapse_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engaged-collapse certificate for all three pair-grain dedup
+    families in one family-tagged union (sf_dir unused; fixed corpora):
+
+    * ``jaccard`` -- set-grain FULL collapse (ngram_jaccard_pairs,
+      collapse='always'): cluster {1,2,3} is byte-distinct but
+      trigram-set-identical (token-invisible punctuation/case drift),
+      cluster {4,5} likewise; doc 6 overlaps cluster 1's set at
+      exactly jaccard 2/4 = 0.5. The inverted index runs on TWO
+      representatives + two singletons; within-group pairs come back
+      at the 1.0 self-value and the verified cross-group rep pair
+      (1,6) expands over cluster members to (1,6),(2,6),(3,6) -- both
+      _expand_rep_pairs paths under the driver's oracle gate.
+    * ``minhash`` -- MinHash-grain collapse (minhash_dedup_pairs,
+      collapse='always'): the banded signature stage runs on
+      collapsed representatives only; identical shingle sets share
+      every band, so within-cluster pairs are expansion output (1.0)
+      and the cross-group candidate (1,6) -- a 12-word doc differing
+      in its last word, trigram jaccard 9/11 = 0.818182,
+      md5-deterministic band collision -- verifies once at rep grain
+      and expands to all three cluster-1 members.
+    * ``editdist`` -- candidate-grain collapse (edit_distance_pairs,
+      collapse='always'), the two-layer expansion: docs 5/6 are
+      byte-IDENTICAL to 1/2 (text-grain verify collapse, sims
+      inherited: (1,5)=(2,6)=1.0); docs 2/3 are base + '.'/'..' --
+      byte-distinct but trigram-set-identical to 1, so the CANDIDATE
+      stage collapses {1,2,3} to one representative and re-expands
+      pairs BEFORE the banded Levenshtein (_expand_rep_pairs with
+      value_col=None). The t=0.98 threshold proves the DP runs per
+      MEMBER pair, not at rep grain: rep pair (1,4) qualifies (1
+      substitution over len 72, 0.986111) while its sibling member
+      pair (2,4) does NOT (distance 2 over len 73, 0.972603 < 0.98)
+      -- a rep-inherited score would wrongly emit it. All sims are
+      exact count/length fractions: 1-1/73=0.986301, 1-1/74=0.986486,
+      1-1/72=0.986111.
+    """
+    jac_docs = spark.createDataFrame(
         [
             (1, _CJ_BASE),
             (2, _CJ_BASE + "!!"),
@@ -1363,38 +1407,7 @@ def dedup_collapse_jaccard_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "doc_id long, text string",
     )
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.4, collapse="always")
-    return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
-
-
-_CM_BASE = (
-    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
-)
-_CM_CROSS = _CM_BASE.rsplit(" ", 1)[0] + " mike"  # last word: jaccard 9/11
-
-
-@register(
-    "dedup_collapse_minhash_fixed",
-    oracle="""
-    SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
-           CAST(jaccard AS DOUBLE) AS jaccard
-    FROM (VALUES
-        (1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0),
-        (4, 5, 1.0),
-        (1, 6, 0.818182), (2, 6, 0.818182), (3, 6, 0.818182)
-    ) AS t(id1, id2, jaccard)
-    """,
-)
-def dedup_collapse_minhash_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-grain collapse certificate (minhash_dedup_pairs with
-    collapse='always'): the banded signature stage runs on collapsed
-    representatives only; identical shingle sets share every band, so
-    within-cluster pairs are expansion output (1.0) and the
-    cross-group candidate (1,6) -- a 12-word doc differing in its last
-    word, trigram jaccard 9/11 = 0.818182, md5-deterministic band
-    collision -- verifies once at rep grain and expands to all three
-    cluster-1 members. sf_dir unused (fixed corpus)."""
-    docs = spark.createDataFrame(
+    mh_docs = spark.createDataFrame(
         [
             (1, _CM_BASE),
             (2, _CM_BASE + "?!"),
@@ -1406,50 +1419,37 @@ def dedup_collapse_minhash_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "doc_id long, text string",
     )
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.4, collapse="always")
-    return pairs.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
-
-
-@register(
-    "dedup_collapse_editdist_fixed",
-    oracle="""
-    SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
-           CAST(edit_sim AS DOUBLE) AS edit_sim
-    FROM (VALUES
-        (1, 2, 0.986301), (1, 4, 0.986111), (1, 5, 1.0),
-        (1, 6, 0.986301), (2, 3, 0.986486), (2, 5, 0.986301),
-        (2, 6, 1.0), (3, 6, 0.986486), (4, 5, 0.986111),
-        (5, 6, 0.986301)
-    ) AS t(id1, id2, edit_sim)
-    """,
-)
-def dedup_collapse_editdist_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-grain collapse certificate (edit_distance_pairs with
-    collapse='always'), the two-layer expansion: docs 5/6 are
-    byte-IDENTICAL to 1/2 (text-grain verify collapse, sims inherited:
-    (1,5)=(2,6)=1.0); docs 2/3 are base + '.'/'..' -- byte-distinct
-    but trigram-set-identical to 1, so the CANDIDATE stage collapses
-    {1,2,3} to one representative and re-expands pairs BEFORE the
-    banded Levenshtein (_expand_rep_pairs with value_col=None). The
-    t=0.98 threshold proves the DP runs per MEMBER pair, not at rep
-    grain: rep pair (1,4) qualifies (1 substitution over len 72,
-    0.986111) while its sibling member pair (2,4) does NOT (distance
-    2 over len 73, 0.972603 < 0.98) -- a rep-inherited score would
-    wrongly emit it. All sims are exact count/length fractions:
-    1-1/73=0.986301, 1-1/74=0.986486, 1-1/72=0.986111. sf_dir unused
-    (fixed corpus)."""
-    base = _CM_BASE
-    docs = spark.createDataFrame(
+    ed_docs = spark.createDataFrame(
         [
-            (1, base),
-            (2, base + "."),
-            (3, base + ".."),
-            (4, base.rsplit(" ", 1)[0] + " limb"),
-            (5, base),
-            (6, base + "."),
+            (1, _CM_BASE),
+            (2, _CM_BASE + "."),
+            (3, _CM_BASE + ".."),
+            (4, _CM_BASE.rsplit(" ", 1)[0] + " limb"),
+            (5, _CM_BASE),
+            (6, _CM_BASE + "."),
             (7, "nov oscar papa quebec romeo sierra tango"),
         ],
         "doc_id long, text string",
     )
-    pairs = D.edit_distance_pairs(docs, threshold=0.98, collapse="always")
-    return pairs.select("id1", "id2", F.round("edit_sim", 6).alias("edit_sim"))
+
+    def tag(pairs: DataFrame, family: str, score_col: str) -> DataFrame:
+        return pairs.select(
+            F.lit(family).alias("family"),
+            "id1",
+            "id2",
+            F.round(score_col, 6).alias("score"),
+        )
+
+    jac = tag(
+        D.ngram_jaccard_pairs(jac_docs, threshold=0.4, collapse="always"),
+        "jaccard", "jaccard",
+    )
+    mh = tag(
+        D.minhash_dedup_pairs(mh_docs, threshold=0.4, collapse="always"),
+        "minhash", "jaccard",
+    )
+    ed = tag(
+        D.edit_distance_pairs(ed_docs, threshold=0.98, collapse="always"),
+        "editdist", "edit_sim",
+    )
+    return jac.unionByName(mh).unionByName(ed)
