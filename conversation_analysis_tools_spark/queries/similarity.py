@@ -85,9 +85,9 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The third standard ANN shape next to brute force and LSH: probe
     fraction n_probe/C bounds the candidate scan; recall is certified
-    against ann_bruteforce_knn (floor 0.9 in ann_recall_eval). The
+    against ann_bruteforce_knn (floor 0.9 in ann_recall_frontier). The
     default probe count is picked off the measured frontier
-    (``ann_ivf_probe_frontier``): these synthetic near-isotropic
+    (the 'ivf' family of ``ann_recall_frontier``): these synthetic near-isotropic
     embeddings are IVF's worst case -- k-means lists carry little
     signal, so clearing recall 0.9 costs 10/16 lists here (measured
     0.96 at sf0.001 AND sf0.01), where real clustered embeddings
@@ -288,8 +288,8 @@ def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_rows(spark, sf_dir, items, approx_of):
-    """Shared recall@5-certificate scaffold (used by ann_recall_eval
-    and all three operating-point frontiers): score each item's
+    """Shared recall@5-certificate scaffold (used by every family of
+    ann_recall_frontier): score each item's
     approximate search against the exact cosine baseline and return
     ``[(key, floor, recall_ok)]``.
 
@@ -341,36 +341,128 @@ RECALL_FLOORS = {
 
 
 @register(
-    "ann_recall_eval",
+    "ann_recall_frontier",
     oracle="""
     SELECT * FROM (VALUES
-        ('ann_lsh_knn',  80, TRUE),
-        ('ann_ivf_knn',  90, TRUE),
-        ('ann_int8_knn', 80, TRUE),
-        ('ann_pq_knn',   80, TRUE)
-    ) AS t(method, floor_x100, recall_ok)
+        ('method', 'ann_lsh_knn',          80,  TRUE),
+        ('method', 'ann_ivf_knn',          90,  TRUE),
+        ('method', 'ann_int8_knn',         80,  TRUE),
+        ('method', 'ann_pq_knn',           80,  TRUE),
+        ('ivf', 'na=1,np=2,scan=12',       15,  TRUE),
+        ('ivf', 'na=1,np=4,scan=25',       45,  TRUE),
+        ('ivf', 'na=1,np=8,scan=50',       70,  TRUE),
+        ('ivf', 'na=1,np=10,scan=62',      90,  TRUE),
+        ('ivf', 'na=1,np=16,scan=100',     100, TRUE),
+        ('ivf', 'na=2,np=2,scan=25',       40,  TRUE),
+        ('ivf', 'na=2,np=4,scan=50',       70,  TRUE),
+        ('ivf', 'na=2,np=6,scan=75',       90,  TRUE),
+        ('ivf', 'na=2,np=16,scan=100',     100, TRUE),
+        ('lsh', 'p=1,t=1',                 100, TRUE),
+        ('lsh', 'p=2,t=1',                 50,  TRUE),
+        ('lsh', 'p=3,t=1',                 40,  TRUE),
+        ('lsh', 'p=3,t=3',                 80,  TRUE),
+        ('lsh', 'p=5,t=3',                 40,  TRUE),
+        ('pq', 'n/10',                     60,  TRUE),
+        ('pq', 'n/5',                      80,  TRUE),
+        ('pq', '2n/5',                     90,  TRUE),
+        ('pq', 'all',                      100, TRUE)
+    ) AS t(family, point, floor_x100, recall_ok)
     """,
 )
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 certificate for every approximate ANN path against the
-    exact brute-force baseline: one row per method with its pinned
-    floor and whether measured recall clears it.
+def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 certificate for the WHOLE approximate-ANN surface in
+    one family-tagged table (round-10 registry consolidation: the
+    former ann_recall_eval + ann_ivf_probe_frontier +
+    ann_lsh_plane_frontier + ann_pq_rerank_frontier rows survive
+    verbatim, family-tagged, with the IVF scan fraction folded into
+    the point label -- every floor of the four retired certificates is
+    preserved, and the exact brute-force ground truth is now computed
+    ONCE and shared across all 22 operating points instead of four
+    times).
 
-    The evaluation harness an ANN deployment runs before trusting an
-    index: ground truth = exact cosine top-5; an approximate method
-    scores a hit per (query, neighbor) it retains. All joins are on
-    (query_id, vec_id) pairs of the tiny top-k frames -- broadcast,
-    nothing rescans the corpus beyond what each method already does.
-    The literal-SELECT oracle pins the floors, so a silent recall
-    regression in ANY of the four indexes turns this row red.
+    Families and their provable anchors:
+
+    * ``method`` -- each shipped default index (the registered
+      ann_*_knn queries) against its pinned floor; a silent recall
+      regression in any of the four turns that row red.
+    * ``ivf`` -- the recall-vs-scan-cost frontier over (n_assign,
+      n_probe) points; ``scan`` in the label is the candidate-scan
+      fraction n_assign*n_probe/C (x100, capped). n_probe=16 of C=16
+      probes EVERYTHING, so those rows' 1.0 is provable, anchoring
+      the frontier's top end; the n_assign=2 rows expose the
+      soft-assignment (list replication) lever that reaches the 0.9
+      knee at 6 probes instead of 10.
+    * ``lsh`` -- the (n_planes, n_tables) frontier; the (1,1) anchor
+      is provable (1-bit multiprobe covers both buckets of a single
+      plane: candidates = whole corpus, exact re-rank).
+    * ``pq`` -- recall vs exact-re-rank depth RELATIVE to corpus size
+      (ADC ordering quality tracks the re-rank FRACTION, so relative
+      depths keep the certificate meaningful at every sf); the 'all'
+      row re-ranks every encoded row by true cosine, provably 1.0.
+
+    Floors are the conservative cross-sf minima (see the *_FLOORS
+    constants), so the literal-VALUES oracle stays green on
+    regenerated testdata while still failing on a real index,
+    quantizer, or replica-dedup regression -- at the exact operating
+    point where the frontier sagged. All baseline joins are
+    broadcasts of tiny top-k frames; each method scans only what its
+    index already scans.
     """
-    scored = _recall_rows(
-        spark, sf_dir, list(RECALL_FLOORS.items()),
-        lambda method, _emb_, _q_: REGISTRY[method].fn(spark, sf_dir),
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    cents = cached_fit(
+        "ivf_centroids", (16,), sf_dir,
+        lambda: A.kmeans_centroids(emb, n_centroids=16),
     )
+    assigned = {
+        na: cache.track(A.ivf_assign(emb, cents, n_assign=na))
+        for na in sorted({na for na, _, _ in IVF_FRONTIER_FLOORS})
+    }
+    codebooks = cached_fit(
+        "pq_codebooks", (EMB_DIM,), sf_dir, lambda: A.pq_train(emb, EMB_DIM)
+    )
+    encoded = cache.track(A.pq_encode(emb, codebooks))
+    depths = {"n/10": n // 10, "n/5": n // 5, "2n/5": 2 * n // 5, "all": n}
+
+    ivf_pts = {
+        f"na={na},np={np_},scan={min(100, na * np_ * 100 // 16)}": (na, np_)
+        for na, np_, _ in IVF_FRONTIER_FLOORS
+    }
+    lsh_pts = {f"p={p_},t={tb}": (p_, tb) for p_, tb, _ in LSH_FRONTIER_FLOORS}
+    items = (
+        [(("method", m), f) for m, f in RECALL_FLOORS.items()]
+        + [
+            (("ivf", f"na={na},np={np_},scan={min(100, na * np_ * 100 // 16)}"), f)
+            for na, np_, f in IVF_FRONTIER_FLOORS
+        ]
+        + [(("lsh", f"p={p_},t={tb}"), f) for p_, tb, f in LSH_FRONTIER_FLOORS]
+        + [(("pq", label), f) for label, f in PQ_FRONTIER_FLOORS]
+    )
+
+    def approx(key, emb_, queries):
+        family, label = key
+        if family == "method":
+            return REGISTRY[label].fn(spark, sf_dir)
+        if family == "ivf":
+            na, np_ = ivf_pts[label]
+            return A.ivf_topk(
+                assigned[na], queries, cents, k=5, n_probe=np_, exclude_self=True
+            )
+        if family == "lsh":
+            p_, tb = lsh_pts[label]
+            return A.lsh_topk(
+                emb_, queries, dim=EMB_DIM, k=5, n_planes=p_,
+                exclude_self=True, n_tables=tb,
+            )
+        return A.pq_topk(
+            encoded, queries, codebooks, k=5,
+            rerank=max(1, depths[label]), exclude_self=True,
+        )
+
+    scored = _recall_rows(spark, sf_dir, items, approx)
     return spark.createDataFrame(
-        [(m, int(f * 100), ok) for m, f, ok in scored],
-        "method string, floor_x100 int, recall_ok boolean",
+        [(fam, label, int(f * 100), ok) for (fam, label), f, ok in scored],
+        "family string, point string, floor_x100 int, recall_ok boolean",
     )
 
 
@@ -396,69 +488,6 @@ IVF_FRONTIER_FLOORS = [
     (2, 6, 0.90),   # measured 0.96 / 1.00 / 0.92 -- replication's 0.9 knee
     (2, 16, 1.00),  # exhaustive with replicas: still provable
 ]
-
-
-@register(
-    "ann_ivf_probe_frontier",
-    oracle="""
-    SELECT * FROM (VALUES
-        (1,  2, 12,  15, TRUE),
-        (1,  4, 25,  45, TRUE),
-        (1,  8, 50,  70, TRUE),
-        (1, 10, 62,  90, TRUE),
-        (1, 16, 100, 100, TRUE),
-        (2,  2, 25,  40, TRUE),
-        (2,  4, 50,  70, TRUE),
-        (2,  6, 75,  90, TRUE),
-        (2, 16, 100, 100, TRUE)
-    ) AS t(n_assign, n_probe, scan_frac_x100, floor_x100, recall_ok)
-    """,
-)
-def ann_ivf_probe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-vs-cost frontier for the IVF index: one row per
-    (n_assign, n_probe) operating point with its expected
-    candidate-scan fraction (n_assign * n_probe / C, capped at 1),
-    the pinned recall floor, and whether measured recall@5 clears it.
-
-    This is the tuning table an IVF deployment publishes so users can
-    trade scan cost for recall deliberately instead of guessing: the
-    ann_ivf_knn default (single assignment, n_probe=10 -- the knee
-    where recall crosses 0.9 on this isotropic worst-case corpus) is
-    one row of it, and the n_assign=2 rows expose the soft-assignment
-    lever (operators/ann.ivf_assign) that reaches the same knee at 6
-    probes. The centroid fit runs ONCE; each assignment grain is
-    computed once and shared across its probe counts; every join
-    against the exact baseline is a broadcast of tiny top-k frames.
-    The literal-VALUES oracle pins the floors, so an index, quantizer,
-    or replica-dedup regression shows up as a red row at the exact
-    operating point where the frontier sagged.
-    """
-    emb = _emb(spark, sf_dir)
-    cents = cached_fit(
-        "ivf_centroids", (16,), sf_dir,
-        lambda: A.kmeans_centroids(emb, n_centroids=16),
-    )
-    # each assignment grain computed once, shared across probe counts
-    assigned = {
-        na: cache.track(A.ivf_assign(emb, cents, n_assign=na))
-        for na in sorted({na for na, _, _ in IVF_FRONTIER_FLOORS})
-    }
-    scored = _recall_rows(
-        spark, sf_dir,
-        [((na, np_), f) for na, np_, f in IVF_FRONTIER_FLOORS],
-        lambda key, _emb_, queries: A.ivf_topk(
-            assigned[key[0]], queries, cents, k=5,
-            n_probe=key[1], exclude_self=True,
-        ),
-    )
-    return spark.createDataFrame(
-        [
-            (na, np_, min(100, na * np_ * 100 // 16), int(f * 100), ok)
-            for (na, np_), f, ok in scored
-        ],
-        "n_assign int, n_probe int, scan_frac_x100 int, floor_x100 int,"
-        " recall_ok boolean",
-    )
 
 
 def _staged_ivf_lists(spark, emb, cents, sf_dir):
@@ -663,41 +692,6 @@ LSH_FRONTIER_FLOORS = [
 ]
 
 
-@register(
-    "ann_lsh_plane_frontier",
-    oracle="""
-    SELECT * FROM (VALUES
-        (1, 1, 100, TRUE),
-        (2, 1, 50,  TRUE),
-        (3, 1, 40,  TRUE),
-        (3, 3, 80,  TRUE),
-        (5, 3, 40,  TRUE)
-    ) AS t(n_planes, n_tables, floor_x100, recall_ok)
-    """,
-)
-def ann_lsh_plane_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-vs-cost frontier for the hyperplane-LSH index: one row
-    per (n_planes, n_tables) operating point with its pinned recall
-    floor and whether measured recall@5 clears it. Plane count sets
-    bucket size (2^planes buckets -> smaller candidate sets, lower
-    recall); table count multiplies index size and buys back recall
-    exponentially (a miss must split from the query in EVERY table).
-    The default (3 planes x 3 tables) is one row; the (1, 1) row's
-    1.0 is provable (multiprobe covers both buckets of a single
-    plane), anchoring the certificate's top end like the IVF
-    frontier's exhaustive row. Broadcast top-k joins only."""
-    scored = _recall_rows(
-        spark, sf_dir,
-        [((p_, tb), f) for p_, tb, f in LSH_FRONTIER_FLOORS],
-        lambda key, emb, queries: A.lsh_topk(
-            emb, queries, dim=EMB_DIM, k=5, n_planes=key[0],
-            exclude_self=True, n_tables=key[1],
-        ),
-    )
-    return spark.createDataFrame(
-        [(p_, tb, int(f * 100), ok) for (p_, tb), f, ok in scored],
-        "n_planes int, n_tables int, floor_x100 int, recall_ok boolean",
-    )
 
 
 #: PQ recall@5 floors per exact-re-rank depth. Depths are RELATIVE to
@@ -717,43 +711,3 @@ PQ_FRONTIER_FLOORS = [
 ]
 
 
-@register(
-    "ann_pq_rerank_frontier",
-    oracle="""
-    SELECT * FROM (VALUES
-        ('n/10', 60,  TRUE),
-        ('n/5',  80,  TRUE),
-        ('2n/5', 90,  TRUE),
-        ('all',  100, TRUE)
-    ) AS t(rerank, floor_x100, recall_ok)
-    """,
-)
-def ann_pq_rerank_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-vs-re-rank-depth frontier for the product-quantized
-    index: one row per ADC-candidate re-rank budget (RELATIVE to
-    corpus size -- see PQ_FRONTIER_FLOORS) with its pinned floor.
-    Re-rank depth is PQ's recall lever at fixed codebook size
-    (these near-isotropic embeddings are PQ's worst case -- ADC
-    ordering degrades as the corpus outgrows m=8,k=32 resolution, so
-    production raises codebook bits instead of the re-rank fraction).
-    The 'all' row re-ranks every row by true cosine, so its 1.0 is
-    provable, anchoring the frontier. Codebooks come from the shared
-    disk fitcache; the encoded table is computed once and tracked."""
-    emb = _emb(spark, sf_dir)
-    n = emb.count()
-    codebooks = cached_fit(
-        "pq_codebooks", (EMB_DIM,), sf_dir, lambda: A.pq_train(emb, EMB_DIM)
-    )
-    encoded = cache.track(A.pq_encode(emb, codebooks))
-    depths = {"n/10": n // 10, "n/5": n // 5, "2n/5": 2 * n // 5, "all": n}
-    scored = _recall_rows(
-        spark, sf_dir, PQ_FRONTIER_FLOORS,
-        lambda label, _emb_, queries: A.pq_topk(
-            encoded, queries, codebooks, k=5,
-            rerank=max(1, depths[label]), exclude_self=True,
-        ),
-    )
-    return spark.createDataFrame(
-        [(label, int(f * 100), ok) for label, f, ok in scored],
-        "rerank string, floor_x100 int, recall_ok boolean",
-    )

@@ -328,27 +328,40 @@ def test_pil_decode_path_when_available():
             M.decode_image(bmp, fake=False)
 
 
-def test_ivf_probe_frontier_certificate(spark):
-    # the published recall-vs-cost table must clear every pinned
-    # floor at test grain too, and the exhaustive rows (n_probe = C =
-    # 16 -> candidates = whole corpus) are recall 1.0 by
-    # construction, not just by measurement
+def test_ann_recall_frontier_certificate(spark):
+    # the merged recall certificate must clear every pinned floor at
+    # test grain too, and the provable anchors are exactly 100: IVF
+    # n_probe = C = 16 (candidates = whole corpus), LSH (1,1) (1-bit
+    # multiprobe covers both buckets of a single plane), PQ
+    # rerank='all' (exact re-rank of every encoded row)
     from conversation_analysis_tools_spark.queries.similarity import (
-        ann_ivf_probe_frontier,
+        ann_recall_frontier,
     )
 
     rows = {
-        (r["n_assign"], r["n_probe"]): r
-        for r in ann_ivf_probe_frontier(spark, SF_DIR).collect()
+        (r["family"], r["point"]): r
+        for r in ann_recall_frontier(spark, SF_DIR).collect()
     }
     assert all(r["recall_ok"] for r in rows.values()), rows
+    assert {f for f, _ in rows} == {"method", "ivf", "lsh", "pq"}
+
+    # IVF: exhaustive anchors, scan label arithmetic, monotone floors
+    ivf = {}
+    for (fam, point), r in rows.items():
+        if fam != "ivf":
+            continue
+        kv = dict(part.split("=") for part in point.split(","))
+        na, np_, scan = int(kv["na"]), int(kv["np"]), int(kv["scan"])
+        assert scan == min(100, na * np_ * 100 // 16), point
+        ivf[(na, np_)] = r
     for na in (1, 2):
-        assert rows[(na, 16)]["floor_x100"] == 100
-        assert rows[(na, 16)]["scan_frac_x100"] == 100
-        # floors are monotone nondecreasing in probe count per grain
-        pts = sorted(p for a, p in rows if a == na)
-        floors = [rows[(na, p)]["floor_x100"] for p in pts]
+        assert ivf[(na, 16)]["floor_x100"] == 100
+        pts = sorted(p for a, p in ivf if a == na)
+        floors = [ivf[(na, p)]["floor_x100"] for p in pts]
         assert floors == sorted(floors)
+
+    assert rows[("lsh", "p=1,t=1")]["floor_x100"] == 100
+    assert rows[("pq", "all")]["floor_x100"] == 100
 
 
 def test_ivf_soft_assign_replica_dedup_exact(spark):
@@ -367,22 +380,3 @@ def test_ivf_soft_assign_replica_dedup_exact(spark):
     }
 
 
-def test_lsh_and_pq_frontier_certificates(spark):
-    # every pinned floor clears at test grain; the provable anchors
-    # ((1,1) LSH multiprobe = both buckets probed; PQ rerank='all' =
-    # exact re-rank of the whole corpus) are exactly 1.0
-    from conversation_analysis_tools_spark.queries.similarity import (
-        ann_lsh_plane_frontier,
-        ann_pq_rerank_frontier,
-    )
-
-    lsh = {
-        (r["n_planes"], r["n_tables"]): r
-        for r in ann_lsh_plane_frontier(spark, SF_DIR).collect()
-    }
-    assert all(r["recall_ok"] for r in lsh.values()), lsh
-    assert lsh[(1, 1)]["floor_x100"] == 100
-
-    pq = {r["rerank"]: r for r in ann_pq_rerank_frontier(spark, SF_DIR).collect()}
-    assert all(r["recall_ok"] for r in pq.values()), pq
-    assert pq["all"]["floor_x100"] == 100

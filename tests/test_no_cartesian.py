@@ -43,7 +43,7 @@ STREAM_DRAINS = {
 #: set, a codebook) -- the documented exact/bounded baselines.
 BNLJ_ALLOWED = {
     "ann_bruteforce_knn",  # exact baseline: broadcast 25 queries (ann.py:81)
-    "ann_recall_eval",  # composes the exact baseline
+    "ann_recall_frontier",  # composes the exact baseline
     "ann_int8_knn",  # broadcast quantized query table (ann.py:328)
     "ann_pq_knn",  # broadcast PQ codebook/query table (ann.py:475)
     "quantile_filter",  # broadcast 1-row p95 scalar (relational.py:310)
