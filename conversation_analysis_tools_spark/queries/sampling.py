@@ -407,68 +407,11 @@ def corpus_ngram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# PII redaction
-# ---------------------------------------------------------------------------
-
-#: Patterns valid (and identical in behavior) in Java regex and RE2.
-EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z]+"
-PHONE_RE = r"\b555-[0-9]{3,}\b"
-
-
-@register(
-    "pii_scrub",
-    oracle=f"""
-    WITH augmented AS (
-        SELECT doc_id,
-               'contact ' || source || '@example.com or 555-' ||
-                   CAST(1000 + doc_id % 9000 AS VARCHAR) || ' re: ' ||
-                   substr(text, 1, 40) AS contact_line
-        FROM documents
-    )
-    SELECT doc_id,
-           len(regexp_extract_all(contact_line, '{EMAIL_RE}')) AS n_emails,
-           len(regexp_extract_all(contact_line, '{PHONE_RE}')) AS n_phones,
-           regexp_replace(
-               regexp_replace(contact_line, '{EMAIL_RE}', '<EMAIL>', 'g'),
-               '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
-    FROM augmented
-    """,
-)
-def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction: count and mask email/phone patterns.
-
-    The corpus is synthetic and PII-free, so the query plants a
-    deterministic contact line per doc (from its own columns) and then
-    scrubs it -- exercising the real operator (regex find-count +
-    multi-pattern replace, map-only, no shuffle) with a non-trivial
-    strict oracle. Patterns are chosen to behave identically in Java
-    regex and RE2.
-    """
-    contact = F.concat(
-        F.lit("contact "),
-        F.col("source"),
-        F.lit("@example.com or 555-"),
-        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
-        F.lit(" re: "),
-        F.substring("text", 1, 40),
-    )
-    docs = _docs(spark, sf_dir).select("doc_id", contact.alias("contact_line"))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace("contact_line", EMAIL_RE, "<EMAIL>"),
-        PHONE_RE,
-        "<PHONE>",
-    )
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("contact_line", F.lit(EMAIL_RE), 0))
-        .cast("bigint")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all("contact_line", F.lit(PHONE_RE), 0))
-        .cast("bigint")
-        .alias("n_phones"),
-        scrubbed.alias("scrubbed"),
-    )
+# pii_scrub retired (round-10 registry consolidation): its corpus-
+# planted scrub assertion lives on as the case_id >= 1000 rows of
+# queries/textstats.pii_redaction_fixed, upgraded from the two-pattern
+# email+phone chain to the full five-pattern chain in
+# functions/redact.py.
 
 
 @register(

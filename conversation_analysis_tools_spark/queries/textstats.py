@@ -970,43 +970,81 @@ def _pii_cases_sql() -> str:
     return f"cases(case_id, s) AS (VALUES {rows})"
 
 
+#: Corpus-grain planted contact line (round-10 merge of the retired
+#: pii_scrub certificate): each doc plants an email + a separator
+#: phone from its own columns, then the FULL chain scrubs it -- the
+#: corpus-scale map path of the redaction, per-doc-varying text
+#: through every pattern. Defined once, used by both the Spark plan
+#: and the DuckDB oracle below.
+_PII_CORPUS_SQL = (
+    "'contact ' || source || '@example.com or call 555-867-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' re: ' || substr(text, 1, 40)"
+)
+
+
+def _pii_corpus_line():
+    return F.concat(
+        F.lit("contact "),
+        F.col("source"),
+        F.lit("@example.com or call 555-867-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+
+
 def _pii_fixed_oracle() -> str:
     from conversation_analysis_tools_spark.functions.redact import redact_sql
 
     return f"""
-    WITH {_pii_cases_sql()}
+    WITH {_pii_cases_sql()},
+    corpus(case_id, s) AS (
+        SELECT 1000 + doc_id, {_PII_CORPUS_SQL} FROM documents
+    ),
+    allrows AS (SELECT * FROM cases UNION ALL SELECT * FROM corpus)
     SELECT CAST(case_id AS BIGINT) AS case_id, {redact_sql('s')} AS redacted
-    FROM cases
+    FROM allrows
     """
 
 
 @register("pii_redaction_fixed", oracle=_pii_fixed_oracle())
 def pii_redaction_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-pattern PII redaction certificate (the scrub stage a
-    100-TB curation pipeline runs before training; extends pii_scrub's
-    email+phone pair to the ordered five-pattern chain in
-    functions/redact.py: email, credit-card, SSN, phone, IPv4).
+    100-TB curation pipeline runs before training): the ordered
+    five-pattern chain in functions/redact.py (email, credit-card,
+    SSN, phone, IPv4) over ten hostile fixed literals PLUS one
+    planted contact line per corpus doc (round-10 consolidation: the
+    retired pii_scrub certificate's corpus-scale scrub assertion now
+    rides here as the case_id >= 1000 rows, upgraded from its
+    two-pattern chain to the full five).
 
-    The corpus is ten hostile literals covering every pattern, the
-    separator variants (CC with dashes AND spaces; phone dotted,
-    dashed, and parenthesized), the ordering interactions the chain's
-    order exists for (an SSN next to a phone number; an email whose
-    local part looks like a dotted version string, which the
-    email-first rule must eat before the IPv4 rule can), and the
-    negative controls (a bare 10-digit order id stays -- the
-    documented precision-over-recall trade). The oracle RECOMPUTES
-    the redaction in DuckDB from the same pattern table via
-    redact_sql, so a driver pass certifies Java-regex/RE2 dialect
-    parity of every pattern on every hostile input; the expected
-    strings are additionally hand-pinned in
+    The fixed rows cover every pattern, the separator variants (CC
+    with dashes AND spaces; phone dotted, dashed, and parenthesized),
+    the ordering interactions the chain's order exists for (an SSN
+    next to a phone number; an email whose local part looks like a
+    dotted version string, which the email-first rule must eat before
+    the IPv4 rule can), and the negative controls (a bare 10-digit
+    order id stays -- the documented precision-over-recall trade).
+    The corpus rows push per-doc-VARYING text through every pattern
+    (the synthetic corpus is PII-free, so each doc plants a
+    deterministic contact line from its own columns -- pii_scrub's
+    design). The oracle RECOMPUTES the redaction in DuckDB from the
+    same pattern table via redact_sql, so a driver pass certifies
+    Java-regex/RE2 dialect parity of every pattern on every input;
+    the expected fixed-case strings are additionally hand-pinned in
     tests/test_curation_gates.py so both dialects drifting together
     still fails somewhere. Map-only: at scale this is a pure row
-    expression inside whole-stage codegen, zero shuffle.
-    sf_dir unused (fixed corpus)."""
+    expression inside whole-stage codegen, zero shuffle."""
     from conversation_analysis_tools_spark.functions.redact import redact_pii
 
     cases = spark.createDataFrame(_PII_CASES, "case_id long, s string")
-    return cases.select("case_id", redact_pii("s").alias("redacted"))
+    corpus = _catalog_table(spark, "documents", sf_dir).select(
+        (F.lit(1000) + F.col("doc_id")).alias("case_id"),
+        _pii_corpus_line().alias("s"),
+    )
+    return cases.unionByName(corpus).select(
+        "case_id", redact_pii("s").alias("redacted")
+    )
 
 
 @register(

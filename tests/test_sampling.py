@@ -10,7 +10,6 @@ from conversation_analysis_tools_spark.queries.sampling import (
     SEQ_BUDGET,
     corpus_ngram_top20,
     hash_split,
-    pii_scrub,
     source_mixing_sample,
     token_budget_pack,
     unigram_logprob,
@@ -69,12 +68,23 @@ def test_corpus_ngram_top20_sorted(spark):
     assert cnts == sorted(cnts, reverse=True)
 
 
-def test_pii_scrub_masks_everything(spark):
-    rows = pii_scrub(spark, SF_DIR).collect()
+def test_pii_corpus_rows_mask_everything(spark):
+    # the retired pii_scrub certificate's masking-completeness anchor,
+    # now over the corpus-grain rows (case_id >= 1000) of the merged
+    # pii_redaction_fixed: every planted email and phone is masked
+    from conversation_analysis_tools_spark.queries.textstats import (
+        pii_redaction_fixed,
+    )
+
+    rows = [
+        r
+        for r in pii_redaction_fixed(spark, SF_DIR).collect()
+        if r["case_id"] >= 1000
+    ]
+    assert rows
     for r in rows:
-        assert r["n_emails"] >= 1 and r["n_phones"] >= 1
-        assert "@" not in r["scrubbed"]
-        assert "<EMAIL>" in r["scrubbed"] and "<PHONE>" in r["scrubbed"]
+        assert "@" not in r["redacted"]
+        assert "<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"]
 
 
 def test_doc_chunks_reassemble_and_stride(spark):
