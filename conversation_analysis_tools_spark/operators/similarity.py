@@ -467,7 +467,7 @@ def duplicate_pairs(
     strategy: str = "auto",
     counts: DataFrame | None = None,
     collapse: str = "auto",
-    route: str = "exact",
+    route: str = "auto",
     route_budget: int = 32_000_000,
     route_info: dict | None = None,
 ) -> DataFrame:
@@ -509,20 +509,24 @@ def duplicate_pairs(
     would ignore the filter entirely -- not output-identical.
 
     ``route`` (round 9, the dedup-family saturation-router discipline
-    at tf-cosine grain): 'exact' (DEFAULT -- every certified caller's
-    plan is untouched) runs the inverted-index/dense plan; 'auto'
+    at tf-cosine grain): 'auto' (DEFAULT since round 10 -- the n-gram
+    Jaccard twin's discipline; the probe is ONE linear aggregation)
     probes the inverted plan's candidate volume (sum over terms of
-    df*(df-1)/2 -- one linear aggregation) and past ``route_budget``
-    swaps in :func:`tuned_simhash_pairs` (banded cosine-LSH
-    candidates + exact-cosine verify: recall-bounded near the
-    threshold, zero false positives, candidate volume ~linear).
+    df*(df-1)/2) and past ``route_budget`` swaps in
+    :func:`tuned_simhash_pairs` (banded cosine-LSH candidates +
+    exact-cosine verify: recall-bounded near the threshold, zero
+    false positives, candidate volume ~linear). 'exact' pins the
+    inverted-index/dense plan -- the certified exact-plan queries
+    pass it explicitly so their driver plans stay byte-identical.
     All-pairs cosine has NO feasible exact plan once every pair
     shares a term (500k 55-word docs over a 4096-word vocabulary put
     ~52% of all pairs in the inverted index: ~1e11 candidate rows --
-    measured killing the JVM through a 126 GiB scratch). The routed
+    measured killing the JVM through a 126 GiB scratch), which is why
+    the engine default must not be the exact plan. The routed
     decision is WARN-logged and recorded in the ``route_info``
     out-param; ``max_df`` pins the exact plan (the routed path has no
-    df filter).
+    df filter), with ``route_info['requested']`` still reporting the
+    caller's actual request.
     """
     import logging
 
@@ -532,6 +536,7 @@ def duplicate_pairs(
         raise ValueError(f"collapse must be auto|never|always, got {collapse!r}")
     if route not in ("exact", "auto", "simhash"):
         raise ValueError(f"route must be exact|auto|simhash, got {route!r}")
+    requested = route
     if max_df is not None:
         route = "exact"
 
@@ -562,7 +567,7 @@ def duplicate_pairs(
                 )
         if route_info is not None:
             route_info.update(
-                requested=route, route=rt, probe_rows=est,
+                requested=requested, route=rt, probe_rows=est,
                 route_budget=route_budget,
             )
         if rt == "simhash":

@@ -32,11 +32,14 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "keywords": [],
     "relevance_weights": {"density": 0.3, "coverage": 0.4, "tfidf": 0.3},
     "duplicate_threshold": 0.8,
-    # 'exact' keeps the certified inverted-index/dense dup plan;
-    # 'auto' lets the duplicate stage probe its candidate volume and
-    # route to tuned cosine-LSH + exact verify past the budget -- the
-    # 100-TB configuration (operators/similarity.duplicate_pairs)
-    "duplicate_route": "exact",
+    # 'auto' (the 100-TB configuration, default since round 10): the
+    # duplicate stage probes its candidate volume with one linear
+    # aggregation and routes to tuned cosine-LSH + exact verify past
+    # the budget -- the exact inverted-index plan measurably killed
+    # the JVM at 500k docs (SCALE.md sf10 probe), so it must not be
+    # what a config-less user runs. 'exact' pins the certified
+    # inverted-index/dense plan (operators/similarity.duplicate_pairs).
+    "duplicate_route": "auto",
     "remove_duplicates": False,
     "summary_top_k": 3,
     "textrank_damping": 0.85,

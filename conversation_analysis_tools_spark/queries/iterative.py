@@ -60,7 +60,7 @@ def nlp_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY §4 item 2). Component id = min member id.
     """
     docs = _catalog_table(spark, "documents", sf_dir)
-    pairs = S.duplicate_pairs(docs, threshold=0.9)
+    pairs = S.duplicate_pairs(docs, threshold=0.9, route="exact")
     return C.connected_components(pairs.select("id1", "id2"))
 
 
@@ -84,7 +84,7 @@ def nlp_unique_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus all standalone docs (pipeline/duplicate_detector.py:266-299).
     """
     docs = _catalog_table(spark, "documents", sf_dir)
-    pairs = S.duplicate_pairs(docs, threshold=0.9)
+    pairs = S.duplicate_pairs(docs, threshold=0.9, route="exact")
     comp = C.connected_components(pairs.select("id1", "id2"))
     return C.unique_representatives(docs.select(F.col("doc_id").alias("id")), comp)
 
@@ -143,7 +143,7 @@ def nlp_dup_planted_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "doc_id long, text string",
     )
-    pairs = S.duplicate_pairs(docs, threshold=0.9)
+    pairs = S.duplicate_pairs(docs, threshold=0.9, route="exact")
     comp = C.connected_components(pairs.select("id1", "id2"))
     uniq = C.unique_representatives(docs.select(F.col("doc_id").alias("id")), comp)
     all_ids = docs.select(F.col("doc_id").alias("id"))

@@ -351,7 +351,10 @@ def nlp_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs have cosine 0, duplicate_detector.py:94-95). At 100 TB the
     MinHash-LSH variant (dedup module) replaces this.
     """
-    pairs = S.duplicate_pairs(_docs(spark, sf_dir), threshold=0.9)
+    # route="exact" pins the certified inverted-index plan (the engine
+    # default is route="auto" since round 10; the routed twin is
+    # certified by nlp_dup_routed_fixed)
+    pairs = S.duplicate_pairs(_docs(spark, sf_dir), threshold=0.9, route="exact")
     return pairs.select("id1", "id2", F.round("sim", 6).alias("sim"))
 
 

@@ -1243,7 +1243,12 @@ def test_cosine_route_matches_exact_on_planted(spark):
     info2: dict = {}
     S.duplicate_pairs(docs, 0.9, route="auto", route_budget=10**9,
                       route_info=info2)
-    assert info2["route"] == "exact"
+    assert info2["route"] == "exact" and info2["requested"] == "auto"
+    # max_df pins the exact plan but route_info still reports the
+    # caller's actual request (ADVICE r9)
+    info3: dict = {}
+    S.duplicate_pairs(docs, 0.9, max_df=5, route="auto", route_info=info3)
+    assert info3["route"] == "exact" and info3["requested"] == "auto"
     import pytest
 
     with pytest.raises(ValueError, match="route must be"):
