@@ -571,7 +571,13 @@ def duplicate_pairs(
                 route_budget=route_budget,
             )
         if rt == "simhash":
-            return tuned_simhash_pairs(tf_df, threshold, id_col)
+            # route_info doubles as tuning_info so the solved (r, b)
+            # and expected recall ride the routing record (ADVICE r9:
+            # a clamped low-threshold solve must be visible at the
+            # call site, not just in a log)
+            return tuned_simhash_pairs(
+                tf_df, threshold, id_col, tuning_info=route_info
+            )
         sims = pairwise_cosine(tf_df, id_col, max_df, strategy, threshold)
         return sims.where(F.col("sim") >= threshold - THRESHOLD_EPS)
     member = docs.select(
@@ -639,13 +645,53 @@ def duplicate_pairs(
     return within.unionByName(cross)
 
 
+#: Band-length ladder for the adaptive banding solve, best-first.
+#: Shorter bands raise the per-band collision probability p^r, so the
+#: solve needs fewer bands at low thresholds -- at the price of a
+#: higher random-pair collision floor (b * 2^-r per pair) and, in the
+#: saturated-n regime, larger buckets (2^r buckets per band). r = 12
+#: is the floor: below it random collisions stop being rare (b/2^r
+#: approaches 10%+) and over-cap star-degrade starts costing recall.
+SIMHASH_R_LADDER = (20, 16, 14, 12)
+
+
+def solve_simhash_bands(
+    threshold: float,
+    recall_target: float = 0.98,
+    r_ladder: tuple = SIMHASH_R_LADDER,
+    b_max: int = 256,
+) -> tuple[int, int, float]:
+    """(r, b, est_recall) for the banded cosine-LSH solve: the FIRST
+    ladder step whose solved band count fits ``b_max`` (longest bands
+    = lowest random-collision floor wins; t = 0.9 solves at the
+    r9-certified (20, 85), so high-threshold plans are unchanged by
+    the round-10 ladder). If every step clamps, the last step runs at
+    b_max and ``est_recall`` = 1-(1-p^r)^b reports the degraded
+    expectation -- callers WARN on est_recall < recall_target."""
+    import math
+
+    t = float(threshold)
+    p = 1.0 - math.acos(t) / math.pi
+    r, b = r_ladder[-1], b_max
+    for cand_r in r_ladder:
+        cand_b = math.ceil(
+            math.log(1.0 - recall_target) / math.log(1.0 - p**cand_r)
+        )
+        if cand_b <= b_max:
+            r, b = cand_r, max(4, cand_b)
+            break
+    est = 1.0 - (1.0 - p**r) ** b
+    return r, b, est
+
+
 def tuned_simhash_pairs(
     tf: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
     recall_target: float = 0.98,
-    r: int = 20,
+    r: int | None = None,
     max_bucket: int = 20,
+    tuning_info: dict | None = None,
 ) -> DataFrame:
     """Threshold-ADAPTIVE banded cosine-LSH + exact-cosine verify: the
     ``duplicate_pairs`` saturation router's target (round 9) -- the
@@ -658,13 +704,22 @@ def tuned_simhash_pairs(
 
         b = ceil(ln(1 - recall_target) / ln(1 - p^r)),  clamped [4, 256]
 
-    (t = 0.9, R = 0.98 -> b = 85; t = 0.8 -> the clamp binds at 256
-    and measured recall drops to ~0.93 -- the routed path is designed
-    for the HIGH-threshold dedup regime; the exact plan remains the
-    contract at low thresholds). r = 20 sets the random-pair collision
-    floor: near-orthogonal pairs (p ~ 0.5) collide w.p. b * 2^-20, so
-    candidates stay ~linear in n even on corpora where every pair
-    shares a term and the inverted index is ~n^2 by construction.
+    Band length adapts to the threshold (round 10, closing the r9
+    t<=0.8 clamp gap): ``r=None`` walks :data:`SIMHASH_R_LADDER`
+    best-first and keeps the longest band length whose solve fits 256
+    bands -- t = 0.9 stays at the r9-certified (r=20, b=85); t = 0.8,
+    where r=20 clamped at 256 bands and measured recall sagged to
+    ~0.93, now solves at (r=16, b=151) and meets the 0.98 target
+    (certified by simhash_recall_frontier_fixed); t = 0.7 solves at
+    (r=14, b=231). Only when every ladder step clamps (t below
+    ~0.6) does the last step run at 256 bands, and then the degraded
+    expected recall is WARN-logged and reported in ``tuning_info``
+    instead of failing silently (ADVICE r9). An explicit ``r`` pins
+    the band length (the pre-r10 behavior, clamp included). The band
+    length sets the random-pair collision floor: near-orthogonal
+    pairs (p ~ 0.5) collide w.p. b * 2^-r, so candidates stay
+    ~linear in n even on corpora where every pair shares a term and
+    the inverted index is ~n^2 by construction.
 
     Signatures: per doc, sign of (tf-weighted sum of +-1 bit
     projections) over k = r*b hyperplanes, the bits drawn from salted
@@ -683,6 +738,7 @@ def tuned_simhash_pairs(
     are impossible -- the trade is bounded recall near the threshold,
     exactly the tuned-LSH contract.
     """
+    import logging
     import math
 
     import numpy as np
@@ -695,8 +751,25 @@ def tuned_simhash_pairs(
     t = float(threshold)
     if not 0.0 < t < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold!r}")
-    p = 1.0 - math.acos(t) / math.pi
-    b = min(256, max(4, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p**r))))
+    if r is None:
+        r, b, est_recall = solve_simhash_bands(t, recall_target)
+    else:
+        p = 1.0 - math.acos(t) / math.pi
+        b = min(
+            256,
+            max(4, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p**r))),
+        )
+        est_recall = 1.0 - (1.0 - p**r) ** b
+    if tuning_info is not None:
+        tuning_info.update(r=r, b=b, est_recall=est_recall)
+    if est_recall < recall_target:
+        logging.getLogger(__name__).warning(
+            "tuned_simhash_pairs: the 256-band clamp binds at threshold "
+            "%.3g even at the shortest band length (r=%d): expected recall "
+            "~%.3f < target %.3f. The exact route is the contract in this "
+            "regime (pass route='exact').",
+            t, r, est_recall, recall_target,
+        )
     k = r * b
     salts = math.ceil(k / 60)
     id_type = tf.schema[id_col].dataType.simpleString()

@@ -426,6 +426,143 @@ def nlp_dup_routed_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id1", "id2", F.round("sim", 6).alias("sim"))
 
 
+#: Recall-grid geometry per threshold (x100): three planted pairs with
+#: hand-derivable cosines in (t, t+0.05] -- the hardest near-threshold
+#: recall regime -- plus one sub-threshold control pair the exact
+#: verify must exclude provably. Cosine of an equal-length unique-word
+#: pair sharing s of m words is exactly s/m (sum-normalized tf).
+_SRF_GRID: dict[int, tuple[list[tuple[int, int]], tuple[int, int]]] = {
+    90: ([(28, 30), (37, 40), (55, 60)], (26, 30)),
+    80: ([(25, 30), (33, 40), (49, 60)], (23, 30)),
+    70: ([(22, 30), (29, 40), (43, 60)], (20, 30)),
+    60: ([(19, 30), (25, 40), (37, 60)], (17, 30)),
+}
+
+
+def _srf_corpus(t100: int) -> tuple[list, list]:
+    """(doc rows, [(id1, id2, kind)]) for one threshold's grid: each
+    (s, m) spec becomes a doc pair of m unique words sharing s; all
+    words are unique across the corpus, so cross-spec pairs share
+    nothing (cosine 0) and each planted cosine is exactly s/m. The
+    prefix is letters-only per threshold: the tokenizer's
+    \\b[a-z]{3,}\\b drops any word containing a digit."""
+    ctr = [0]
+    prefix = "g" + {90: "n", 80: "e", 70: "s", 60: "x"}[t100]
+
+    def w() -> str:
+        i = ctr[0]
+        ctr[0] += 1
+        s = ""
+        for _ in range(4):
+            s += chr(97 + i % 26)
+            i //= 26
+        return prefix + s
+
+    rows: list[tuple[int, str]] = []
+    pairs: list[tuple[int, int, str]] = []
+    specs, control = _SRF_GRID[t100]
+    for idx, (s, m) in enumerate(specs + [control]):
+        shared = [w() for _ in range(s)]
+        i1, i2 = 2 * idx + 1, 2 * idx + 2
+        rows.append((i1, " ".join(shared + [w() for _ in range(m - s)])))
+        rows.append((i2, " ".join(shared + [w() for _ in range(m - s)])))
+        pairs.append((i1, i2, "control" if (s, m) == control else "planted"))
+    rows.append((99, " ".join(w() for _ in range(10))))
+    return rows, pairs
+
+
+@register(
+    "simhash_recall_frontier_fixed",
+    oracle="""
+    SELECT * FROM (VALUES
+        (60, 12, 256, 3, 3, TRUE, TRUE),
+        (70, 14, 232, 3, 3, TRUE, TRUE),
+        (80, 16, 152, 3, 3, TRUE, TRUE),
+        (90, 20, 85,  3, 3, TRUE, TRUE)
+    ) AS t(t_x100, r, b, n_planted, n_found, controls_clean, recall_ok)
+    """,
+)
+def simhash_recall_frontier_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-threshold frontier for the routed cosine path (round
+    10, closing the r9 clamp gap): one row per threshold with the
+    adaptive banding solve it runs under (solve_simhash_bands: t=0.9
+    -> the r9-certified (r=20, b=85); t=0.8 -- the REFERENCE'S OWN
+    default duplicate threshold, pipeline_config.yaml:34 /
+    duplicate_detector.py:127 -- now (16, 152) instead of the r9
+    256-band clamp whose measured recall was ~0.93; t=0.7 -> (14,
+    232); t=0.6 -> the residual clamp regime (12, 256), expected
+    recall ~0.979, WARN-logged by the operator), the planted
+    near-threshold pair count, how many the routed plan found, and
+    whether the sub-threshold control stayed excluded.
+
+    Geometry (the dedup_jaccard_recall_grid_fixed playbook at cosine
+    grain): per threshold, three unique-word doc pairs with exact
+    cosines s/m inside (t, t+0.05] -- the adversarial band where LSH
+    recall is weakest -- plus a control pair below t that the exact
+    map-fold verify must exclude PROVABLY (zero false positives by
+    construction; only recall is probabilistic). Signatures are
+    salted-md5 deterministic, so measured recall on these fixed
+    corpora is reproducible run to run, and the literal oracle pins
+    it: 3/3 at every threshold including the clamp regime. Verified
+    pair membership is computed declaratively (planted-pairs
+    broadcast left-joined against the routed output; no collect).
+    sf_dir unused (fixed corpora)."""
+    from functools import reduce
+
+    from conversation_analysis_tools_spark.operators.similarity import (
+        solve_simhash_bands,
+    )
+
+    found_parts = []
+    planted_rows: list[tuple[int, int, int, str]] = []
+    for t100 in sorted(_SRF_GRID):
+        rows, pairs = _srf_corpus(t100)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = S.duplicate_pairs(
+            docs, threshold=t100 / 100.0, route="simhash", collapse="never"
+        )
+        found_parts.append(
+            out.select(F.lit(t100).alias("t_x100"), "id1", "id2")
+        )
+        planted_rows += [(t100, i1, i2, kind) for i1, i2, kind in pairs]
+    found = reduce(lambda a, b: a.unionByName(b), found_parts)
+    planted = spark.createDataFrame(
+        planted_rows, "t_x100 int, id1 long, id2 long, kind string"
+    )
+    solve = spark.createDataFrame(
+        [
+            (t100, *solve_simhash_bands(t100 / 100.0)[:2])
+            for t100 in _SRF_GRID
+        ],
+        "t_x100 int, r int, b int",
+    )
+    j = F.broadcast(planted).join(
+        found.withColumn("hit", F.lit(1)), ["t_x100", "id1", "id2"], "left"
+    )
+    agg = j.groupBy("t_x100").agg(
+        F.sum(F.when(F.col("kind") == "planted", 1).otherwise(0))
+        .cast("int")
+        .alias("n_planted"),
+        F.sum(
+            F.when(F.col("kind") == "planted", F.coalesce("hit", F.lit(0)))
+            .otherwise(0)
+        )
+        .cast("int")
+        .alias("n_found"),
+        (
+            F.sum(
+                F.when(F.col("kind") == "control", F.coalesce("hit", F.lit(0)))
+                .otherwise(0)
+            )
+            == 0
+        ).alias("controls_clean"),
+    )
+    return agg.join(F.broadcast(solve), "t_x100").select(
+        "t_x100", "r", "b", "n_planted", "n_found", "controls_clean",
+        (F.col("n_found") == F.col("n_planted")).alias("recall_ok"),
+    )
+
+
 @register(
     "nlp_near_duplicates",
     oracle=f"""

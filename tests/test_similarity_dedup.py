@@ -1255,6 +1255,53 @@ def test_cosine_route_matches_exact_on_planted(spark):
         S.duplicate_pairs(docs, 0.9, route="fastest")
 
 
+def test_solve_simhash_bands_ladder():
+    """The adaptive banding solve: t=0.9 stays on the r9-certified
+    (20, 85); t=0.8 (the reference's default threshold) now fits the
+    256-band budget at r=16 and MEETS the 0.98 target instead of
+    clamping to ~0.93; only t<=0.6 still clamps, and then the
+    estimate reports the (slight) degradation instead of hiding it."""
+    assert S.solve_simhash_bands(0.9)[:2] == (20, 85)
+    r, b, est = S.solve_simhash_bands(0.8)
+    assert (r, b) == (16, 152) and est >= 0.98
+    r, b, est = S.solve_simhash_bands(0.7)
+    assert (r, b) == (14, 232) and est >= 0.98
+    r, b, est = S.solve_simhash_bands(0.6)
+    assert (r, b) == (12, 256) and 0.97 < est < 0.98
+    # monotone headroom: every solve's estimate is a real recall bound
+    for t in (0.95, 0.85, 0.75, 0.65):
+        _, bb, e = S.solve_simhash_bands(t)
+        assert bb <= 256 and e > 0.97
+
+
+def test_tuned_simhash_low_threshold_recall(spark):
+    """t=0.8 -- the regime the r9 clamp degraded -- must recover the
+    exact pair set on a planted near-threshold corpus, with the solve
+    recorded in tuning_info."""
+    from conversation_analysis_tools_spark.queries.nlp import _srf_corpus
+
+    rows, pairs = _srf_corpus(80)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    info: dict = {}
+    routed = {
+        (r["id1"], r["id2"]): round(r["sim"], 9)
+        for r in S.duplicate_pairs(
+            docs, 0.8, route="simhash", collapse="never", route_info=info
+        ).collect()
+    }
+    exact = {
+        (r["id1"], r["id2"]): round(r["sim"], 9)
+        for r in S.duplicate_pairs(
+            docs, 0.8, route="exact", collapse="never"
+        ).collect()
+    }
+    assert routed == exact
+    planted = {(i1, i2) for i1, i2, kind in pairs if kind == "planted"}
+    control = {(i1, i2) for i1, i2, kind in pairs if kind == "control"}
+    assert planted <= set(routed) and not control & set(routed)
+    assert info["r"] == 16 and info["b"] == 152 and info["est_recall"] >= 0.98
+
+
 def test_cosine_route_seeded_random_parity(spark):
     """Seeded random corpora at t=0.9: the routed plan must emit a
     subset of the exact pair set with identical sims (zero false
