@@ -222,11 +222,21 @@ def read_media(
     return manifest.mapInPandas(fetch, out_schema)
 
 
+#: Matches every external-source relation shape the analyzed plan
+#: prints (ADVICE r9: the v1-path-only pattern failed open for the
+#: other two): path reads ``Relation [cols] parquet``, catalog-table
+#: reads ``Relation spark_catalog.db.t[cols] parquet``, and DSv2
+#: ``RelationV2[cols] name``. The leading word boundary deliberately
+#: rejects LocalRelation/LogicalRDD (createDataFrame/range corpora):
+#: their 'Relation' is preceded by a word character.
+_EXTERNAL_RELATION_RE = r"\bRelation(V2)?\s*\S*\["
+
+
 def _has_file_lineage(df: DataFrame) -> bool:
-    """True when the DataFrame's analyzed plan contains a file-source
-    relation (``Relation [...] parquet|csv|json|...``). In-code
+    """True when the DataFrame's analyzed plan contains an external
+    source relation (path read, catalog table, or DSv2). In-code
     corpora (createDataFrame/range) produce LocalRelation/LogicalRDD,
-    which the word-boundary regex deliberately does not match. Plan
+    which the word-boundary pattern deliberately does not match. Plan
     introspection only -- no job runs."""
     import re as _re
 
@@ -234,7 +244,7 @@ def _has_file_lineage(df: DataFrame) -> bool:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:  # noqa: BLE001 - lint must never block a pack
         return False
-    return _re.search(r"\bRelation \[[^\]]*\] [A-Za-z]+", plan) is not None
+    return _re.search(_EXTERNAL_RELATION_RE, plan) is not None
 
 
 def pack_and_manifest(

@@ -308,3 +308,56 @@ def test_pack_rejects_file_derived_media_without_version(
         [(1, bytearray(b"z"))], "media_id bigint, content binary"
     )
     assert MF.pack_and_manifest(spark, synth, "lintpack3", "sfX").count() == 1
+
+
+def test_external_relation_pattern_shapes():
+    """The lineage lint must catch every external-source relation
+    shape the analyzed plan prints (ADVICE r9: the v1-path-only
+    pattern failed open for catalog tables and DSv2), and must keep
+    rejecting in-code corpora."""
+    import re
+
+    from conversation_analysis_tools_spark.operators.manifest import (
+        _EXTERNAL_RELATION_RE,
+    )
+
+    hits = [
+        "Relation [media_id#1,content#2] parquet",  # v1 path read
+        "Relation spark_catalog.default.media[media_id#1] parquet",
+        "RelationV2[media_id#1, content#2] cat.media",  # DSv2
+    ]
+    misses = [
+        "LocalRelation [media_id#1, content#2]",  # createDataFrame
+        "LogicalRDD [media_id#1]",
+        "Project [media_id#1]",
+    ]
+    for s in hits:
+        assert re.search(_EXTERNAL_RELATION_RE, s), s
+    for s in misses:
+        assert not re.search(_EXTERNAL_RELATION_RE, s), s
+
+
+def test_version_lint_catches_catalog_table(spark, tmp_path, monkeypatch):
+    """A catalog-table read (saveAsTable -> spark.table) is
+    file-derived lineage: the version= contract must not fail open on
+    it (ADVICE r9)."""
+    import pytest
+
+    from conversation_analysis_tools_spark import catalog
+    from conversation_analysis_tools_spark.operators import manifest as MF
+
+    monkeypatch.setattr(
+        catalog, "staging_dir", lambda kind, sf: str(tmp_path / kind)
+    )
+    spark.createDataFrame(
+        [(1, bytearray(b"xx"))], "media_id bigint, content binary"
+    ).write.mode("overwrite").saveAsTable("lint_media_tbl")
+    try:
+        tbl = spark.table("lint_media_tbl")
+        with pytest.raises(ValueError, match="version="):
+            MF.pack_and_manifest(spark, tbl, "lintpack_cat", "sfX")
+        assert MF.pack_and_manifest(
+            spark, tbl, "lintpack_cat", "sfX", version="fp-v1"
+        ).count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lint_media_tbl")
