@@ -1531,6 +1531,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _v3_oracle() -> str:
+    from conversation_analysis_tools_spark.functions import chrome as CH
     from conversation_analysis_tools_spark.functions.redact import redact_sql
 
     red = redact_sql("cleaned")
@@ -1538,13 +1539,13 @@ def _v3_oracle() -> str:
     WITH base AS (
         SELECT doc_id, source,
                {_planted_host_sql()} AS host,
-               'doc ' || CAST(doc_id AS VARCHAR)
-                   || ' opener with the unique content contact ' || source
-                   || '@example.com now.' || chr(10) ||
-               'subscribe to our newsletter for daily updates.' || chr(10) ||
-               'the lorem ipsum filler line number '
-                   || CAST(doc_id AS VARCHAR) || ' is dropped.' || chr(10) ||
-               'short line' || chr(10) ||
+               '{CH.OPENER_PREFIX}' || CAST(doc_id AS VARCHAR)
+                   || '{CH.OPENER_MID}' || source
+                   || '{CH.OPENER_SUFFIX}' || chr(10) ||
+               '{CH.NEWSLETTER_LINE}' || chr(10) ||
+               '{CH.LOREM_PREFIX}'
+                   || CAST(doc_id AS VARCHAR) || '{CH.LOREM_SUFFIX}' || chr(10) ||
+               '{CH.SHORT_LINE}' || chr(10) ||
                array_to_string(list_transform(string_split(text, chr(10)),
                                               l -> l || ' .'), chr(10)) AS page
         FROM documents
@@ -1686,21 +1687,20 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conversation_analysis_tools_spark.operators import dedup as D2
     from conversation_analysis_tools_spark.operators.cache import track
 
+    from conversation_analysis_tools_spark.functions import chrome as CH
+
     docs = _docs(spark, sf_dir)
     sid = F.col("doc_id").cast("string")
     page = F.concat_ws(
         "\n",
         F.concat(
-            F.lit("doc "), sid,
-            F.lit(" opener with the unique content contact "),
-            F.col("source"), F.lit("@example.com now."),
+            F.lit(CH.OPENER_PREFIX), sid,
+            F.lit(CH.OPENER_MID),
+            F.col("source"), F.lit(CH.OPENER_SUFFIX),
         ),
-        F.lit("subscribe to our newsletter for daily updates."),
-        F.concat(
-            F.lit("the lorem ipsum filler line number "), sid,
-            F.lit(" is dropped."),
-        ),
-        F.lit("short line"),
+        F.lit(CH.NEWSLETTER_LINE),
+        F.concat(F.lit(CH.LOREM_PREFIX), sid, F.lit(CH.LOREM_SUFFIX)),
+        F.lit(CH.SHORT_LINE),
         F.array_join(
             F.transform(F.split("text", "\n"), lambda l: F.concat(l, F.lit(" ."))),
             "\n",

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 import pyarrow as pa
@@ -189,11 +190,16 @@ def main() -> None:
     _write_docs(args, rng, n_docs, n_vec)
 
 
-#: Boilerplate lines planted by --multiline-frac: the web-page chrome
-#: the line-grain curation rules exist to strip. Lowercase letters
-#: only so every tokenizer path treats them like corpus words.
-BOILER_HEADER = "subscribe to our newsletter for updates"
-BOILER_FOOTER = "copyright example corp all rights reserved"
+# Boilerplate lines planted by --multiline-frac: the web-page chrome
+# the line-grain curation rules exist to strip -- shared with the
+# curation certificates so corpus and query cannot drift (VERDICT r9
+# item 7). The sys.path insert makes `python tools/gen_testdata.py`
+# work from anywhere, matching verify_local.py.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from conversation_analysis_tools_spark.functions.chrome import (  # noqa: E402
+    BOILER_FOOTER,
+    BOILER_HEADER,
+)
 
 
 def _letter_word(i: int) -> str:
