@@ -113,11 +113,34 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # and auto-promotes by age; candidates deserving an r10 pin if their
 # plans change again: none pre-committed (the r9 pins clear once
 # CORRECTNESS_r09 lands).
+#
+# Round-10 window: the r9 pins cleared (both green r9). The registry
+# was CONSOLIDATED to reopen the window (VERDICT r9 item 1): the three
+# dedup_collapse_*_fixed certificates merged into dedup_collapse_fixed,
+# the four ANN recall certificates into ann_recall_frontier, and
+# pii_scrub into pii_redaction_fixed -- 191 -> 185 oracled with every
+# retired assertion preserved in a survivor's literal oracle; the new
+# simhash_recall_frontier_fixed (the routed-cosine recall-vs-threshold
+# frontier, VERDICT r9 item 3) brings it to 186. Window arithmetic:
+# 2 pins + 3 never-checked (the two merged certificates + the
+# frontier) + 40 r6-green aging out = 45 of 50; the 5 spares go to the
+# oldest r7 rows. The two pins are this round's changed-plan/value
+# re-certifications: pipeline_analysis_results (the duplicate stage
+# now rides the engine's route='auto' default -- the plan gains the
+# linear candidate-volume probe job; output identical at driver sfs,
+# and the exact-plan siblings pin route='exact' explicitly) and
+# pii_redaction_fixed (gained the corpus-grain scrub rows in the
+# pii_scrub merge -- its oracle recomputes mechanically via
+# redact_sql, but the VALUES changed, so the r8-green row no longer
+# reflects the query).
+# ROUND-11 HEADROOM: at 186 oracled, ceil(186 / (50 - P)) <= 4 holds
+# for P <= 3 pins; with 2 pins the registry can grow to 192 oracled
+# (six more registrations), with 3 pins to 188.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
-    "dedup_jaccard_routed_fixed",
-    "gopher_repetition_flags",
+    "pipeline_analysis_results",
+    "pii_redaction_fixed",
 ]
 
 
