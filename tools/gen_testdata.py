@@ -71,6 +71,7 @@ def main() -> None:
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default="/root/repo/testdata_sf1")
     ap.add_argument("--docs-only", action="store_true")
+    ap.add_argument("--events-only", action="store_true")
     ap.add_argument("--multiline-frac", type=float, default=0.0)
     ap.add_argument(
         "--vocab",
@@ -100,6 +101,12 @@ def main() -> None:
 
     if args.docs_only:
         _write_docs(args, rng, n_docs, n_vec)
+        return
+    if args.events_only:
+        # the round-10 events-family probe corpus (10M rows at sf10)
+        # without the 15M-order / 61M-lineitem draw; same rng caveat
+        # as --docs-only (a different, equally distributed draw)
+        _write_events(args, rng, n_ev, n_users)
         return
 
     # dims
@@ -173,6 +180,12 @@ def main() -> None:
         "l_shipdate": ship,
     }))
 
+    _write_events(args, rng, n_ev, n_users)
+
+    _write_docs(args, rng, n_docs, n_vec)
+
+
+def _write_events(args, rng, n_ev: int, n_users: int) -> None:
     # events: 30 days of Jan 2024, sorted timestamps, Exp(50) values
     t0 = np.datetime64("2024-01-01T00:00:00")
     span_us = 30 * 86400 * US
@@ -186,8 +199,6 @@ def main() -> None:
         "value": np.round(rng.exponential(50.0, n_ev), 2),
         "props": np.array([f'{{"k": {k}}}' for k in ks]),
     }))
-
-    _write_docs(args, rng, n_docs, n_vec)
 
 
 # Boilerplate lines planted by --multiline-frac: the web-page chrome

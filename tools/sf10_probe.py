@@ -64,6 +64,15 @@ PAIRS = {
                   ["--sf", "10", "--docs-only"]),
     "rich": ("/root/repo/testdata_sf1rich", "/root/repo/testdata_sf10rich",
              ["--sf", "10", "--docs-only", "--vocab", "4096"]),
+    # round 10 (VERDICT r9 item 4): the events family's second decade.
+    # 1M -> 10M events (events-only draws -- no 61M-row lineitem). The
+    # distribution is the driver-profiled one: 30-day span, Exp(50)
+    # values, 10x-scaling user count (150k users at sf10), so
+    # sessionize state and window partition counts scale the way a
+    # year of real activity data would.
+    "events": ("/root/repo/testdata_sf1events",
+               "/root/repo/testdata_sf10events",
+               ["--sf", "10", "--events-only"]),
 }
 
 #: (query, corpus pair, why it's in the sf10 set)
@@ -82,6 +91,17 @@ PROBES = [
     ("pipeline_analysis_results_routed", "rich", "full NLP pipeline, routed dup stage"),
     ("curation_pipeline_v2", "rich", "curation funnel (word rules)"),
     ("curation_pipeline_v3", "rich", "curation funnel + line rules"),
+    # events family, round 10 (VERDICT r9 item 4): the window/stateful
+    # operators' second decade -- the r9 probe proved defects can hide
+    # below sf10 (semdedup), so the sessionize/window designs get the
+    # same wall-vs-output scrutiny
+    ("session_windows_30m", "events", "batch sessionize (gap window over user)"),
+    ("stateful_sessionize", "events", "TWS streaming sessionize, finite drain"),
+    ("streaming_stream_join", "events", "stream-stream interval join, finite drain"),
+    ("anomaly_daily_zscore", "events", "year-partitioned trailing window rollup"),
+    ("cumulative_new_users", "events", "distributed cumsum (year partitions + offsets)"),
+    ("retention_cohorts", "events", "cohort matrix (first-day x activity-day)"),
+    ("event_transitions", "events", "per-user lead() transition counts"),
 ]
 
 
@@ -280,6 +300,29 @@ Round-9 adjudications from this table:
 - **curation funnels** (v2 7.9x, v3 2.8x): map+window shapes, wall
   dominated by scan+fingerprint window; the v3 line stages add one
   hash-keyed exchange and stay well inside the decade budget.
+
+Round-10 adjudications (the events family's second decade, VERDICT r9
+item 4 -- 1M -> 10M events, 15k -> 150k users, same 30-day span):
+
+- **no plan defects found**: every events probe lands at 1.1x-4.9x
+  wall for 10x rows; nothing needed the semdedup treatment.
+- **session_windows_30m 1.5x at 10x rows AND 10x output** (954k ->
+  9.5M sessions): the gap-sessionize window partitions by user_id, so
+  10x users = 10x partitions of constant size -- WindowExec stays
+  flat-per-partition, the shape that survives any history length.
+- **stateful_sessionize 4.9x**: the TWS drain pays per-batch state
+  store churn on top of the same 10x output; wall is HALF the output
+  growth, and the finite-drain overhead (micro-batch scheduling) is
+  the fixed cost the streaming-throughput probe measures separately.
+- **streaming_stream_join 2.1x at 10x output**: the interval join's
+  watermark-bounded state holds only the 10-minute band per side
+  regardless of corpus length -- wall tracks input scan, not state.
+- **anomaly_daily_zscore 1.1x / cumulative_new_users 1.5x**: the
+  year-partitioned trailing-window and distributed-cumsum designs are
+  date-grain after the first reduce; event volume only changes the
+  map-side partial aggregation, exactly as designed.
+- **retention_cohorts 1.8x / event_transitions 1.9x**: one user_id
+  shuffle each at 10x rows; map-side partials absorb the rest.
 """
     )
     write_md_block("/root/repo/SCALE.md", "sf10-probe", body)
