@@ -72,6 +72,13 @@ def main() -> None:
     ap.add_argument("--out", default="/root/repo/testdata_sf1")
     ap.add_argument("--docs-only", action="store_true")
     ap.add_argument("--events-only", action="store_true")
+    ap.add_argument(
+        "--zipf-s", type=float, default=0.0,
+        help="when > 0, draw document words Zipf-distributed over the "
+        "vocabulary with this exponent (s~1.1 + --vocab 100000 "
+        "approximates web-text rank-frequency); 0 keeps the uniform "
+        "draw and byte-reproducibility of existing corpora",
+    )
     ap.add_argument("--multiline-frac", type=float, default=0.0)
     ap.add_argument(
         "--vocab",
@@ -227,7 +234,20 @@ def _write_docs(args, rng, n_docs: int, n_vec: int) -> None:
     ]
     # documents: U(10,100)-word soup over the vocabulary
     wc = rng.integers(10, 101, n_docs)
-    words = np.array(vocab)[rng.integers(0, len(vocab), int(wc.sum()))]
+    if args.zipf_s > 0.0:
+        # Zipf rank-frequency draw (round 10, VERDICT r9 item 5): the
+        # uniform 31/4096-word vocabularies bracket df but match
+        # neither real text's Zipf tail nor its shingle statistics --
+        # and the r7 prefix-filter reversal proved plan conclusions
+        # can flip with the df distribution. p(rank) ~ 1/rank^s over
+        # the full vocab; s~1.1, 100k types approximates web text.
+        ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+        p = ranks ** (-args.zipf_s)
+        p /= p.sum()
+        idx = rng.choice(len(vocab), int(wc.sum()), p=p)
+    else:
+        idx = rng.integers(0, len(vocab), int(wc.sum()))
+    words = np.array(vocab)[idx]
     bounds = np.cumsum(wc)[:-1]
     texts = [" ".join(chunk) for chunk in np.split(words, bounds)]
     if args.multiline_frac > 0.0:

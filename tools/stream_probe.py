@@ -178,9 +178,35 @@ def main() -> None:
     state["batches_requested"] = args.batches
 
     # --- curation funnel ------------------------------------------------
+    # The synthetic vocabularies carry only one Gopher stopword, so the
+    # certified funnel's quality gate (>= 2 distinct stopwords) passes
+    # NOTHING on any generated corpus -- correct per the oracle, but a
+    # degenerate throughput measurement (an empty fp store exercises no
+    # cross-batch admission). The probe therefore appends a stopword
+    # tail to every doc before staging: ~half the corpus (the n_words
+    # >= 50 slice) then survives to the admission join, and the
+    # saturated vocabulary's shared token SETS make the fp store's
+    # cross-batch anti-join actually drop rows.
     corpus = CORPORA["curation_funnel"][0]
+    amended = os.path.join(
+        os.path.dirname(RESULTS), "..", "testdata_sf1gop"
+    )
+    amended = os.path.abspath(amended)
+    if not os.path.isdir(amended):
+        os.makedirs(amended)
+        from conversation_analysis_tools_spark.catalog import table as _table
+
+        _table(spark, "documents", corpus).select(
+            "doc_id",
+            "source",
+            F.concat(F.col("text"), F.lit(" to of and that")).alias("text"),
+            "lang",
+            "n_chars",
+        ).coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(amended, "documents.parquet")
+        )
     d, src = _stage_ordered_docs(
-        spark, corpus, "probe_stream_curation",
+        spark, amended, "probe_stream_curation",
         ["doc_id", "source", "text"], n_files=args.batches,
     )
     n_docs = spark.read.parquet(src).count()
@@ -241,9 +267,10 @@ def _write_block(state: dict) -> None:
     lines = [
         "",
         f"Corpora (50k docs each): curation funnel on "
-        f"`{corp.get('curation_funnel')}` (saturated vocab -- docs pass "
-        "the Gopher gates and share token-set fingerprints, so the fp "
-        "store exercises cross-batch admission); near-dup admission on "
+        f"`{corp.get('curation_funnel')}` (saturated vocab, a stopword "
+        "tail appended probe-side so the certified Gopher gate passes "
+        "the n_words >= 50 slice and the shared token-set fingerprints "
+        "exercise cross-batch admission); near-dup admission on "
         f"`{corp.get('neardup_admission')}` (rich vocab -- near-dups "
         "rare, ~everything admits: the state-growth stress). Staged as "
         f"{state['batches_requested']} doc_id-ordered files, one file "
