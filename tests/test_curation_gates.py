@@ -75,9 +75,15 @@ def test_pii_redaction_fixed_hand_pinned(spark):
         pii_redaction_fixed,
     )
 
+    from tests.conftest import SF_DIR
+
+    # case_id >= 1000 is the corpus-grain scrub absorbed from the
+    # retired pii_scrub (round 10); the hand-pinned anchors are the
+    # ten fixed hostile literals below it
     got = {
         r["case_id"]: r["redacted"]
-        for r in pii_redaction_fixed(spark, "unused").collect()
+        for r in pii_redaction_fixed(spark, SF_DIR).collect()
+        if r["case_id"] < 1000
     }
     assert got == {
         1: "reach me at <EMAIL> today",

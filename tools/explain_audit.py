@@ -145,6 +145,16 @@ AUDIT = [
     "curation_pipeline_v3",
     "nlp_dup_routed_fixed",
     "dedup_jaccard_recall_grid_fixed",
+    # round-10: the merged certificates (the collapse union must show
+    # three independent fixed-corpus branches, the ANN frontier ONE
+    # persisted exact baseline feeding every family's broadcast join);
+    # the recall-vs-threshold frontier (four routed branches at
+    # adaptive band lengths, planted-pairs broadcast left join, no
+    # cartesian); pipeline_analysis_results now rides route='auto'
+    # (already audited above -- its plan gains the linear probe job)
+    "dedup_collapse_fixed",
+    "ann_recall_frontier",
+    "simhash_recall_frontier_fixed",
 ]
 
 
