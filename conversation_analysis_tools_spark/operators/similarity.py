@@ -510,14 +510,20 @@ def duplicate_pairs(
 
     ``route`` (round 9, the dedup-family saturation-router discipline
     at tf-cosine grain): 'auto' (DEFAULT since round 10 -- the n-gram
-    Jaccard twin's discipline; the probe is ONE linear aggregation)
-    probes the inverted plan's candidate volume (sum over terms of
-    df*(df-1)/2) and past ``route_budget`` swaps in
-    :func:`tuned_simhash_pairs` (banded cosine-LSH candidates +
-    exact-cosine verify: recall-bounded near the threshold, zero
-    false positives, candidate volume ~linear). 'exact' pins the
-    inverted-index/dense plan -- the certified exact-plan queries
-    pass it explicitly so their driver plans stay byte-identical.
+    Jaccard twin's discipline) probes the volume of the exact plan
+    Catalyst would actually pick: the inverted index's candidate
+    volume (sum over terms of df*(df-1)/2, one linear aggregation),
+    or -- when the vocabulary fits the dense BLAS plan (<=
+    SMALL_VOCAB_LIMIT terms and <= DENSE_MAX_N docs, the latter from
+    one HLL count run only in that regime) -- the dense plan's PAIR
+    count, since a small shared vocabulary saturates the index metric
+    (~vocab * n^2) long before the dense plan is in trouble. Past
+    ``route_budget`` it swaps in :func:`tuned_simhash_pairs` (banded
+    cosine-LSH candidates + exact-cosine verify: recall-bounded near
+    the threshold, zero false positives, candidate volume ~linear).
+    'exact' pins the inverted-index/dense plan -- the certified
+    exact-plan queries pass it explicitly so their driver plans stay
+    byte-identical.
     All-pairs cosine has NO feasible exact plan once every pair
     shares a term (500k 55-word docs over a 4096-word vocabulary put
     ~52% of all pairs in the inverted index: ~1e11 candidate rows --
@@ -543,8 +549,22 @@ def duplicate_pairs(
     def _cos(tf_df: DataFrame) -> DataFrame:
         est = None
         rt = route
+        dense_ok = None
         if rt == "auto":
-            est = (
+            # The probe must estimate the EXACT plan Catalyst would
+            # actually run, not just the inverted index: on a small
+            # shared vocabulary pairwise_cosine's auto strategy picks
+            # the grid-blocked dense BLAS plan, whose cost is the PAIR
+            # count -- the inverted volume saturates (sum df^2 ~
+            # vocab * n^2) long before the dense plan is in trouble.
+            # Round 10: routing on inverted volume alone sent the
+            # sf0.1 saturated corpus (5k docs, 31 terms, 3.9e8 index
+            # rows) to simhash where the dense plan runs the exact
+            # answer in a tenth of the time. Probe = one grouped
+            # aggregation (volume + vocabulary size) + one HLL doc
+            # count ONLY when the vocabulary is dense-plan-small.
+            tf_df = track(tf_df)
+            stats = (
                 tf_df.groupBy("term")
                 .agg(F.count(F.lit(1)).alias("df"))
                 .agg(
@@ -552,23 +572,38 @@ def duplicate_pairs(
                         F.col("df").cast("double")
                         * (F.col("df") - 1).cast("double")
                         / 2.0
-                    ).alias("rows")
+                    ).alias("rows"),
+                    F.count(F.lit(1)).alias("vocab"),
                 )
-                .first()["rows"]
+                .first()
             )
-            rt = "simhash" if (est or 0.0) > route_budget else "exact"
+            inv_rows = float(stats["rows"] or 0.0)
+            vocab = int(stats["vocab"] or 0)
+            dense_ok = False
+            est = inv_rows
+            if vocab <= SMALL_VOCAB_LIMIT:
+                n_docs = int(
+                    tf_df.agg(
+                        F.approx_count_distinct(id_col).alias("n")
+                    ).first()["n"]
+                )
+                dense_ok = n_docs <= DENSE_MAX_N
+                if dense_ok:
+                    est = n_docs * max(0, n_docs - 1) / 2.0
+            rt = "simhash" if est > route_budget else "exact"
             if rt == "simhash":
                 logging.getLogger(__name__).warning(
                     "duplicate_pairs: auto-routing to tuned cosine-LSH "
                     "(approximate, recall-bounded near threshold): probed "
-                    "inverted-index candidate volume %.3g rows > budget %d.",
-                    est or 0.0,
+                    "exact-plan volume %.3g %s > budget %d.",
+                    est,
+                    "dense pairs" if dense_ok else "inverted-index rows",
                     route_budget,
                 )
         if route_info is not None:
             route_info.update(
                 requested=requested, route=rt, probe_rows=est,
-                route_budget=route_budget,
+                route_budget=route_budget, dense_feasible=dense_ok,
             )
         if rt == "simhash":
             # route_info doubles as tuning_info so the solved (r, b)

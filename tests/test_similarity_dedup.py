@@ -1255,6 +1255,48 @@ def test_cosine_route_matches_exact_on_planted(spark):
         S.duplicate_pairs(docs, 0.9, route="fastest")
 
 
+def test_cosine_route_dense_escape(spark):
+    """A small shared vocabulary saturates the inverted-index volume
+    metric long before the dense BLAS plan is in trouble: the auto
+    probe must route on the DENSE plan's pair count in that regime
+    (round 10 -- the sf0.1 saturated corpus went 2.8s -> 17s when the
+    index metric alone routed it to simhash)."""
+    rows = []
+    vocab = [f"w{chr(97 + i)}den" for i in range(20)]
+    for i in range(60):
+        rows.append((i, " ".join(vocab[(i + k) % 20] for k in range(10))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # inverted volume: 20 terms x C(30,2)-ish ~ 8.7k rows; dense pairs
+    # C(60,2) = 1770. A budget between the two must stay EXACT now.
+    info: dict = {}
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in S.duplicate_pairs(
+            docs, 0.9, route="auto", route_budget=3000,
+            route_info=info, collapse="never",
+        ).collect()
+    }
+    assert info["route"] == "exact" and info["dense_feasible"] is True
+    # pair-count metric from the HLL doc count (~2% rsd): far below
+    # the 8.7k inverted volume, in the right ballpark of C(60,2)
+    assert 1500 <= info["probe_rows"] <= 2500
+    # and the dense exact output matches the pinned-exact plan
+    exact = {
+        (r["id1"], r["id2"])
+        for r in S.duplicate_pairs(
+            docs, 0.9, route="exact", collapse="never"
+        ).collect()
+    }
+    assert pairs == exact
+    # below the pair count the router still escapes to simhash
+    info2: dict = {}
+    S.duplicate_pairs(
+        docs, 0.9, route="auto", route_budget=100,
+        route_info=info2, collapse="never",
+    )
+    assert info2["route"] == "simhash" and info2["dense_feasible"] is True
+
+
 def test_solve_simhash_bands_ladder():
     """The adaptive banding solve: t=0.9 stays on the r9-certified
     (20, 85); t=0.8 (the reference's default threshold) now fits the
