@@ -73,6 +73,13 @@ def main() -> None:
     ap.add_argument("--docs-only", action="store_true")
     ap.add_argument("--events-only", action="store_true")
     ap.add_argument(
+        "--span-days", type=int, default=30,
+        help="event timestamp span (default 30 days of Jan 2024, the "
+        "driver-profiled shape); larger values stretch the same event "
+        "volume over a multi-year history so the year-partitioned "
+        "window/cumsum designs see many day rows and year partitions",
+    )
+    ap.add_argument(
         "--zipf-s", type=float, default=0.0,
         help="when > 0, draw document words Zipf-distributed over the "
         "vocabulary with this exponent (s~1.1 + --vocab 100000 "
@@ -193,9 +200,16 @@ def main() -> None:
 
 
 def _write_events(args, rng, n_ev: int, n_users: int) -> None:
-    # events: 30 days of Jan 2024, sorted timestamps, Exp(50) values
-    t0 = np.datetime64("2024-01-01T00:00:00")
-    span_us = 30 * 86400 * US
+    # events: --span-days (default 30) from 2024-01-01 backward-compat
+    # start for the default span; multi-year spans start earlier so
+    # they still end in 2024 (keeps date filters in queries sensible)
+    span_days = getattr(args, "span_days", 30)
+    if span_days <= 30:
+        t0 = np.datetime64("2024-01-01T00:00:00")
+    else:
+        t0 = (np.datetime64("2024-01-31T00:00:00")
+              - np.timedelta64(span_days, "D")).astype("datetime64[s]")
+    span_us = span_days * 86400 * US
     ts = t0 + np.sort(rng.integers(0, span_us, n_ev)).astype("timedelta64[us]")
     ks = rng.integers(0, 100, n_ev)
     write(args.out, "events", pa.table({
