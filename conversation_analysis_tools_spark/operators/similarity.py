@@ -590,7 +590,17 @@ def duplicate_pairs(
                 dense_ok = n_docs <= DENSE_MAX_N
                 if dense_ok:
                     est = n_docs * max(0, n_docs - 1) / 2.0
-            rt = "simhash" if est > route_budget else "exact"
+            # A dense BLAS pair is ~100-1000x cheaper than a shuffled
+            # inverted-index join row (one fused multiply-add chain
+            # inside a numpy matmul vs an exchanged+aggregated row), so
+            # the pair metric gets a scaled budget: at the ratio below,
+            # 32M rows buys 8.2e9 pairs >= C(DENSE_MAX_N, 2), i.e.
+            # every dense-feasible corpus keeps the exact plan --
+            # consistent with DENSE_MAX_N being the feasibility fence
+            # -- while an explicit tiny route_budget (the certificates'
+            # budget-0/1 forcing trick) still forces the routed plan.
+            eff_budget = route_budget * (256 if dense_ok else 1)
+            rt = "simhash" if est > eff_budget else "exact"
             if rt == "simhash":
                 logging.getLogger(__name__).warning(
                     "duplicate_pairs: auto-routing to tuned cosine-LSH "
@@ -598,7 +608,7 @@ def duplicate_pairs(
                     "exact-plan volume %.3g %s > budget %d.",
                     est,
                     "dense pairs" if dense_ok else "inverted-index rows",
-                    route_budget,
+                    eff_budget,
                 )
         if route_info is not None:
             route_info.update(
@@ -744,7 +754,7 @@ def tuned_simhash_pairs(
     best-first and keeps the longest band length whose solve fits 256
     bands -- t = 0.9 stays at the r9-certified (r=20, b=85); t = 0.8,
     where r=20 clamped at 256 bands and measured recall sagged to
-    ~0.93, now solves at (r=16, b=151) and meets the 0.98 target
+    ~0.93, now solves at (r=16, b=152) and meets the 0.98 target
     (certified by simhash_recall_frontier_fixed); t = 0.7 solves at
     (r=14, b=231). Only when every ladder step clamps (t below
     ~0.6) does the last step run at 256 bands, and then the degraded

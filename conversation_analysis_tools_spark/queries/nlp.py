@@ -536,8 +536,12 @@ def simhash_recall_frontier_fixed(spark: SparkSession, sf_dir: str) -> DataFrame
         ],
         "t_x100 int, r int, b int",
     )
-    j = F.broadcast(planted).join(
-        found.withColumn("hit", F.lit(1)), ["t_x100", "id1", "id2"], "left"
+    # broadcast the ROUTED OUTPUT (the right/build side -- only the
+    # right side of a left outer join can be broadcast; it is a
+    # handful of verified pairs by construction)
+    j = planted.join(
+        F.broadcast(found.withColumn("hit", F.lit(1))),
+        ["t_x100", "id1", "id2"], "left",
     )
     agg = j.groupBy("t_x100").agg(
         F.sum(F.when(F.col("kind") == "planted", 1).otherwise(0))

@@ -431,11 +431,13 @@ def ann_recall_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_pts = {f"p={p_},t={tb}": (p_, tb) for p_, tb, _ in LSH_FRONTIER_FLOORS}
     items = (
         [(("method", m), f) for m, f in RECALL_FLOORS.items()]
+        # labels zip 1:1 with the floors (both derive from
+        # IVF_FRONTIER_FLOORS in order), so the scan formula lives once
         + [
-            (("ivf", f"na={na},np={np_},scan={min(100, na * np_ * 100 // 16)}"), f)
-            for na, np_, f in IVF_FRONTIER_FLOORS
+            (("ivf", label), f)
+            for label, (_, _, f) in zip(ivf_pts, IVF_FRONTIER_FLOORS)
         ]
-        + [(("lsh", f"p={p_},t={tb}"), f) for p_, tb, f in LSH_FRONTIER_FLOORS]
+        + [(("lsh", label), f) for label, (_, _, f) in zip(lsh_pts, LSH_FRONTIER_FLOORS)]
         + [(("pq", label), f) for label, f in PQ_FRONTIER_FLOORS]
     )
 

@@ -1288,10 +1288,11 @@ def test_cosine_route_dense_escape(spark):
         ).collect()
     }
     assert pairs == exact
-    # below the pair count the router still escapes to simhash
+    # a tiny explicit budget still forces the routed plan (the
+    # certificates' budget-0/1 trick survives the 256x dense scaling)
     info2: dict = {}
     S.duplicate_pairs(
-        docs, 0.9, route="auto", route_budget=100,
+        docs, 0.9, route="auto", route_budget=1,
         route_info=info2, collapse="never",
     )
     assert info2["route"] == "simhash" and info2["dense_feasible"] is True

@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 import numpy as np
 import pyarrow as pa
@@ -225,13 +224,22 @@ def _write_events(args, rng, n_ev: int, n_users: int) -> None:
 # Boilerplate lines planted by --multiline-frac: the web-page chrome
 # the line-grain curation rules exist to strip -- shared with the
 # curation certificates so corpus and query cannot drift (VERDICT r9
-# item 7). The sys.path insert makes `python tools/gen_testdata.py`
-# work from anywhere, matching verify_local.py.
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from conversation_analysis_tools_spark.functions.chrome import (  # noqa: E402
-    BOILER_FOOTER,
-    BOILER_HEADER,
+# item 7). chrome.py is loaded DIRECTLY from its file (it has zero
+# dependencies): importing it through the package would pull the
+# whole engine incl. pyspark into this numpy/pyarrow-only generator.
+import importlib.util as _ilu
+
+_chrome_spec = _ilu.spec_from_file_location(
+    "cats_chrome",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "conversation_analysis_tools_spark", "functions", "chrome.py",
+    ),
 )
+_chrome = _ilu.module_from_spec(_chrome_spec)
+_chrome_spec.loader.exec_module(_chrome)
+BOILER_HEADER = _chrome.BOILER_HEADER
+BOILER_FOOTER = _chrome.BOILER_FOOTER
 
 
 def _letter_word(i: int) -> str:

@@ -84,7 +84,10 @@ def main() -> int:
     docs = table(spark, "documents", sf_dir).select("doc_id", "text")
 
     t0 = time.time()
-    baseline = pair_set(S.duplicate_pairs(docs, threshold=THRESHOLD))
+    # route="exact" pinned: this probe is the EXACT-closure invariant
+    # (the routed plan has its own certificates); the r10 route-default
+    # flip must not silently turn it into an approximate self-check
+    baseline = pair_set(S.duplicate_pairs(docs, threshold=THRESHOLD, route="exact"))
     t_base = time.time() - t0
     paired = {i for p in baseline for i in p[:2]}
     print(f"baseline: {len(baseline)} pairs in {t_base:.1f}s")
@@ -128,7 +131,9 @@ def main() -> int:
         spark.createDataFrame(plants, "doc_id long, text string")
     )
     t0 = time.time()
-    run = pair_set(S.duplicate_pairs(planted_docs, threshold=THRESHOLD))
+    run = pair_set(
+        S.duplicate_pairs(planted_docs, threshold=THRESHOLD, route="exact")
+    )
     t_run = time.time() - t0
     expected = baseline | expected_planted
 

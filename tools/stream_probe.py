@@ -28,7 +28,7 @@ own progress events. Reported per stream:
 Results land in tools/stream_results.json and the SCALE.md block
 between the ``stream-probe`` markers.
 
-Usage: python tools/stream_probe.py [--batches 20] [--sf-dir DIR]
+Usage: python tools/stream_probe.py [--batches 20]
 """
 
 from __future__ import annotations
@@ -79,6 +79,11 @@ def _drain(spark, src: str, store: str, fold) -> list[dict]:
     from conversation_analysis_tools_spark.streaming.events import scoped_session
 
     s2 = scoped_session(spark, 8)
+    # recentProgress retains only numRecentProgressUpdates entries
+    # (default 100): raise it so a long drain keeps EVERY batch's
+    # trigger wall -- dropping the earliest batches would silently
+    # inflate rows/s and hide early-vs-late wall growth
+    s2.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     stream = (
         s2.readStream.schema("doc_id bigint, source string, text string")
         .option("maxFilesPerTrigger", 1)
@@ -284,22 +289,9 @@ def _write_block(state: dict) -> None:
         row("near-dup admission (shingle+band store)", "neardup_admission"),
         "",
     ]
-    block = "\n".join(lines)
-    path = "/root/repo/SCALE.md"
-    with open(path) as f:
-        doc = f.read()
-    start, end = "<!-- stream-probe:start -->", "<!-- stream-probe:end -->"
-    if start in doc:
-        pre = doc[: doc.index(start) + len(start)]
-        post = doc[doc.index(end):]
-        doc = pre + block + post
-    else:
-        doc += (
-            "\n## Measured streaming throughput (tools/stream_probe.py)\n"
-            f"{start}{block}{end}\n"
-        )
-    with open(path, "w") as f:
-        f.write(doc)
+    from tools.md_block import write_md_block
+
+    write_md_block("/root/repo/SCALE.md", "stream-probe", "\n".join(lines))
 
 
 if __name__ == "__main__":
