@@ -73,6 +73,14 @@ PAIRS = {
     "events": ("/root/repo/testdata_sf1events",
                "/root/repo/testdata_sf10events",
                ["--sf", "10", "--events-only"]),
+    # round 10 (late): the RELATIONAL family's second decade -- the
+    # full TPC-H-ish corpus at sf10 (15M orders / ~61M lineitem / 10M
+    # events / 1.5M customers), so the join/agg/window workhorses get
+    # the same wall-vs-output adjudication as the dedup and events
+    # families instead of stopping at sf1's 6M lineitem.
+    "relational": ("/root/repo/testdata_sf1",
+                   "/root/repo/testdata_sf10full",
+                   ["--sf", "10"]),
 }
 
 #: (query, corpus pair, why it's in the sf10 set)
@@ -102,6 +110,18 @@ PROBES = [
     ("cumulative_new_users", "events", "distributed cumsum (year partitions + offsets)"),
     ("retention_cohorts", "events", "cohort matrix (first-day x activity-day)"),
     ("event_transitions", "events", "per-user lead() transition counts"),
+    # relational workhorses, round 10 (late): joins, groupBys, windows,
+    # and top-k over the 61M-row lineitem decade
+    ("join_workhorse", "relational", "multi-table equi join, broadcast dims"),
+    ("time_bucketed_agg", "relational", "multi-dim time-bucket aggregate"),
+    ("top_k_orders", "relational", "TakeOrderedAndProject top-k"),
+    ("group_concat_sorted", "relational", "sorted group_concat"),
+    ("corr_matrix_by_flag", "relational", "per-group correlation matrix"),
+    ("cube_rollup_counts", "relational", "cube/rollup grouping sets"),
+    ("event_response_time", "relational", "per-user lead() response gaps"),
+    ("join_enrich_pct", "relational", "merge/enrich percentage join"),
+    ("histogram_buckets", "relational", "width-bucket histogram"),
+    ("per_group_share", "relational", "per-group normalization window"),
 ]
 
 
@@ -323,6 +343,26 @@ item 4 -- 1M -> 10M events, 15k -> 150k users, same 30-day span):
   map-side partial aggregation, exactly as designed.
 - **retention_cohorts 1.8x / event_transitions 1.9x**: one user_id
   shuffle each at 10x rows; map-side partials absorb the rest.
+
+Round-10 adjudications (late: the RELATIONAL family's second decade,
+full sf10 corpus -- 61M lineitem / 15M orders / 10M events):
+
+- **no plan defects**: every probe lands at 1.0x-4.2x wall for 10x
+  rows. The reduction-only shapes (top-k, histogram, group_concat,
+  grouping sets, correlation) are FLAT at 1.0x-1.4x -- map-side
+  partial aggregation absorbs the whole decade, scan time included.
+- **join_workhorse 4.2x (5.4 -> 22.4 s)**: the one genuinely
+  shuffle-bound probe -- at 15M orders the fact-fact side stops
+  fitting broadcast thresholds, so the decade pays a real 61M-row
+  exchange; wall stays well under the 10x row growth, and the
+  dimension sides (customer/nation/region) remain broadcast in the
+  audited plan (PLANS.md). At 100 TB this is the join the bucketed
+  layout (catalog.write_partitioned_layout: lineitem/orders bucketed
+  by orderkey -> shuffle-free SMJ) exists for.
+- **window family (event_response_time 2.1x, per_group_share 1.4x)**:
+  user_id/group-partitioned windows -- 10x partitions of constant
+  size, the same shape the events-family and history-length probes
+  certified.
 """
     )
     write_md_block("/root/repo/SCALE.md", "sf10-probe", body)
