@@ -579,14 +579,18 @@ def duplicate_pairs(
             )
             inv_rows = float(stats["rows"] or 0.0)
             vocab = int(stats["vocab"] or 0)
+            # the HLL doc count (+-2%) serves two deciders: the dense
+            # feasibility fence below, and the routed path's
+            # volume-aware banding solve (the random-collision floor
+            # is quadratic in n -- see solve_simhash_bands)
+            n_docs = int(
+                tf_df.agg(
+                    F.approx_count_distinct(id_col).alias("n")
+                ).first()["n"]
+            )
             dense_ok = False
             est = inv_rows
             if vocab <= SMALL_VOCAB_LIMIT:
-                n_docs = int(
-                    tf_df.agg(
-                        F.approx_count_distinct(id_col).alias("n")
-                    ).first()["n"]
-                )
                 dense_ok = n_docs <= DENSE_MAX_N
                 if dense_ok:
                     est = n_docs * max(0, n_docs - 1) / 2.0
@@ -614,6 +618,7 @@ def duplicate_pairs(
             route_info.update(
                 requested=requested, route=rt, probe_rows=est,
                 route_budget=route_budget, dense_feasible=dense_ok,
+                n_docs=n_docs if dense_ok is not None else None,
             )
         if rt == "simhash":
             # route_info doubles as tuning_info so the solved (r, b)
@@ -621,7 +626,8 @@ def duplicate_pairs(
             # a clamped low-threshold solve must be visible at the
             # call site, not just in a log)
             return tuned_simhash_pairs(
-                tf_df, threshold, id_col, tuning_info=route_info
+                tf_df, threshold, id_col, tuning_info=route_info,
+                n_docs=n_docs if requested == "auto" else None,
             )
         sims = pairwise_cosine(tf_df, id_col, max_df, strategy, threshold)
         return sims.where(F.col("sim") >= threshold - THRESHOLD_EPS)
@@ -700,11 +706,24 @@ def duplicate_pairs(
 SIMHASH_R_LADDER = (20, 16, 14, 12)
 
 
+#: Candidate-volume ceiling for the banded solve when the corpus size
+#: is known: the random-pair collision floor materializes b * 2^-r *
+#: n^2/2 REAL verify candidates (each a join row carrying two term
+#: maps), and past ~1e8 of them the verify shuffle fills executor
+#: scratch -- measured: the (16, 152) solve at t=0.8 on 500k docs
+#: produced ~2.9e8 candidates and killed the JVM through the 126 GiB
+#: tmpfs. Volume outranks the recall target: past this ceiling the
+#: solve walks BACK to longer bands and reports the (clamped) recall
+#: it can actually afford.
+SIMHASH_CAND_BUDGET = 100_000_000
+
+
 def solve_simhash_bands(
     threshold: float,
     recall_target: float = 0.98,
     r_ladder: tuple = SIMHASH_R_LADDER,
     b_max: int = 256,
+    n_docs: int | None = None,
 ) -> tuple[int, int, float]:
     """(r, b, est_recall) for the banded cosine-LSH solve: the FIRST
     ladder step whose solved band count fits ``b_max`` (longest bands
@@ -712,12 +731,35 @@ def solve_simhash_bands(
     r9-certified (20, 85), so high-threshold plans are unchanged by
     the round-10 ladder). If every step clamps, the last step runs at
     b_max and ``est_recall`` = 1-(1-p^r)^b reports the degraded
-    expectation -- callers WARN on est_recall < recall_target."""
+    expectation -- callers WARN on est_recall < recall_target.
+
+    With ``n_docs`` the solve is additionally VOLUME-aware: the
+    random-collision floor costs ~b * 2^-r * n^2/2 exact-verify
+    candidates, and if the recall-first choice exceeds
+    :data:`SIMHASH_CAND_BUDGET` the solve walks back up the ladder to
+    the longest band length whose floor fits -- trading recall (the
+    clamp binds again) for a candidate volume that actually executes.
+    At t=0.8 this keeps the 0.98-target (16, 152) solve up to ~300k
+    docs and degrades to the clamped (20, 256) ~0.93 beyond it, with
+    the estimate reporting the trade either way."""
     import math
 
     t = float(threshold)
     p = 1.0 - math.acos(t) / math.pi
-    r, b = r_ladder[-1], b_max
+
+    def solve_at(cand_r: int) -> int:
+        return max(
+            4,
+            min(
+                b_max,
+                math.ceil(
+                    math.log(1.0 - recall_target)
+                    / math.log(1.0 - p**cand_r)
+                ),
+            ),
+        )
+
+    r, b = r_ladder[-1], solve_at(r_ladder[-1])
     for cand_r in r_ladder:
         cand_b = math.ceil(
             math.log(1.0 - recall_target) / math.log(1.0 - p**cand_r)
@@ -725,6 +767,21 @@ def solve_simhash_bands(
         if cand_b <= b_max:
             r, b = cand_r, max(4, cand_b)
             break
+    if n_docs is not None and n_docs > 1:
+        def floor_cands(cand_r: int, cand_b: int) -> float:
+            return cand_b * (2.0 ** -cand_r) * n_docs * (n_docs - 1) / 2.0
+
+        if floor_cands(r, b) > SIMHASH_CAND_BUDGET:
+            # longest bands first: smallest floor; accept the first
+            # that fits, else the smallest-floor step regardless
+            for cand_r in sorted(r_ladder, reverse=True):
+                cand_b = solve_at(cand_r)
+                if floor_cands(cand_r, cand_b) <= SIMHASH_CAND_BUDGET:
+                    r, b = cand_r, cand_b
+                    break
+            else:
+                r = max(r_ladder)
+                b = solve_at(r)
     est = 1.0 - (1.0 - p**r) ** b
     return r, b, est
 
@@ -737,6 +794,7 @@ def tuned_simhash_pairs(
     r: int | None = None,
     max_bucket: int = 20,
     tuning_info: dict | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Threshold-ADAPTIVE banded cosine-LSH + exact-cosine verify: the
     ``duplicate_pairs`` saturation router's target (round 9) -- the
@@ -797,7 +855,9 @@ def tuned_simhash_pairs(
     if not 0.0 < t < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold!r}")
     if r is None:
-        r, b, est_recall = solve_simhash_bands(t, recall_target)
+        r, b, est_recall = solve_simhash_bands(
+            t, recall_target, n_docs=n_docs
+        )
     else:
         p = 1.0 - math.acos(t) / math.pi
         b = min(

@@ -1315,6 +1315,21 @@ def test_solve_simhash_bands_ladder():
     for t in (0.95, 0.85, 0.75, 0.65):
         _, bb, e = S.solve_simhash_bands(t)
         assert bb <= 256 and e > 0.97
+    # volume-aware regime (the sf10 JVM-kill lesson): at 500k docs the
+    # (16, 152) solve's collision floor is ~2.9e8 verify candidates,
+    # so the solve walks back to the clamped (20, 256) and reports the
+    # degraded recall; at 50k docs the recall-first solve stands, and
+    # t=0.9's (20, 85) floor fits at any measured n
+    r, b, est = S.solve_simhash_bands(0.8, n_docs=500_000)
+    assert (r, b) == (20, 256) and 0.92 < est < 0.94
+    assert S.solve_simhash_bands(0.8, n_docs=50_000)[:2] == (16, 152)
+    assert S.solve_simhash_bands(0.9, n_docs=500_000)[:2] == (20, 85)
+    # floor arithmetic: the chosen (20, 256) fits the budget the
+    # rejected (16, 152) blew through
+    n = 500_000
+    pairs = n * (n - 1) / 2
+    assert 152 * 2.0**-16 * pairs > S.SIMHASH_CAND_BUDGET
+    assert 256 * 2.0**-20 * pairs < S.SIMHASH_CAND_BUDGET
 
 
 def test_tuned_simhash_low_threshold_recall(spark):
