@@ -709,13 +709,14 @@ SIMHASH_R_LADDER = (20, 16, 14, 12)
 #: Candidate-volume ceiling for the banded solve when the corpus size
 #: is known: the random-pair collision floor materializes b * 2^-r *
 #: n^2/2 REAL verify candidates (each a join row carrying two term
-#: maps), and past ~1e8 of them the verify shuffle fills executor
-#: scratch -- measured: the (16, 152) solve at t=0.8 on 500k docs
-#: produced ~2.9e8 candidates and killed the JVM through the 126 GiB
-#: tmpfs. Volume outranks the recall target: past this ceiling the
-#: solve walks BACK to longer bands and reports the (clamped) recall
-#: it can actually afford.
-SIMHASH_CAND_BUDGET = 100_000_000
+#: maps). Measured bracket on the 126 GiB scratch: 3.05e7 candidates
+#: executed fine (the walked-back t=0.8 sf10 run), 2.9e8 killed the
+#: JVM (the recall-first (16, 152) solve at 500k docs). The ceiling
+#: sits modestly above the proven-safe point, well under the proven
+#: kill. Volume outranks the recall target: past it the solve walks
+#: BACK to longer bands and reports the (clamped) recall it can
+#: actually afford.
+SIMHASH_CAND_BUDGET = 50_000_000
 
 
 def solve_simhash_bands(
@@ -739,7 +740,7 @@ def solve_simhash_bands(
     :data:`SIMHASH_CAND_BUDGET` the solve walks back up the ladder to
     the longest band length whose floor fits -- trading recall (the
     clamp binds again) for a candidate volume that actually executes.
-    At t=0.8 this keeps the 0.98-target (16, 152) solve up to ~300k
+    At t=0.8 this keeps the 0.98-target (16, 152) solve up to ~200k
     docs and degrades to the clamped (20, 256) ~0.93 beyond it, with
     the estimate reporting the trade either way."""
     import math
