@@ -39,7 +39,6 @@ import os
 import shutil
 import subprocess
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
