@@ -272,40 +272,49 @@ def sessionize_with_state(
     def with_state(key, pdfs, state: "GroupState"):
         import pandas as pd  # noqa: F811
 
+        # State keeps MICROSECOND epochs and integer CENTS -- the same
+        # precision and arithmetic as the batch fallback above. The
+        # original ms-epoch/float-total state diverged from batch by
+        # sub-ms timestamp truncation and float accumulation; the
+        # certified query exercises the batch branch, so only the
+        # RUN_SLOW_STREAMING soak (streamed subset-of batch keys)
+        # caught it (round 10).
         (user_id,) = key
         if state.exists:
-            start_ms, end_ms, n, tot = state.get
+            start_us, end_us, n, tot = state.get
         else:
-            start_ms = end_ms = None
-            n, tot = 0, 0.0
+            start_us = end_us = None
+            n, tot = 0, 0
+        gap_us = int(gap_minutes * 60_000_000)
         closed = []
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
             for ts, v in zip(pdf["ts"], pdf["value"]):
-                ms = int(ts.value // 1_000_000)
-                if start_ms is None:
-                    start_ms, end_ms, n, tot = ms, ms, 1, float(v)
-                elif ms - end_ms > gap_minutes * 60_000:
-                    closed.append((start_ms, end_ms, n, tot))
-                    start_ms, end_ms, n, tot = ms, ms, 1, float(v)
+                us = int(ts.value // 1_000)
+                c = int(round(float(v) * 100))
+                if start_us is None:
+                    start_us, end_us, n, tot = us, us, 1, c
+                elif us - end_us > gap_us:
+                    closed.append((start_us, end_us, n, tot))
+                    start_us, end_us, n, tot = us, us, 1, c
                 else:
-                    end_ms, n, tot = ms, n + 1, tot + float(v)
+                    end_us, n, tot = us, n + 1, tot + c
         if state.hasTimedOut:
-            if start_ms is not None:
-                closed.append((start_ms, end_ms, n, tot))
+            if start_us is not None:
+                closed.append((start_us, end_us, n, tot))
             state.remove()
         else:
-            state.update((start_ms, end_ms, n, tot))
+            state.update((start_us, end_us, n, tot))
             state.setTimeoutDuration(int(gap_minutes * 60_000))
         if closed:
             yield pd.DataFrame(
                 [
                     (
                         user_id,
-                        pd.Timestamp(s, unit="ms"),
-                        pd.Timestamp(e, unit="ms"),
+                        pd.Timestamp(s, unit="us"),
+                        pd.Timestamp(e, unit="us"),
                         c,
-                        round(t, 4),
+                        round(t / 100.0, 4),
                     )
                     for (s, e, c, t) in closed
                 ],
@@ -322,7 +331,7 @@ def sessionize_with_state(
     return src.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
         with_state,
         outputStructType=out_schema,
-        stateStructType="start_ms bigint, end_ms bigint, n bigint, tot double",
+        stateStructType="start_us bigint, end_us bigint, n bigint, tot bigint",
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -144,9 +144,11 @@ def test_multimodal_metadata_deterministic(spark, sample_docs):
 @pytest.mark.skipif(
     not os.environ.get("RUN_SLOW_STREAMING"),
     reason="applyInPandasWithState run takes ~4min locally; "
-    "set RUN_SLOW_STREAMING=1 (verified manually: 931 closed sessions "
-    "from sf0.001 events, consistent with batch sessionization minus "
-    "the final open session per user)",
+    "set RUN_SLOW_STREAMING=1 (last run round 10: 931 closed sessions "
+    "from sf0.001 events, every (user, session_start) matching the "
+    "batch path at full microsecond precision -- this soak is the ONLY "
+    "pin on the STREAMING branch's state arithmetic, and running it in "
+    "r10 caught a real ms-truncation + float-total divergence)",
 )
 def test_stateful_sessionize_streaming_mode(spark):
     import tempfile
