@@ -579,19 +579,33 @@ def duplicate_pairs(
             )
             inv_rows = float(stats["rows"] or 0.0)
             vocab = int(stats["vocab"] or 0)
-            # the HLL doc count (+-2%) serves two deciders: the dense
-            # feasibility fence below, and the routed path's
-            # volume-aware banding solve (the random-collision floor
-            # is quadratic in n -- see solve_simhash_bands)
+            # the HLL doc count (rsd=0.02, +-2% std dev) serves two
+            # deciders: the dense feasibility fence below, and the
+            # routed path's volume-aware banding solve (the random-
+            # collision floor is quadratic in n -- see
+            # solve_simhash_bands)
             n_docs = int(
                 tf_df.agg(
-                    F.approx_count_distinct(id_col).alias("n")
+                    F.approx_count_distinct(id_col, rsd=0.02).alias("n")
                 ).first()["n"]
             )
             dense_ok = False
             est = inv_rows
-            if vocab <= SMALL_VOCAB_LIMIT:
-                dense_ok = n_docs <= DENSE_MAX_N
+            # The dense-metric branch must only fire when execution can
+            # actually take the dense plan: pairwise_cosine forwards
+            # the caller's ``strategy``, so with strategy='inverted' a
+            # small shared vocabulary would be SCORED dense (256x
+            # budget) while the saturated inverted plan RUNS. And the
+            # fence is derated to 0.95*DENSE_MAX_N because this count
+            # is an HLL estimate while pairwise_cosine re-checks the
+            # fence with an exact count: an underestimate just above
+            # the fence would otherwise declare dense feasible here and
+            # then silently fall back to the inverted plan -- the
+            # measured JVM-kill regime this router exists to prevent.
+            # 0.95 = 2.5 sigma at rsd=0.02; corpora landing in the
+            # derate band route on the (conservative) inverted metric.
+            if vocab <= SMALL_VOCAB_LIMIT and strategy in ("auto", "dense"):
+                dense_ok = n_docs <= 0.95 * DENSE_MAX_N
                 if dense_ok:
                     est = n_docs * max(0, n_docs - 1) / 2.0
             # A dense BLAS pair is ~100-1000x cheaper than a shuffled
@@ -815,7 +829,7 @@ def tuned_simhash_pairs(
     where r=20 clamped at 256 bands and measured recall sagged to
     ~0.93, now solves at (r=16, b=152) and meets the 0.98 target
     (certified by simhash_recall_frontier_fixed); t = 0.7 solves at
-    (r=14, b=231). Only when every ladder step clamps (t below
+    (r=14, b=232). Only when every ladder step clamps (t below
     ~0.6) does the last step run at 256 bands, and then the degraded
     expected recall is WARN-logged and reported in ``tuning_info``
     instead of failing silently (ADVICE r9). An explicit ``r`` pins

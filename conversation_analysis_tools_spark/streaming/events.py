@@ -230,6 +230,17 @@ def sessionize_with_state(
     semantics run as a grouped-pandas op (state loop inside the
     group), so the operator is testable without a streaming sink.
     Emits one row per closed-or-final session.
+
+    .. warning:: **Checkpoint compatibility.** Round 10 changed the
+       state schema from (start_ms/end_ms bigint, tot double) to
+       (start_us/end_us bigint, tot bigint cents) to match the batch
+       path's precision. A streaming query restarted from a
+       pre-change checkpoint would either fail Spark's state schema
+       check or -- worse -- reinterpret ms epochs as microseconds and
+       float totals as integer cents, silently corrupting sessions.
+       Existing sessionize checkpoints MUST be discarded (or the
+       checkpoint path versioned, e.g. ``.../sessionize_v2``) when
+       upgrading past that change.
     """
     import pandas as pd
 

@@ -1298,6 +1298,29 @@ def test_cosine_route_dense_escape(spark):
     assert info2["route"] == "simhash" and info2["dense_feasible"] is True
 
 
+def test_cosine_route_strategy_pins_metric(spark):
+    """ADVICE r10: the probe must score the plan that will actually
+    RUN. With strategy='inverted' pinned by the caller, a small shared
+    vocabulary must be scored on the inverted-index volume (the plan
+    execution takes), not the cheap dense pair count with its 256x
+    budget -- otherwise the router declares 'exact' and runs the
+    saturated inverted plan it would have rejected."""
+    rows = []
+    vocab = [f"w{chr(97 + i)}pin" for i in range(20)]
+    for i in range(60):
+        rows.append((i, " ".join(vocab[(i + k) % 20] for k in range(10))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # budget between dense pairs (~1.8k) and inverted volume (~8.7k):
+    # auto strategy stays exact (dense metric), pinned inverted routes
+    info: dict = {}
+    S.duplicate_pairs(
+        docs, 0.9, route="auto", route_budget=3000,
+        route_info=info, collapse="never", strategy="inverted",
+    )
+    assert info["route"] == "simhash" and info["dense_feasible"] is False
+    assert info["probe_rows"] > 3000  # scored on the inverted volume
+
+
 def test_solve_simhash_bands_ladder():
     """The adaptive banding solve: t=0.9 stays on the r9-certified
     (20, 85); t=0.8 (the reference's default threshold) now fits the
