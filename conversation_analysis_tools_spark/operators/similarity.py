@@ -470,6 +470,7 @@ def duplicate_pairs(
     route: str = "auto",
     route_budget: int = 32_000_000,
     route_info: dict | None = None,
+    cand_budget: int | None = None,
 ) -> DataFrame:
     """N17: pairs with cosine >= threshold (default 0.8,
     pipeline/duplicate_detector.py:127-167).
@@ -642,6 +643,7 @@ def duplicate_pairs(
             return tuned_simhash_pairs(
                 tf_df, threshold, id_col, tuning_info=route_info,
                 n_docs=n_docs if requested == "auto" else None,
+                cand_budget=cand_budget,
             )
         sims = pairwise_cosine(tf_df, id_col, max_df, strategy, threshold)
         return sims.where(F.col("sim") >= threshold - THRESHOLD_EPS)
@@ -739,6 +741,7 @@ def solve_simhash_bands(
     r_ladder: tuple = SIMHASH_R_LADDER,
     b_max: int = 256,
     n_docs: int | None = None,
+    cand_budget: int = SIMHASH_CAND_BUDGET,
 ) -> tuple[int, int, float]:
     """(r, b, est_recall) for the banded cosine-LSH solve: the FIRST
     ladder step whose solved band count fits ``b_max`` (longest bands
@@ -750,13 +753,17 @@ def solve_simhash_bands(
 
     With ``n_docs`` the solve is additionally VOLUME-aware: the
     random-collision floor costs ~b * 2^-r * n^2/2 exact-verify
-    candidates, and if the recall-first choice exceeds
-    :data:`SIMHASH_CAND_BUDGET` the solve walks back up the ladder to
-    the longest band length whose floor fits -- trading recall (the
-    clamp binds again) for a candidate volume that actually executes.
-    At t=0.8 this keeps the 0.98-target (16, 152) solve up to ~200k
-    docs and degrades to the clamped (20, 256) ~0.93 beyond it, with
-    the estimate reporting the trade either way."""
+    candidates, and if the recall-first choice exceeds ``cand_budget``
+    (default :data:`SIMHASH_CAND_BUDGET`) the solve walks back up the
+    ladder to the longest band length whose floor fits -- trading
+    recall (the clamp binds again) for a candidate volume that
+    actually executes. At t=0.8 this keeps the 0.98-target (16, 152)
+    solve up to ~200k docs and degrades to the clamped (20, 256)
+    ~0.93 beyond it, with the estimate reporting the trade either way.
+    ``cand_budget`` exists for the driver certificate
+    (simhash_walkback_fixed forces it to 0 so the walk-back provably
+    engages on a small fixed corpus) and for operators tuned to a
+    different scratch capacity."""
     import math
 
     t = float(threshold)
@@ -786,12 +793,12 @@ def solve_simhash_bands(
         def floor_cands(cand_r: int, cand_b: int) -> float:
             return cand_b * (2.0 ** -cand_r) * n_docs * (n_docs - 1) / 2.0
 
-        if floor_cands(r, b) > SIMHASH_CAND_BUDGET:
+        if floor_cands(r, b) > cand_budget:
             # longest bands first: smallest floor; accept the first
             # that fits, else the smallest-floor step regardless
             for cand_r in sorted(r_ladder, reverse=True):
                 cand_b = solve_at(cand_r)
-                if floor_cands(cand_r, cand_b) <= SIMHASH_CAND_BUDGET:
+                if floor_cands(cand_r, cand_b) <= cand_budget:
                     r, b = cand_r, cand_b
                     break
             else:
@@ -810,6 +817,7 @@ def tuned_simhash_pairs(
     max_bucket: int = 20,
     tuning_info: dict | None = None,
     n_docs: int | None = None,
+    cand_budget: int | None = None,
 ) -> DataFrame:
     """Threshold-ADAPTIVE banded cosine-LSH + exact-cosine verify: the
     ``duplicate_pairs`` saturation router's target (round 9) -- the
@@ -871,7 +879,10 @@ def tuned_simhash_pairs(
         raise ValueError(f"threshold must be in (0, 1), got {threshold!r}")
     if r is None:
         r, b, est_recall = solve_simhash_bands(
-            t, recall_target, n_docs=n_docs
+            t, recall_target, n_docs=n_docs,
+            cand_budget=(
+                SIMHASH_CAND_BUDGET if cand_budget is None else cand_budget
+            ),
         )
     else:
         p = 1.0 - math.acos(t) / math.pi

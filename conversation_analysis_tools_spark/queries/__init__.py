@@ -136,11 +136,23 @@ from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
 # ROUND-11 HEADROOM: at 186 oracled, ceil(186 / (50 - P)) <= 4 holds
 # for P <= 3 pins; with 2 pins the registry can grow to 192 oracled
 # (six more registrations), with 3 pins to 188.
+#
+# Round-11 window: the r10 pins cleared (both green r10). One pin:
+# pipeline_analysis_results -- its route probe's expression changed
+# again this round (rsd=0.02 on the HLL count + the strategy-aware
+# dense fence; decision and output unchanged at driver sfs, but the
+# probe job differs). pii_redaction_fixed's plan is untouched and
+# re-certifies by age. New never-checked oracled certificates
+# auto-rank ahead of the aging r7 cohort (41 queries, at the 4-round
+# bound this round): simhash_walkback_fixed (the volume-aware
+# walk-back, VERDICT r10 item 1) and ingest_fixed (VERDICT r10 item
+# 3). Window arithmetic: 1 pin + ~2 never-checked + 41 r7-green = 44
+# of 50; spares go to the oldest r8 rows. Oracled reaches ~188;
+# ceil(188 / 49) = 4 holds with room for 8 more registrations.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
     "pipeline_analysis_results",
-    "pii_redaction_fixed",
 ]
 
 

@@ -568,6 +568,99 @@ def simhash_recall_frontier_fixed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "simhash_walkback_fixed",
+    oracle="""
+    SELECT CAST(r AS INT) AS r, CAST(b AS INT) AS b,
+           CAST(est_recall_x10000 AS INT) AS est_recall_x10000,
+           CAST(n_planted AS INT) AS n_planted,
+           CAST(n_found AS INT) AS n_found,
+           controls_clean, walked_back
+    FROM (VALUES (20, 256, 9278, 3, 3, TRUE, TRUE))
+        AS t(r, b, est_recall_x10000, n_planted, n_found,
+             controls_clean, walked_back)
+    """,
+)
+def simhash_walkback_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver certificate for the VOLUME-AWARE walk-back of the routed
+    cosine path (VERDICT r10 item 1): the routing decision that fires
+    in the production t=0.8 large-n regime -- the reference's own
+    default duplicate threshold (config/pipeline_config.yaml:34,
+    pipeline/duplicate_detector.py:127) past ~200k docs, where the
+    recall-first (16, 152) solve materializes a verify-candidate
+    volume measured killing the JVM (2.9e8 candidates at 500k docs;
+    SCALE.md bracket) and solve_simhash_bands walks back up the band
+    ladder to the clamped (20, 256), est_recall ~0.9278.
+
+    The dedup_jaccard_routed_fixed playbook: ``cand_budget=0`` forces
+    the walk-back to provably engage on a small fixed corpus (every
+    candidate floor > 0), reproducing the EXACT production decision --
+    (20, 256, 0.9278) here equals the n=500k default-budget solve --
+    while ``route_budget=0`` forces the route probe's 'simhash'
+    decision, so the gate runs probe -> walk-back -> degraded banding
+    -> exact map-fold verify end to end. Loud guards raise unless the
+    walk-back actually engaged with the expected solve. Asserted
+    against the literal oracle: the solved (r, b), the WARN-surfaced
+    est_recall (x10000), 3/3 planted near-threshold pairs (cosines
+    0.8333/0.825/0.8167, the hardest (t, t+0.05] band) still found by
+    the DEGRADED banding, and the sub-threshold control (0.7667)
+    provably excluded by the exact verify. sf_dir unused (fixed
+    corpus)."""
+    from conversation_analysis_tools_spark.operators.similarity import (
+        solve_simhash_bands,
+    )
+
+    rows, pairs = _srf_corpus(80)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    info: dict = {}
+    out = S.duplicate_pairs(
+        docs, threshold=0.8, route="auto", route_budget=0,
+        cand_budget=0, route_info=info, collapse="never",
+    )
+    recall_first = solve_simhash_bands(0.8)[:2]
+    solved = (info.get("r"), info.get("b"))
+    if (  # pragma: no cover - loud guards
+        info.get("route") != "simhash"
+        or solved == recall_first
+        or solved != solve_simhash_bands(0.8, n_docs=500_000)[:2]
+    ):
+        raise RuntimeError(
+            f"walk-back certificate ran on route_info={info!r}; the "
+            f"budget-0 solve must walk back from {recall_first} to the "
+            "production large-n decision"
+        )
+    planted = spark.createDataFrame(
+        pairs, "id1 long, id2 long, kind string"
+    )
+    j = planted.join(
+        F.broadcast(out.withColumn("hit", F.lit(1))), ["id1", "id2"], "left"
+    )
+    return j.agg(
+        F.lit(info["r"]).alias("r"),
+        F.lit(info["b"]).alias("b"),
+        F.lit(int(round(info["est_recall"] * 10000))).alias(
+            "est_recall_x10000"
+        ),
+        F.sum(F.when(F.col("kind") == "planted", 1).otherwise(0))
+        .cast("int")
+        .alias("n_planted"),
+        F.sum(
+            F.when(F.col("kind") == "planted", F.coalesce("hit", F.lit(0)))
+            .otherwise(0)
+        )
+        .cast("int")
+        .alias("n_found"),
+        (
+            F.sum(
+                F.when(F.col("kind") == "control", F.coalesce("hit", F.lit(0)))
+                .otherwise(0)
+            )
+            == 0
+        ).alias("controls_clean"),
+        F.lit(solved != recall_first).alias("walked_back"),
+    )
+
+
+@register(
     "nlp_near_duplicates",
     oracle=f"""
     WITH {_TF_SUM_CTE},

@@ -1321,6 +1321,26 @@ def test_cosine_route_strategy_pins_metric(spark):
     assert info["probe_rows"] > 3000  # scored on the inverted volume
 
 
+def test_solve_simhash_bands_cand_budget():
+    """The walk-back's candidate budget is a parameter (round 11, so
+    the driver certificate can force it): budget=0 on any n>1 corpus
+    reproduces the production large-n decision exactly, a huge budget
+    disables the walk-back, and the default equals SIMHASH_CAND_BUDGET
+    behavior."""
+    # budget=0 with tiny n == default budget with n=500k: same decision
+    assert (
+        S.solve_simhash_bands(0.8, n_docs=9, cand_budget=0)
+        == S.solve_simhash_bands(0.8, n_docs=500_000)
+    )
+    # a huge budget disables the walk-back even at large n
+    assert S.solve_simhash_bands(
+        0.8, n_docs=500_000, cand_budget=10**15
+    )[:2] == (16, 152)
+    # default budget: walk-back engages between 200k and 500k at t=0.8
+    assert S.solve_simhash_bands(0.8, n_docs=200_000)[:2] == (16, 152)
+    assert S.solve_simhash_bands(0.8, n_docs=500_000)[:2] == (20, 256)
+
+
 def test_solve_simhash_bands_ladder():
     """The adaptive banding solve: t=0.9 stays on the r9-certified
     (20, 85); t=0.8 (the reference's default threshold) now fits the
