@@ -22,6 +22,7 @@ from conversation_analysis_tools_spark.queries import behavior  # noqa: F401
 from conversation_analysis_tools_spark.queries import audit  # noqa: F401
 from conversation_analysis_tools_spark.queries import retrieval  # noqa: F401
 from conversation_analysis_tools_spark.queries import mlfilter  # noqa: F401
+from conversation_analysis_tools_spark.queries import ingest  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Verification-priority ordering.

@@ -142,9 +142,35 @@ def ingest_claude(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
 def _bfs_flatten(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per conversation: mapping JSON -> BFS-ordered message rows.
 
-    Mirrors uni_parse.py:380-421: start at root (node with no parent),
-    visit children in order, order_index = visit position. Runs at
-    ingest only; downstream queries are order_index-based.
+    Reference capability: uni_parse.py:380-421 (iterative traversal),
+    :440-505 (row extraction). Four DELIBERATE normalization upgrades
+    over the reference's traversal, certified as-such by the
+    ingest_fixed oracle (round 11) rather than bug-for-bug:
+
+    * ALL roots are visited (sorted by node id); the reference stops
+      at the first parentless node in dict order and silently drops
+      any other root's subtree (uni_parse.py:384-393).
+    * siblings are visited in child-array order; the reference
+      appends ``reversed(children)`` to a ``pop(0)`` FIFO
+      (uni_parse.py:415-421), which visits siblings right-to-left --
+      the comment there says "to process in correct order", the
+      reversal predates the stack->queue switch.
+    * order_index is DENSE over message-bearing nodes; the reference
+      enumerates every visited node so indexes skip at message-less
+      tree roots (uni_parse.py:424,502).
+    * message id prefers the message's own ``id`` (node key as
+      fallback); the reference keys every row by the node id only
+      (uni_parse.py:492).
+
+    Matched to the reference where cheap and observable: sender maps
+    assistant->assistant / user->human / anything else passes through
+    raw (uni_parse.py:448-452); model defaults to 'unknown'
+    (uni_parse.py:477-480); non-string content parts are JSON-dumped
+    (uni_parse.py:461-470 -- compact separators here, the engine-wide
+    to_json convention). Parts are joined with newlines (the
+    reference keeps only parts[0]; multi-part messages are real in
+    modern exports). Runs at ingest only; downstream queries are
+    order_index-based.
     """
     for pdf in pdf_iter:
         out = []
@@ -167,9 +193,12 @@ def _bfs_flatten(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     continue
                 author = (msg.get("author") or {}).get("role") or ""
                 parts = (msg.get("content") or {}).get("parts") or []
-                # non-string parts JSON-dumped (uni_parse.py:461-470)
+                # non-string parts JSON-dumped (uni_parse.py:461-470);
+                # compact separators = the engine's to_json convention
                 text = "\n".join(
-                    p if isinstance(p, str) else json.dumps(p) for p in parts if p
+                    p if isinstance(p, str) else json.dumps(p, separators=(",", ":"))
+                    for p in parts
+                    if p
                 )
                 ct = msg.get("create_time")
                 meta = msg.get("metadata") or {}
@@ -178,7 +207,13 @@ def _bfs_flatten(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "id": msg.get("id") or node_id,
                         "conversation_id": conv_id,
                         "parent_id": node.get("parent"),
-                        "sender": "human" if author == "user" else "assistant",
+                        # uni_parse.py:448-452: assistant/user mapped,
+                        # any other role passes through raw
+                        "sender": (
+                            "human"
+                            if author == "user"
+                            else "assistant" if author == "assistant" else author
+                        ),
                         "role": author,  # raw author.role (uni_parse.py:447)
                         "content": text[:MAX_CONTENT_CHARS],
                         "created_at": (
@@ -186,7 +221,7 @@ def _bfs_flatten(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                             if ct
                             else None
                         ),
-                        "model": meta.get("model_slug") or "chatgpt",
+                        "model": meta.get("model_slug") or "unknown",  # uni_parse.py:477-480
                         "order_index": idx,
                         "metadata": json.dumps({"node_id": node_id}),
                     }
@@ -216,12 +251,25 @@ def ingest_chatgpt(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame
         F.to_timestamp(F.from_unixtime(F.col("update_time"))).alias("updated_at"),
         F.lit(None).cast("string").alias("account_id"),  # always NULL (uni_parse.py:367)
         conv_id.cast("string").alias("original_id"),
-        F.lit("{}").alias("metadata"),
+        # minimal metadata {"id": conv_id} (uni_parse.py:369)
+        F.to_json(F.struct(conv_id.cast("string").alias("id"))).alias("metadata"),
     )
 
-    trees = raw.select(
-        conv_id.cast("string").alias("conv_id"),
-        F.to_json(F.col("mapping")).alias("mapping_json"),
+    # The tree is re-read with mapping pinned to StringType so the
+    # flatten parses the RAW JSON (real dicts for non-string content
+    # parts). Round-trip through the inferred struct + to_json is
+    # LOSSY here: inference coerces a heterogeneous parts array to
+    # array<string>, turning object parts into whitespace-preserving
+    # source spans -- ingested content would depend on export file
+    # formatting (caught by the ingest_fixed oracle, round 11).
+    trees = (
+        spark.read.option("multiLine", "true")
+        .schema("conversation_id string, id string, mapping string")
+        .json(path)
+        .select(
+            F.coalesce(F.col("conversation_id"), F.col("id")).alias("conv_id"),
+            F.col("mapping").alias("mapping_json"),
+        )
     )
     msgs = trees.mapInPandas(_bfs_flatten, schema=MESSAGES_SCHEMA)
     return convs, msgs
@@ -241,17 +289,41 @@ def ingest_file(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
 # ---------------------------------------------------------------------------
 
 
-def upsert_parquet(df: DataFrame, path: str, key: str = "id") -> None:
+def upsert_parquet(
+    df: DataFrame, path: str, key: str = "id", latest_by: str | None = None
+) -> None:
     """INSERT OR REPLACE semantics on parquet: union with the existing
     table (if any), keep the newest row per key, atomic overwrite.
     (On a production lake this is a Delta/Iceberg MERGE; plain parquet
-    needs the read-union-rewrite.)"""
+    needs the read-union-rewrite.)
+
+    The reference's sequential INSERT OR REPLACE (uni_parse.py:547-569)
+    makes the LAST row per key win deterministically; a distributed
+    frame has no "last" without an ordering, so precedence here is
+    explicit: rows from ``df`` beat rows already in the store, and
+    within ``df`` the row with the greatest ``latest_by`` value wins
+    (e.g. ``order_index`` for re-exported conversations, where the
+    last occurrence in file order carries the highest index). Without
+    ``latest_by``, duplicate keys WITHIN one batch resolve
+    arbitrarily -- pass it whenever a batch can carry duplicate keys."""
+    from pyspark.sql.window import Window
+
     spark = df.sparkSession
+    tagged = df.withColumn("_src", F.lit(1))
     try:
-        existing = spark.read.parquet(path)
-        merged = df.unionByName(existing).dropDuplicates([key])
+        existing = spark.read.parquet(path).withColumn("_src", F.lit(0))
+        merged = tagged.unionByName(existing)
     except Exception:  # no existing table
-        merged = df.dropDuplicates([key])
+        merged = tagged
+    order = [F.desc("_src")] + (
+        [F.desc(latest_by)] if latest_by is not None else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    merged = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
     merged.write.mode("overwrite").parquet(path)
 
 

@@ -129,6 +129,27 @@ def test_upsert_keeps_latest(spark, tmp_path):
     assert rows == {"a": 1, "b": 2, "c": 2}
 
 
+def test_upsert_latest_by_within_batch(spark, tmp_path):
+    """Round 11: INSERT OR REPLACE precedence is explicit -- the new
+    batch beats the store per key, and within a batch the row with
+    the greatest latest_by wins (the reference's sequential last-row-
+    wins, uni_parse.py:547-569, made deterministic distributed)."""
+    path = str(tmp_path / "t.parquet")
+    df1 = spark.createDataFrame(
+        [("a", 0, "first"), ("a", 1, "second"), ("b", 0, "only")],
+        "id string, oi int, v string",
+    )
+    upsert_parquet(df1, path, latest_by="oi")
+    df2 = spark.createDataFrame(
+        [("a", 0, "replaced")], "id string, oi int, v string"
+    )
+    upsert_parquet(df2, path, latest_by="oi")
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    # in-batch dup resolved by oi ('second'), then batch 2 replaces it
+    # despite its LOWER oi -- batch precedence outranks latest_by
+    assert rows == {"a": "replaced", "b": "only"}
+
+
 def test_compact_parquet_reduces_files(spark, tmp_path):
     import os
 
