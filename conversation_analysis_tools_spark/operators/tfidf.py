@@ -75,15 +75,26 @@ def idf_from_counts(
     """Per-term IDF from the (id, term, cnt) table.
 
     ``counts`` rows are already distinct (id, term), so df is a plain
-    ``count(*)`` per term -- re-aggregating the compact counts table
-    instead of running a second countDistinct shuffle over the raw
-    token stream. Same result as ``idf``; preferred whenever the
-    counts table is already materialized (it usually is: TF needs it).
+    count per term -- re-aggregating the compact counts table instead
+    of running a second countDistinct shuffle over the raw token
+    stream. Same result as ``idf``; preferred whenever the counts
+    table is already materialized (it usually is: TF needs it).
+
+    The count deliberately references ``cnt`` (count of a never-null
+    column == count(*)): with ``count(*)`` the optimizer prunes
+    ``cnt`` and rewrites this branch into a distinct, so its
+    (id, term) exchange no longer canonicalizes equal to the TF
+    branch's and ReuseExchange cannot fire -- the corpus is then
+    scanned and tokenized TWICE in every unpersisted two-consumer
+    plan (nlp_tfidf measured two ~0.75 s tokenize stages at sf0.1;
+    at 100 TB that is a second full pass over the corpus). Keeping
+    ``cnt`` in the branch makes both subtrees identical up to the
+    shared exchange, which Spark then materializes once.
     """
     n = F.lit(corpus_size) if isinstance(corpus_size, int) else corpus_size
     return (
         counts.groupBy("term")
-        .agg(F.count("*").alias("df"))
+        .agg(F.count("cnt").alias("df"))
         .select("term", F.log(n / (F.lit(1) + F.col("df"))).alias("idf"))
     )
 
