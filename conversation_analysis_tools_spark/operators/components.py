@@ -115,7 +115,15 @@ def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[hi] = lo
     out = [(n, find(n)) for n in parent]
     spark = edges.sparkSession
-    return spark.createDataFrame(out, schema=f"id {_id_type(edges, src)}, component {_id_type(edges, src)}")
+    # broadcast hint: this relation just fit in DRIVER memory (the
+    # local strategy's precondition), so it always fits a broadcast.
+    # Without the hint, downstream joins of the component table (the
+    # pipeline's is_duplicate flag) plan a sort-merge join whose two
+    # exchanges + sorts dominate the join of a corpus-sized left side
+    # against this small createDataFrame relation (no stats).
+    return spark.createDataFrame(
+        out, schema=f"id {_id_type(edges, src)}, component {_id_type(edges, src)}"
+    ).hint("broadcast")
 
 
 def _id_type(edges: DataFrame, col: str) -> str:

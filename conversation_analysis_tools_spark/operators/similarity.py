@@ -565,9 +565,21 @@ def duplicate_pairs(
             # aggregation (volume + vocabulary size) + one HLL doc
             # count ONLY when the vocabulary is dense-plan-small.
             tf_df = track(tf_df)
+            # ONE probe job (round 11, guide §2.3/§2.4): the per-term
+            # df aggregation carries a DataSketches HLL partial of the
+            # doc ids, merged in the same global aggregate -- the doc
+            # count used to be a SECOND approx_count_distinct pass
+            # over the whole tf table (a full extra corpus-derivative
+            # pass at scale; one of two sequential probe jobs in every
+            # route='auto' call). Default sketch lgConfigK=12 gives
+            # ~1.6% relative std error, inside the 2% the fence's
+            # 0.95 derate was sized for.
             stats = (
                 tf_df.groupBy("term")
-                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(
+                    F.count(F.lit(1)).alias("df"),
+                    F.hll_sketch_agg(id_col).alias("_sk"),
+                )
                 .agg(
                     F.sum(
                         F.col("df").cast("double")
@@ -575,21 +587,17 @@ def duplicate_pairs(
                         / 2.0
                     ).alias("rows"),
                     F.count(F.lit(1)).alias("vocab"),
+                    F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("n"),
                 )
                 .first()
             )
             inv_rows = float(stats["rows"] or 0.0)
             vocab = int(stats["vocab"] or 0)
-            # the HLL doc count (rsd=0.02, +-2% std dev) serves two
-            # deciders: the dense feasibility fence below, and the
-            # routed path's volume-aware banding solve (the random-
-            # collision floor is quadratic in n -- see
-            # solve_simhash_bands)
-            n_docs = int(
-                tf_df.agg(
-                    F.approx_count_distinct(id_col, rsd=0.02).alias("n")
-                ).first()["n"]
-            )
+            # the HLL doc count serves two deciders: the dense
+            # feasibility fence below, and the routed path's
+            # volume-aware banding solve (the random-collision floor
+            # is quadratic in n -- see solve_simhash_bands)
+            n_docs = int(stats["n"] or 0)
             dense_ok = False
             est = inv_rows
             # The dense-metric branch must only fire when execution can
@@ -603,8 +611,9 @@ def duplicate_pairs(
             # the fence would otherwise declare dense feasible here and
             # then silently fall back to the inverted plan -- the
             # measured JVM-kill regime this router exists to prevent.
-            # 0.95 = 2.5 sigma at rsd=0.02; corpora landing in the
-            # derate band route on the (conservative) inverted metric.
+            # 0.95 = ~3 sigma at the sketch's ~1.6% rse; corpora in
+            # the derate band route on the (conservative) inverted
+            # metric.
             if vocab <= SMALL_VOCAB_LIMIT and strategy in ("auto", "dense"):
                 dense_ok = n_docs <= 0.95 * DENSE_MAX_N
                 if dense_ok:
