@@ -28,10 +28,19 @@ from conversation_analysis_tools_spark.functions.text import tokens_with_dupes_e
 
 
 def explode_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, text) -> (id, term) multiset, reference tokenizer."""
+    """(id, text) -> (id, term) multiset, reference tokenizer.
+
+    The trailing ``isnotnull(term)`` filter is a no-op (regexp matches
+    are never null) kept for plan alignment: downstream inner joins on
+    term infer exactly this filter into ONE consumer branch of the
+    shared token table, which stops the TF and IDF subtrees
+    canonicalizing equal and blocks ReuseExchange -- with it present
+    in both branches the (id, term) exchange is built once and reused
+    instead of scanning and tokenizing the corpus twice.
+    """
     return df.select(
         F.col(id_col), F.explode(tokens_with_dupes_expr(text_col)).alias("term")
-    )
+    ).where(F.col("term").isNotNull())
 
 
 def term_counts(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -80,21 +89,25 @@ def idf_from_counts(
     stream. Same result as ``idf``; preferred whenever the counts
     table is already materialized (it usually is: TF needs it).
 
-    The count deliberately references ``cnt`` (count of a never-null
-    column == count(*)): with ``count(*)`` the optimizer prunes
-    ``cnt`` and rewrites this branch into a distinct, so its
-    (id, term) exchange no longer canonicalizes equal to the TF
-    branch's and ReuseExchange cannot fire -- the corpus is then
-    scanned and tokenized TWICE in every unpersisted two-consumer
-    plan (nlp_tfidf measured two ~0.75 s tokenize stages at sf0.1;
-    at 100 TB that is a second full pass over the corpus). Keeping
-    ``cnt`` in the branch makes both subtrees identical up to the
-    shared exchange, which Spark then materializes once.
+    The count deliberately references ``cnt`` through a predicate the
+    optimizer cannot fold (``count(when(cnt >= 1, 1))`` == count(*),
+    since cnt >= 1 always): with a plain ``count(*)`` -- or even
+    ``count(cnt)``, which NullPropagation folds back to ``count(1)``
+    because cnt is non-nullable -- column pruning rewrites this
+    branch into a distinct, its (id, term) exchange no longer
+    canonicalizes equal to the TF branch's, and exchange reuse cannot
+    fire: the corpus is then scanned and tokenized TWICE in every
+    unpersisted two-consumer plan (at 100 TB a second full pass over
+    the corpus). With the opaque predicate both subtrees stay
+    identical up to the shared exchange (together with
+    explode_tokens's isnotnull alignment filter), which AQE then
+    materializes once: nlp_tfidf's event-log profile drops from two
+    ~0.4 s tokenize jobs to one.
     """
     n = F.lit(corpus_size) if isinstance(corpus_size, int) else corpus_size
     return (
         counts.groupBy("term")
-        .agg(F.count("cnt").alias("df"))
+        .agg(F.count(F.when(F.col("cnt") >= 1, 1)).alias("df"))
         .select("term", F.log(n / (F.lit(1) + F.col("df"))).alias("idf"))
     )
 
