@@ -51,8 +51,19 @@ def keyword_tfidf_scores(
     idf_df = T.idf_from_counts(counts, n_docs, id_col)
     tfidf_df = T.tfidf(tf, idf_df, id_col)
     kw = [k.lower() for k in keywords]
+    # Keyword restriction as a broadcast join against a literal
+    # relation, NOT ``term.isin(kw)``: term is a grouping key of every
+    # aggregate under the IDF branch, so an isin predicate pushes all
+    # the way below the shared (id, term) exchange and de-aligns that
+    # branch from the density/TF consumers -- the corpus then pays a
+    # second scan+tokenize just to build IDF for a handful of terms.
+    # The join applies the same restriction above the aggregates, the
+    # three branches stay canonicalization-equal, and the token table
+    # is scanned and shuffled exactly once per plan.
+    kw_df = docs.sparkSession.createDataFrame([(k,) for k in kw], "term string")
     per_doc = (
-        tfidf_df.where(F.col("term").isin(kw) & (F.col("tfidf") > 0))
+        tfidf_df.join(F.broadcast(kw_df), "term")
+        .where(F.col("tfidf") > 0)
         .groupBy(id_col)
         .agg((F.sum("tfidf") / F.lit(len(keywords))).alias("tfidf_score"))
     )
@@ -81,9 +92,16 @@ def score_documents(
     2.5 s of nlp_relevance's 9.7 s at sf1, per branch). Docs whose
     text yields no tokens fall out of the exploded grain and rejoin
     with all-zero scores, the reference value. When the caller does
-    not pass a shared ``counts``, the one built here is track()'d:
-    three consumers (density agg, tf window, idf agg) would
-    otherwise re-run tokenize+count per branch."""
+    not pass a shared ``counts``, the one built here is left
+    UNPERSISTED: all three consumers (density agg, tf window, idf
+    agg) sit in ONE plan and share the (id, term) exchange at
+    runtime (the explode_tokens/idf_from_counts canonicalization
+    alignment), so the token stream is scanned and shuffled once
+    without paying the cache fill-and-decompress barrier the old
+    track() added (measured ~0.5 s of nlp_relevance's ~3.4 s at
+    sf0.1). Callers whose consumers span SEPARATE jobs (the
+    pipeline's route probe) still pass a persisted ``counts`` --
+    exchange reuse cannot cross jobs."""
     w = dict(weights or DEFAULT_WEIGHTS)
     total = sum(w.values())
     # Same ulp-drift guard as priority.combined_score_expr: 0.3+0.4+0.3
@@ -92,12 +110,8 @@ def score_documents(
     if abs(total - 1.0) > 1e-12:
         w = {k: v / total for k, v in w.items()}
 
-    from conversation_analysis_tools_spark.operators.cache import track
-
     if counts is None:
-        counts = track(
-            T.term_counts(T.explode_tokens(docs, id_col, text_col), id_col)
-        )
+        counts = T.term_counts(T.explode_tokens(docs, id_col, text_col), id_col)
     kw = [k.lower() for k in keywords]
     is_kw = F.col("term").isin(kw)
     dens = counts.groupBy(id_col).agg(

@@ -30,17 +30,21 @@ from conversation_analysis_tools_spark.functions.text import tokens_with_dupes_e
 def explode_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, text) -> (id, term) multiset, reference tokenizer.
 
-    The trailing ``isnotnull(term)`` filter is a no-op (regexp matches
-    are never null) kept for plan alignment: downstream inner joins on
-    term infer exactly this filter into ONE consumer branch of the
-    shared token table, which stops the TF and IDF subtrees
-    canonicalizing equal and blocks ReuseExchange -- with it present
-    in both branches the (id, term) exchange is built once and reused
-    instead of scanning and tokenizing the corpus twice.
+    The trailing ``isnotnull`` filters are no-ops on engine corpora
+    (ids are primary keys, regexp matches are never null) kept for
+    plan alignment: joins downstream of the shared token table infer
+    exactly these filters into SOME consumer branches but not others
+    (an inner join on term adds isnotnull(term); a left join back to
+    docs adds isnotnull(id) -- pushed all the way into that branch's
+    parquet scan), which stops the branches canonicalizing equal and
+    blocks exchange reuse. With both filters always present, every
+    consumer of the (id, term) exchange shares ONE scan + tokenize +
+    partial-aggregate instead of paying a full corpus pass per
+    branch.
     """
     return df.select(
         F.col(id_col), F.explode(tokens_with_dupes_expr(text_col)).alias("term")
-    ).where(F.col("term").isNotNull())
+    ).where(F.col(id_col).isNotNull() & F.col("term").isNotNull())
 
 
 def term_counts(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
