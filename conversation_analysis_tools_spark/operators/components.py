@@ -78,8 +78,18 @@ def connected_components(
     # edge-producing plan -- e.g. the all-pairs similarity join
     edges = track(edges)
     if strategy == "auto":
-        probe = edges.limit(SMALL_GRAPH_LIMIT + 1).count()
-        strategy = "local" if probe <= SMALL_GRAPH_LIMIT else "star"
+        # Fused probe+collect (one materialization, not two): take up
+        # to LIMIT+1 edge rows. At or under the limit those rows ARE
+        # the whole graph -- solve on them directly instead of
+        # re-reading the (persisted) edge plan a second time; over the
+        # limit the bounded head (~8 MB of id pairs) is discarded and
+        # the diameter-robust star path runs. executeTake also scans
+        # incrementally, so huge edge plans often probe FEWER
+        # partitions than the old limit+count job did.
+        head = edges.select(src, dst).limit(SMALL_GRAPH_LIMIT + 1).collect()
+        if len(head) <= SMALL_GRAPH_LIMIT:
+            return _cc_local_rows(head, edges, src)
+        strategy = "star"
     if strategy == "local":
         return _cc_local(edges, src, dst)
     if strategy == "star":
@@ -95,7 +105,13 @@ def connected_components(
 
 def _cc_local(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Driver-side union-find over a collected (small) edge list."""
-    rows = edges.select(src, dst).collect()
+    return _cc_local_rows(edges.select(src, dst).collect(), edges, src)
+
+
+def _cc_local_rows(rows, edges: DataFrame, src: str) -> DataFrame:
+    """Union-find core over already-collected (src, dst) rows --
+    shared by the explicit ``local`` strategy and the fused auto-probe
+    (which already holds the full edge list when it decides local)."""
     parent: dict = {}
 
     def find(x):
