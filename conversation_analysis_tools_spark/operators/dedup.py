@@ -1435,15 +1435,26 @@ def substring_span_stats(
     transform+explode -- no self-join), 8-byte xxhash64 span keys
     hashed straight off the token columns (internal grouping identity
     only; switching from 32-char md5-of-joined-string strings measured
-    5.7x on the dup-heavy 10x corpus), ONE shuffle on span_hash to
-    count distinct docs per span, then a second shuffle back on doc_id
-    for per-doc totals; partial aggregation combines map-side.
+    5.7x on the dup-heavy 10x corpus), then exactly TWO shuffles of
+    16-byte rows: a min/max window over span_hash marks each span row
+    cross-doc in one pass (min(id) != max(id) over the hash partition
+    == 'appears in >= 2 distinct docs'), and one groupBy doc_id folds
+    the flags into per-doc totals (count(*) over the span rows IS
+    n_spans, so the old separate per-doc arithmetic branch and its
+    second tokenize pass are gone). The span table has a single
+    consumer, so nothing is persisted. A pathologically hot span
+    (one boilerplate window in most docs) concentrates its rows in
+    one window partition; its size is bounded by the corpus doc
+    count, and production-scale mitigation is the standard hot-key
+    split (section 2.5 of the optimization playbook).
     Production width is ~50 tokens; the synthetic corpus's short docs
     use a smaller window.
 
     Docs with fewer than `width` tokens have no spans and are absent
     (same contract as unigram_logprob for empty docs).
     """
+    from pyspark.sql import Window
+
     from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
 
     toks = df.select(F.col(id_col), raw_tokens_expr(text_col).alias("_toks"))
@@ -1460,42 +1471,28 @@ def substring_span_stats(
             lambda i: F.xxhash64(*[F.get(arr, i + j) for j in range(width)]),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    # three consumers (distinct-doc counts, per-doc totals, dup join)
-    # and no exchange reuse across them -- persist or the width-token
-    # md5 window expansion runs three times (measured, same shape as
-    # the simhash signature reuse)
-    spans = track(
-        toks.select(F.col(id_col), F.explode(span_hashes).alias("span_hash"))
-    )
+    spans = toks.select(F.col(id_col), F.explode(span_hashes).alias("span_hash"))
 
-    # distinct (doc, span) first so a span repeated WITHIN one doc
-    # counts that doc once; count(*) over the distinct set == distinct
-    # doc count without an expensive count-distinct state per key
-    hash_ndocs = (
-        spans.select(id_col, "span_hash")
-        .distinct()
-        .groupBy("span_hash")
-        .agg(F.count("*").alias("n_docs"))
+    # a span is cross-doc iff >= 2 DISTINCT docs carry it; min/max of
+    # the doc id over the hash partition answers that without the
+    # distinct->count->join-back detour (a span repeated only WITHIN
+    # one doc has min == max and stays non-dup, same as before)
+    w = Window.partitionBy("span_hash")
+    flagged = spans.select(
+        F.col(id_col),
+        (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("_cross"),
     )
-    # span count is arithmetic on the token count -- no groupBy over
-    # the exploded spans, no hash evaluation
-    per_doc = toks.select(
-        F.col(id_col), (F.size(arr) - F.lit(width - 1)).alias("n_spans")
-    ).where(F.col("n_spans") > 0)
-    dup_per_doc = (
-        spans.join(hash_ndocs.where(F.col("n_docs") >= 2), "span_hash")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_dup_spans"))
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("_n_spans"),
+        F.sum(F.when(F.col("_cross"), 1).otherwise(0)).alias("_n_dup"),
     )
-    n_dup = F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint")
-    return (
-        per_doc.join(dup_per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_spans").cast("bigint").alias("n_spans"),
-            n_dup.alias("n_dup_spans"),
-            F.round(n_dup * 1.0 / F.col("n_spans"), 6).alias("dup_fraction"),
-        )
+    n_spans = F.col("_n_spans").cast("bigint")
+    n_dup = F.col("_n_dup").cast("bigint")
+    return per_doc.select(
+        F.col(id_col),
+        n_spans.alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        F.round(n_dup * 1.0 / n_spans, 6).alias("dup_fraction"),
     )
 
 
@@ -1515,13 +1512,21 @@ def remove_duplicate_spans(
     stream -- span dedup operates on token sequences, not surface
     bytes): (id, n_tokens, n_removed, cleaned_text).
 
-    Plan: posexplode keeps each span's start index; ONE shuffle on
-    span_hash marks cross-doc hashes; dup starts come back as a
-    per-doc sorted array (bounded by doc length); the coverage test
-    and text rebuild are then row-local higher-order functions --
-    no further shuffle, no UDF. At 100 TB the heavy relation is the
-    span table, same footprint as the stats operator.
+    Plan: posexplode keeps each span's start index; a min/max window
+    over span_hash marks each span row cross-doc in ONE pass of the
+    24-byte span rows (min(id) != max(id) over the hash partition ==
+    'appears in >= 2 distinct docs' -- the old distinct -> count ->
+    semi-join-back detour shuffled the same rows three more times and
+    needed the span table persisted for its two consumers); dup
+    starts come back as a per-doc sorted array (bounded by doc
+    length); the coverage test and text rebuild are then row-local
+    higher-order functions -- no further shuffle, no UDF. Only the
+    token table keeps its persist (the rebuild join re-reads it).
+    At 100 TB the heavy relation is the span table, same footprint
+    as the stats operator.
     """
+    from pyspark.sql import Window
+
     from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
 
     toks_df = track(
@@ -1540,20 +1545,18 @@ def remove_duplicate_spans(
             lambda i: F.xxhash64(*[F.get(arr, i + j) for j in range(width)]),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    spans = track(
-        toks_df.select(F.col(id_col), F.posexplode(span_hashes).alias("s", "span_hash"))
+    spans = toks_df.select(
+        F.col(id_col), F.posexplode(span_hashes).alias("s", "span_hash")
     )
 
-    cross_doc = (
-        spans.select(id_col, "span_hash")
-        .distinct()
-        .groupBy("span_hash")
-        .agg(F.count("*").alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("span_hash")
+    w = Window.partitionBy("span_hash")
+    flagged = spans.select(
+        F.col(id_col),
+        F.col("s"),
+        (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("_cross"),
     )
     dup_starts = (
-        spans.join(cross_doc, "span_hash", "left_semi")
+        flagged.where(F.col("_cross"))
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("s")).alias("_starts"))
     )
