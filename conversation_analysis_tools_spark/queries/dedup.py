@@ -533,7 +533,12 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conversation_analysis_tools_spark.operators.bloom import bloom_prefilter
 
     sh = track(D.shingles(_docs(spark, sf_dir)))
-    ev_sh = sh.where(F.col("doc_id") % 10 == 0).select("shingle").distinct()
+    # no .distinct() on the eval side: bloom bit_or is idempotent and
+    # the verify is a LEFT SEMI join (never multiplies probe rows), so
+    # deduping eval shingles only added two full shuffles of the eval
+    # set -- one per consumer -- for identical results; the broadcast
+    # hash relation dedups keys as it builds anyway
+    ev_sh = sh.where(F.col("doc_id") % 10 == 0).select("shingle")
     tr = sh.where(F.col("doc_id") % 10 != 0).select(
         F.col("doc_id").alias("train_id"), "shingle"
     )
