@@ -1905,54 +1905,53 @@ def remove_boilerplate_lines(
     Plan shape (scale notes):
     - explode lines map-side; normalized md5 keys (cross-engine
       portable, so the oracle reproduces the exact candidate set);
-    - one hash-keyed groupBy for distinct-doc counts -- map-combined
-      after the (doc, hash) distinct;
-    - boilerplate hashes (df >= max_df) are a *left-anti* join back on
-      the same line_hash key, so Catalyst reuses the aggregation's
-      partitioning and nothing O(corpus) is broadcast or collected.
-      The universal-boilerplate key is the skew case: AQE skew-join
-      splits it (the anti side carries no payload beyond the hash).
+    - the per-hash distinct-doc count rides ONE shuffle of the line
+      table as two stacked windows over the same (line_hash, id)
+      exchange+sort: dense_rank ordered by id, then its per-partition
+      max -- which IS count(distinct id) -- so the old
+      distinct -> groupBy(hash) -> anti-join-back detour (three more
+      shuffles of the same rows) is gone. The universal-boilerplate
+      hash is the skew case: its rows land in one window partition
+      (bounded by corpus doc count); production mitigation is the
+      standard hot-key split.
     - one final groupBy(id) rebuilds the page with array_sort over
-      (pos, line) structs -- order survives the shuffle by
-      construction, never by accident (the write_json_nested lesson).
+      (pos, line) structs, folding n_lines (count of all line rows),
+      n_kept (count of non-boilerplate rows), and the rebuilt text
+      (collect_list skips the nulls the boilerplate rows produce) in
+      the same pass -- every doc has >= 1 line (split never returns
+      an empty array), so the separate per-doc-totals branch and its
+      left join are unnecessary.
 
     Returns (id, n_lines, n_kept, cleaned).
     """
+    from pyspark.sql import Window
+
     lines = pages.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(page_col), "\n")).alias("pos", "line"),
     ).withColumn("line_hash", F.md5(F.lower(F.trim(F.col("line")))))
 
-    per_doc_lines = pages.select(
-        F.col(id_col), F.size(F.split(F.col(page_col), "\n")).alias("n_lines")
+    wo = Window.partitionBy("line_hash").orderBy(id_col)
+    wp = Window.partitionBy("line_hash")
+    flagged = lines.select(
+        F.col(id_col),
+        "pos",
+        "line",
+        (
+            F.max(F.dense_rank().over(wo)).over(wp) >= F.lit(max_df)
+        ).alias("_boiler"),
     )
-
-    boilerplate = (
-        lines.select(id_col, "line_hash")
-        .distinct()
-        .groupBy("line_hash")
-        .agg(F.count("*").alias("line_df"))
-        .where(F.col("line_df") >= max_df)
-        .select("line_hash")
-    )
-
-    kept = lines.join(boilerplate, "line_hash", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_kept"),
+    keep = ~F.col("_boiler")
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.count(F.when(keep, 1)).cast("bigint").alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "line")))
+                ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("cleaned"),
-    )
-    return (
-        per_doc_lines.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_lines").cast("bigint").alias("n_lines"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
-        )
     )

@@ -1765,30 +1765,34 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
         fp.alias("fp"),
     )
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    kept = (
-        gop.where(F.col("q"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_after_dedup"),
-            F.sum(F.length("red")).alias("kept_chars"),
-        )
+    # the fp-dedup survivor is the min doc_id among quality rows of
+    # each fingerprint -- a window min over ALL gop rows, so the
+    # dedup tallies (n_after_dedup, kept_chars) fold into the SAME
+    # source-grain aggregate as the line/quality funnel counts: one
+    # fp shuffle + one source aggregate instead of two aggregates +
+    # a row_number window on a filtered copy + an extra join
+    min_q_id = F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+        Window.partitionBy("fp")
     )
+    keep1 = F.col("q") & (F.col("doc_id") == min_q_id)
     funnel0 = base.groupBy("source").agg(
         F.count("*").alias("n_total"),
         F.sum(F.when(~F.col("blocked"), 1).otherwise(0)).alias("n_after_domain"),
     )
-    funnel1 = gop.groupBy("source").agg(
-        F.count("*").alias("n_after_lines"),
-        F.sum("n_lines_in").alias("n_lines_in"),
-        F.sum("n_kept").alias("n_lines_kept"),
-        F.sum(F.when(F.col("q"), 1).otherwise(0)).alias("n_after_quality"),
+    funnel1 = (
+        gop.withColumn("_keep1", keep1)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_after_lines"),
+            F.sum("n_lines_in").alias("n_lines_in"),
+            F.sum("n_kept").alias("n_lines_kept"),
+            F.sum(F.when(F.col("q"), 1).otherwise(0)).alias("n_after_quality"),
+            F.count(F.when(F.col("_keep1"), 1)).alias("n_after_dedup"),
+            F.sum(F.when(F.col("_keep1"), F.length("red"))).alias("kept_chars"),
+        )
     )
     return (
         funnel0.join(funnel1, "source", "left")
-        .join(kept, "source", "left")
         .select(
             "source",
             "n_total",
