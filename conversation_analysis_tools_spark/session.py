@@ -238,6 +238,15 @@ def get_spark(
         # falls back per-plan past hugeMethodLimit, so the only cost
         # is compile time on plans that were already near the cap.
         "spark.sql.codegen.maxFields": "600",
+        # PySpark wraps every DataFrame-API call in a call-site
+        # capture (errors/utils._with_origin) that costs a conf.get +
+        # origin set/clear py4j round trip each, plus a Python stack
+        # walk -- ~3 socket round trips per Column/DataFrame method.
+        # Plan-build-heavy operators pay seconds of this (measured:
+        # 4,499 round trips building edit_distance_pairs). The flag
+        # only enriches error MESSAGES with Python call sites; plans
+        # and results are untouched, so it is off engine-wide.
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
         # --- Python boundary: Arrow batches, never per-row pickling ---
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
