@@ -35,20 +35,23 @@ _LOG = logging.getLogger(__name__)
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Repartition a narrow input up to full parallelism when the scan
-    produced fewer splits than cores (small-file case: one parquet
+    would produce fewer splits than cores (small-file case: one parquet
     row-group = one task would serialize the whole shingle/md5 chain).
     The shuffle moves only the raw rows -- far cheaper than computing
     the derived arrays single-threaded. At 100 TB the scan already has
     thousands of splits and this is a no-op.
 
-    ``df.rdd.getNumPartitions()`` forces an RDD conversion of the
-    logical plan -- a bounded, build-time-only cost (no job runs); the
-    DataFrame API exposes no cheaper partition-count probe.
+    Round 12: delegates to the shared stats-probe helper -- the old
+    ``df.rdd.getNumPartitions()`` probe forced an RDD conversion of
+    the logical plan on EVERY build (measured 60-120 ms of py4j per
+    fresh DataFrame; ~4 ms for Catalyst's size estimate), a pure
+    driver-boundary tax on every dedup-family query build (guide §4).
+    Sub-512 KB inputs (fixed certificate corpora) now skip the
+    repartition entirely: value-identical, one exchange fewer.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, key)
-    return df
+    from conversation_analysis_tools_spark.functions.spread import spread_input
+
+    return spread_input(df, key)
 
 # ---------------------------------------------------------------------------
 # shingling
@@ -1414,11 +1417,102 @@ def embedding_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Hot-key-safe plan selection for the span/line dedup family
+#
+# The one-pass min/max-window plans below (round 11) shuffle the span/
+# line table ONCE, but a window partition has no combiner: a UNIVERSAL
+# boilerplate span/line concentrates O(corpus doc count) rows into one
+# window partition with a full sort -- the documented straggler/OOM
+# risk at 100 TB (optimization playbook §2.5; AQE skew handling covers
+# joins only, never windows). The skew-safe twin restructures the same
+# computation so no operator ever needs one key's rows in one task:
+#
+#   1. the per-key GLOBAL aggregate (min/max doc id, distinct-doc
+#      count) runs as a groupBy with map-side partial aggregation --
+#      a hot key reaches the reduce side as <= one partial row per map
+#      task, bounded regardless of df;
+#   2. the per-row attach joins rows to that (small-per-key) table on
+#      a SALTED key: rows carry salt = pmod(xxhash64(id), SKEW_SALT),
+#      the per-key table explodes SKEW_SALT ways, and the join key is
+#      (key, salt) -- the hot key's rows spread over SKEW_SALT
+#      partitions instead of one (the guide's standard hot-key split).
+#
+# Output-identical to the window plan (the tests pin value equality);
+# costs one extra exchange of the span/line table plus the salted
+# replication of the per-key table, which is why it is not the
+# unconditional plan. Gating is by INPUT VOLUME, not a per-call
+# frequency probe: the quantity that makes a hot key dangerous is its
+# row count (df x corpus size), so below SKEW_SAFE_MIN_BYTES even a
+# universal key's window partition is a bounded single task, while
+# above it the safe plan's extra exchange is noise against the scan --
+# and a probe job would pay a full eager pass per call to detect a
+# condition the safe plan tolerates for free. The estimate comes from
+# Catalyst's own plan statistics (driver-side, no job).
+# ---------------------------------------------------------------------------
+
+#: Input-size threshold above which the span/line dedup operators use
+#: the skew-safe two-phase plan. 1 GiB of input text is ~10^8 short
+#: lines/spans: the worst-case (universal-key) window partition at
+#: that size is a heavy-but-finite single task, while past it the
+#: unbounded partition becomes the straggler the playbook warns about.
+#: Every driver corpus (sf0.001-sf0.1, and the sf1/sf10 probes) sits
+#: far below, so certified bench plans are unchanged.
+SKEW_SAFE_MIN_BYTES = 1 << 30
+
+#: Salt fan-out for the skew-safe attach join: the hot key's rows
+#: spread over this many partitions. 64 bounds the per-key replication
+#: of the (tiny) per-key table while cutting the hot partition 64x;
+#: production can raise it toward the shuffle partition count.
+SKEW_SALT = 64
+
+
+def _skew_safe_engaged(df: DataFrame, skew_safe: bool | None) -> bool:
+    """Resolve the span/line family's ``skew_safe`` tri-state: explicit
+    True/False pins the plan; None sizes the decision from Catalyst's
+    input-size estimate (driver-side metadata, no job)."""
+    if skew_safe is not None:
+        return skew_safe
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 -- estimation must never kill the plan
+        return False
+    # Catalyst reports spark.sql.defaultSizeInBytes (Long.MaxValue)
+    # for relations it cannot size (in-memory/RDD-backed inputs, e.g.
+    # test corpora): that is "unknown", not "huge" -- keep the
+    # one-pass plan there rather than pessimizing every
+    # createDataFrame input.
+    if est >= 1 << 60:
+        return False
+    return est > SKEW_SAFE_MIN_BYTES
+
+
+def _salted_cross_flags(
+    rows: DataFrame, keys: DataFrame, key_col: str, id_col: str
+) -> DataFrame:
+    """Skew-safe attach: keep the ``rows`` whose ``key_col`` appears in
+    ``keys`` (single-column relation), joining on a salted key so a
+    hot key's rows spread over SKEW_SALT partitions. Semantically a
+    left-semi join on ``key_col``: a row matches iff its (key, salt)
+    is in the exploded table, which holds iff its key is in ``keys``."""
+    salted = rows.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(SKEW_SALT)).cast("int")
+    )
+    exploded = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1))).alias("_salt"),
+    )
+    return salted.join(exploded, [key_col, "_salt"], "left_semi").drop("_salt")
+
+
 def substring_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     width: int = 8,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Per-document exact substring-span duplication: for each doc, how
     many of its width-`width` token windows also appear verbatim in at
@@ -1444,9 +1538,16 @@ def substring_span_stats(
     second tokenize pass are gone). The span table has a single
     consumer, so nothing is persisted. A pathologically hot span
     (one boilerplate window in most docs) concentrates its rows in
-    one window partition; its size is bounded by the corpus doc
-    count, and production-scale mitigation is the standard hot-key
-    split (section 2.5 of the optimization playbook).
+    one window partition; below SKEW_SAFE_MIN_BYTES of input that
+    partition is a bounded single task, and past it (or with
+    ``skew_safe=True``) the operator switches to the two-phase
+    hot-key-safe twin documented at :data:`SKEW_SAFE_MIN_BYTES`:
+    per-hash min/max via a map-side-combined groupBy (a hot key
+    reduces to one partial row per map task), per-doc dup counts via
+    the salted semi-join attach, and per-doc span totals computed
+    map-only from the token array (size - width + 1) so the span
+    table is never re-grouped at row grain. Output-identical either
+    way (pinned by tests).
     Production width is ~50 tokens; the synthetic corpus's short docs
     use a smaller window.
 
@@ -1457,7 +1558,14 @@ def substring_span_stats(
 
     from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
 
-    toks = df.select(F.col(id_col), raw_tokens_expr(text_col).alias("_toks"))
+    # spread to scan parallelism (round 12, guide §2.5/§6): the
+    # tokenize + per-position xxhash chain otherwise runs as one task
+    # on single-row-group corpora
+    from conversation_analysis_tools_spark.functions.spread import spread_input
+
+    toks = spread_input(df, id_col).select(
+        F.col(id_col), raw_tokens_expr(text_col).alias("_toks")
+    )
     arr = F.col("_toks")
     # span identity is INTERNAL (grouping only, never emitted), so an
     # 8-byte xxhash64 over the window's token columns replaces the
@@ -1473,19 +1581,45 @@ def substring_span_stats(
     ).otherwise(F.array().cast("array<bigint>"))
     spans = toks.select(F.col(id_col), F.explode(span_hashes).alias("span_hash"))
 
-    # a span is cross-doc iff >= 2 DISTINCT docs carry it; min/max of
-    # the doc id over the hash partition answers that without the
-    # distinct->count->join-back detour (a span repeated only WITHIN
-    # one doc has min == max and stays non-dup, same as before)
-    w = Window.partitionBy("span_hash")
-    flagged = spans.select(
-        F.col(id_col),
-        (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("_cross"),
-    )
-    per_doc = flagged.groupBy(id_col).agg(
-        F.count("*").alias("_n_spans"),
-        F.sum(F.when(F.col("_cross"), 1).otherwise(0)).alias("_n_dup"),
-    )
+    if _skew_safe_engaged(df, skew_safe):
+        # two-phase hot-key-safe twin: per-hash global min/max with
+        # map-side combine, salted semi-join attach, per-doc totals
+        # map-only from the token array (size - width + 1 == count of
+        # exploded positions, the same quantity the window plan
+        # counts row-wise)
+        cross = (
+            spans.groupBy("span_hash")
+            .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+            .where(F.col("_mn") != F.col("_mx"))
+            .select("span_hash")
+        )
+        dup_per_doc = (
+            _salted_cross_flags(spans, cross, "span_hash", id_col)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("_n_dup"))
+        )
+        base = toks.where(F.size(arr) >= width).select(
+            F.col(id_col),
+            (F.size(arr) - F.lit(width - 1)).cast("long").alias("_n_spans"),
+        )
+        per_doc = base.join(dup_per_doc, id_col, "left").withColumn(
+            "_n_dup", F.coalesce(F.col("_n_dup"), F.lit(0))
+        )
+    else:
+        # a span is cross-doc iff >= 2 DISTINCT docs carry it; min/max
+        # of the doc id over the hash partition answers that without
+        # the distinct->count->join-back detour (a span repeated only
+        # WITHIN one doc has min == max and stays non-dup, same as
+        # before)
+        w = Window.partitionBy("span_hash")
+        flagged = spans.select(
+            F.col(id_col),
+            (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("_cross"),
+        )
+        per_doc = flagged.groupBy(id_col).agg(
+            F.count("*").alias("_n_spans"),
+            F.sum(F.when(F.col("_cross"), 1).otherwise(0)).alias("_n_dup"),
+        )
     n_spans = F.col("_n_spans").cast("bigint")
     n_dup = F.col("_n_dup").cast("bigint")
     return per_doc.select(
@@ -1501,6 +1635,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     width: int = 8,
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Cut cross-document duplicated spans OUT of each document (the
     transformation half of Lee et al. 2022's exact substring dedup --
@@ -1523,14 +1658,25 @@ def remove_duplicate_spans(
     higher-order functions -- no further shuffle, no UDF. Only the
     token table keeps its persist (the rebuild join re-reads it).
     At 100 TB the heavy relation is the span table, same footprint
-    as the stats operator.
+    as the stats operator; past SKEW_SAFE_MIN_BYTES of input (or with
+    ``skew_safe=True``) the window is replaced by the two-phase
+    hot-key-safe twin (map-side-combined per-hash min/max + salted
+    semi-join attach) so a universal boilerplate span can never pin
+    one window partition. Output-identical either way (pinned by
+    tests).
     """
     from pyspark.sql import Window
 
     from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
 
+    from conversation_analysis_tools_spark.functions.spread import spread_input
+
+    # spread to scan parallelism (round 12, guide §2.5/§6) before the
+    # tokenize; the persisted token table then also caches spread
     toks_df = track(
-        df.select(F.col(id_col), raw_tokens_expr(text_col).alias("_toks"))
+        spread_input(df, id_col).select(
+            F.col(id_col), raw_tokens_expr(text_col).alias("_toks")
+        )
     )
     arr = F.col("_toks")
     # span identity is INTERNAL (grouping only, never emitted), so an
@@ -1549,17 +1695,34 @@ def remove_duplicate_spans(
         F.col(id_col), F.posexplode(span_hashes).alias("s", "span_hash")
     )
 
-    w = Window.partitionBy("span_hash")
-    flagged = spans.select(
-        F.col(id_col),
-        F.col("s"),
-        (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("_cross"),
-    )
-    dup_starts = (
-        flagged.where(F.col("_cross"))
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("s")).alias("_starts"))
-    )
+    if _skew_safe_engaged(df, skew_safe):
+        # two-phase hot-key-safe twin (see SKEW_SAFE_MIN_BYTES): the
+        # per-hash min/max groupBy partial-aggregates map-side, the
+        # salted semi-join spreads a universal span's rows over
+        # SKEW_SALT partitions
+        cross = (
+            spans.groupBy("span_hash")
+            .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+            .where(F.col("_mn") != F.col("_mx"))
+            .select("span_hash")
+        )
+        dup_starts = (
+            _salted_cross_flags(spans, cross, "span_hash", id_col)
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("s")).alias("_starts"))
+        )
+    else:
+        w = Window.partitionBy("span_hash")
+        flagged = spans.select(
+            F.col(id_col),
+            F.col("s"),
+            (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("_cross"),
+        )
+        dup_starts = (
+            flagged.where(F.col("_cross"))
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("s")).alias("_starts"))
+        )
 
     out = toks_df.join(dup_starts, id_col, "left")
     starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
@@ -1890,6 +2053,7 @@ def remove_boilerplate_lines(
     max_df: int = 5,
     id_col: str = "doc_id",
     page_col: str = "page",
+    skew_safe: bool | None = None,
 ) -> DataFrame:
     """Line-grain cross-document dedup (Wenzek et al. 2019 CCNet; the
     RefinedWeb/C4 "seen-before" rule): hash every normalized line,
@@ -1912,8 +2076,18 @@ def remove_boilerplate_lines(
       distinct -> groupBy(hash) -> anti-join-back detour (three more
       shuffles of the same rows) is gone. The universal-boilerplate
       hash is the skew case: its rows land in one window partition
-      (bounded by corpus doc count); production mitigation is the
-      standard hot-key split.
+      (bounded by corpus doc count) -- past SKEW_SAFE_MIN_BYTES of
+      input (or with ``skew_safe=True``) the operator switches to the
+      two-phase hot-key-safe twin: distinct-doc counts as two stacked
+      map-side-combined groupBys ((hash, id) grain spreads a hot hash
+      over the full partition space, then a plain count per hash whose
+      partials combine), boilerplate rows removed by a salted ANTI
+      join (a universal hash's rows spread over SKEW_SALT partitions),
+      and the per-doc line totals computed map-only from the split
+      array. Output-identical either way (pinned by tests); docs whose
+      every line is boilerplate keep their row (n_kept 0, cleaned '').
+    - callers must feed non-null ``page_col`` (ADVICE r11: split(null)
+      drops the doc row entirely; both in-repo callers satisfy this).
     - one final groupBy(id) rebuilds the page with array_sort over
       (pos, line) structs, folding n_lines (count of all line rows),
       n_kept (count of non-boilerplate rows), and the rebuilt text
@@ -1926,10 +2100,73 @@ def remove_boilerplate_lines(
     """
     from pyspark.sql import Window
 
+    from conversation_analysis_tools_spark.functions.spread import spread_input
+
+    # spread to scan parallelism (round 12, guide §2.5/§6): the line
+    # explode + md5 otherwise runs as one task on single-row-group
+    # corpora (the per-doc totals below re-derive from the same spread
+    # relation, so the skew-safe twin's base branch shares it)
+    pages = spread_input(pages, id_col)
     lines = pages.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(page_col), "\n")).alias("pos", "line"),
     ).withColumn("line_hash", F.md5(F.lower(F.trim(F.col("line")))))
+
+    if _skew_safe_engaged(pages, skew_safe):
+        # two-phase hot-key-safe twin (see SKEW_SAFE_MIN_BYTES):
+        # distinct-doc count per hash as two stacked map-side-combined
+        # groupBys -- the (hash, id) grain hashes a universal line
+        # over the whole partition space, and the per-hash count of
+        # those deduped rows combines partial counts map-side, so no
+        # task ever holds one key's full row set
+        boiler = (
+            lines.groupBy("line_hash", id_col)
+            .agg(F.lit(1).alias("_one"))
+            .groupBy("line_hash")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") >= F.lit(max_df))
+            .select("line_hash")
+        )
+        salted = lines.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(SKEW_SALT)).cast("int"),
+        )
+        boiler_exp = boiler.select(
+            "line_hash",
+            F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT - 1))).alias(
+                "_salt"
+            ),
+        )
+        kept_rows = salted.join(
+            boiler_exp, ["line_hash", "_salt"], "left_anti"
+        )
+        # per-doc totals map-only from the split array (split never
+        # yields an empty array, so every doc keeps its row even when
+        # every line was boilerplate)
+        base = pages.select(
+            F.col(id_col),
+            F.size(F.split(F.col(page_col), "\n")).cast("bigint").alias(
+                "n_lines"
+            ),
+        )
+        surv = kept_rows.groupBy(id_col).agg(
+            F.count("*").cast("bigint").alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("_cleaned"),
+        )
+        return base.join(surv, id_col, "left").select(
+            F.col(id_col),
+            "n_lines",
+            F.coalesce(F.col("_n_kept"), F.lit(0)).cast("bigint").alias(
+                "n_kept"
+            ),
+            F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned"),
+        )
 
     wo = Window.partitionBy("line_hash").orderBy(id_col)
     wp = Window.partitionBy("line_hash")

@@ -60,7 +60,14 @@ def keyword_tfidf_scores(
     # The join applies the same restriction above the aggregates, the
     # three branches stay canonicalization-equal, and the token table
     # is scanned and shuffled exactly once per plan.
-    kw_df = docs.sparkSession.createDataFrame([(k,) for k in kw], "term string")
+    # dict.fromkeys dedupes while preserving order: an inner join
+    # against a relation with duplicate terms would multiply tfidf
+    # rows and double-count them in sum('tfidf') -- the old isin
+    # matched each row once regardless (ADVICE r11). len(keywords)
+    # stays the divisor to preserve the reference normalization.
+    kw_df = docs.sparkSession.createDataFrame(
+        [(k,) for k in dict.fromkeys(kw)], "term string"
+    )
     per_doc = (
         tfidf_df.join(F.broadcast(kw_df), "term")
         .where(F.col("tfidf") > 0)

@@ -41,8 +41,23 @@ def explode_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     consumer of the (id, term) exchange shares ONE scan + tokenize +
     partial-aggregate instead of paying a full corpus pass per
     branch.
+
+    The input is spread to full scan parallelism first (round 12,
+    guide §2.5/§6): the corpora arrive as single-row-group parquet, so
+    without the repartition the regex tokenize -- the dominant
+    per-task cost of every token-family query -- runs as ONE task
+    (measured 4.8-5.2 s inside each of nlp_tfidf /
+    pipeline_analysis_results / nlp_duplicate_pairs at sf1 on
+    local[32]). The repartition moves only the narrow (id, text) rows
+    and is a no-op at scale (or under 512 KB); with the exchange
+    sitting BELOW the tokenize, multi-consumer plans reuse the
+    repartition exchange and each branch tokenizes in parallel --
+    2 x (cost/32) beats 1 x cost single-task long before 32-way
+    corpora stop fitting one split.
     """
-    return df.select(
+    from conversation_analysis_tools_spark.functions.spread import spread_input
+
+    return spread_input(df, id_col).select(
         F.col(id_col), F.explode(tokens_with_dupes_expr(text_col)).alias("term")
     ).where(F.col(id_col).isNotNull() & F.col("term").isNotNull())
 

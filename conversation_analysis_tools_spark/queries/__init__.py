@@ -150,10 +150,38 @@ from conversation_analysis_tools_spark.queries import ingest  # noqa: F401
 # 3). Window arithmetic: 1 pin + ~2 never-checked + 41 r7-green = 44
 # of 50; spares go to the oldest r8 rows. Oracled reaches ~188;
 # ceil(188 / 49) = 4 holds with room for 8 more registrations.
+#
+# Round-12 window (VERDICT r11 item 2 -- restore the changed-plan
+# pinning contract): the r11 pin cleared (pipeline_analysis_results
+# green r11). Round 11 changed NINE more plans but pinned only one;
+# the other eight rode the builder's self-run full-registry gate.
+# This round pins the full r11 changed-plan set so the driver
+# independently re-certifies every one of them: nlp_tfidf /
+# nlp_relevance (shared tokenize exchange), dedup_span_removal /
+# dedup_substring_spans (min/max window pass), decontamination_bloom
+# (eval-distinct drop), curation_pipeline_v3 (windowed CCNet cut +
+# fused funnel), semdedup_prune / near_dup_canonicalize (fused CC
+# probe; semdedup_prune is rows-only but carries the changed
+# operator), streaming_stream_join (state sizing -- derived formula
+# this round, r12 plan). Queries whose plans change in round 12
+# are added alongside. Window arithmetic: pins exceed the old
+# every-round budget of 2, which is fine because pins are PER-ROUND
+# by discipline (every past round's list cleared once its green rows
+# landed); test_rotation_staleness_bound now models exactly that --
+# a transient fat pin round cannot push any query past the
+# ceil(O / window) = 4 steady-state bound.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
-    "pipeline_analysis_results",
+    "nlp_tfidf",
+    "nlp_relevance",
+    "dedup_span_removal",
+    "dedup_substring_spans",
+    "decontamination_bloom",
+    "curation_pipeline_v3",
+    "semdedup_prune",
+    "near_dup_canonicalize",
+    "streaming_stream_join",
 ]
 
 

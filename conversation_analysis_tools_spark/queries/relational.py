@@ -783,8 +783,13 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``variant_get`` then navigates the binary form -- at 100 TB
     with multi-key metadata this turns k string parses per row into
     one. The typed extraction (``$.k`` as bigint) also feeds the
-    filter BEFORE the aggregate, so only qualifying rows shuffle."""
-    events = _t(spark, sf_dir, "events")
+    filter BEFORE the aggregate, so only qualifying rows shuffle.
+    The input is spread to scan parallelism first (round 12, guide
+    §2.5/§6): the single-row-group events file otherwise runs the
+    whole VARIANT decode as one task."""
+    from conversation_analysis_tools_spark.functions.spread import spread_input
+
+    events = spread_input(_t(spark, sf_dir, "events"), "event_id")
     k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
     return (
         events.withColumn("k", k)

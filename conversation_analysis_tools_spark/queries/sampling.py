@@ -32,6 +32,7 @@ from conversation_analysis_tools_spark.functions.text import (
 )
 from conversation_analysis_tools_spark.queries.registry import register
 from conversation_analysis_tools_spark.functions.lits import array_lit
+from conversation_analysis_tools_spark.functions.spread import spread_input
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,7 +326,9 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with zero tokens have no defined score and are absent (inner
     join), mirroring how a perplexity filter treats empty docs.
     """
-    docs = _docs(spark, sf_dir)
+    # spread to scan parallelism (round 12, guide §2.5/§6): the regex
+    # tokenize otherwise runs as one task on single-row-group corpora
+    docs = spread_input(_docs(spark, sf_dir), "doc_id")
     # raw surface tokens (stopwords KEPT): an LM quality signal wants
     # the real token stream, unlike the relevance pipeline's tokenizer
     tok = docs.select("doc_id", F.explode(raw_tokens_expr("text")).alias("term"))
@@ -848,7 +851,8 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg reuses the feature shuffle's partitioning. Zero-token docs are
     absent (perplexity-filter contract shared with unigram_logprob).
     """
-    docs = _docs(spark, sf_dir)
+    # spread to scan parallelism (round 12, guide §2.5/§6)
+    docs = spread_input(_docs(spark, sf_dir), "doc_id")
     tok = docs.select(
         "doc_id", "source", F.explode(raw_tokens_expr("text")).alias("term")
     ).withColumn("b", F.substring(F.md5(F.col("term").cast("binary")), 1, 2))

@@ -325,16 +325,28 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
     )
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    # a stream-stream join opens FOUR state stores per shuffle
-    # partition (keyToNumValues + keyWithIndexToValue per side) vs an
-    # aggregation's one, and every micro-batch -- including the final
-    # zero-row watermark-advance batch -- pays open+commit on all of
-    # them (measured: the 0-row batch alone was ~0.9 s at 8
-    # partitions). 4 partitions keeps 16 stores (~10k state
-    # rows/store here) and measured 2.35-2.59 s vs 2.62-3.14 s at 8
-    # in interleaved A/B. Production sizes this to state volume per
-    # the run_to_memory_sink contract, not to a constant.
-    run_to_memory_sink(joined, name, output_mode="append", state_partitions=4)
+    # State-volume-derived partition count (round 12; the committed
+    # constant 4 was the sf0.1 OUTCOME, not a scalable input): the
+    # 35-day watermark exceeds the corpus span, so both sides buffer
+    # every view and click -- 2 of the 5 near-uniform event types, so
+    # est_state ~ 2/5 of the events footer row count (driver-side
+    # metadata, no job; sizing needs only the order of magnitude).
+    # At sf0.1 this derives the A/B-measured optimum 4 (100k events
+    # -> 40k state rows / 10k rows-per-partition target); a 100 TB
+    # backlog derives the hundreds-to-thousands of partitions that
+    # keep each of the join's 4-stores-per-partition state bounded.
+    from conversation_analysis_tools_spark.streaming.events import (
+        parquet_row_count,
+        size_state_partitions,
+    )
+
+    est_state = parquet_row_count(f"{sf_dir}/events.parquet") * 2 // 5
+    run_to_memory_sink(
+        joined,
+        name,
+        output_mode="append",
+        state_partitions=size_state_partitions(est_state),
+    )
     return (
         s2.table(name)
         .groupBy(F.col("v_user").alias("user_id"))

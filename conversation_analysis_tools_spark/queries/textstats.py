@@ -25,6 +25,7 @@ from conversation_analysis_tools_spark.functions.text import (
 )
 from conversation_analysis_tools_spark.queries.registry import register
 from conversation_analysis_tools_spark.functions.lits import array_lit
+from conversation_analysis_tools_spark.functions.spread import spread_input
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,9 +63,12 @@ def word_frequency_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exper_sql.py:741-782).
 
     Explode -> two-level agg; the per-1000 window reuses the groupBy
-    partitioning (same key) so AQE plans no extra shuffle.
+    partitioning (same key) so AQE plans no extra shuffle. The input
+    is spread to scan parallelism first (round 12, guide §2.5/§6): the
+    single-row-group corpus otherwise runs the regex tokenize as ONE
+    task.
     """
-    docs = _docs(spark, sf_dir)
+    docs = spread_input(_docs(spark, sf_dir), "doc_id")
     toks = F.filter(
         F.regexp_extract_all(F.lower("text"), F.lit(r"\b[a-z]{4,}\b"), 0),
         lambda t: ~F.array_contains(array_lit(sorted(STOPWORDS)), t),
@@ -573,10 +577,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language corpus stats. Composes quality_scores +
     doc_fingerprints semantics into the one-pass pipeline a 100 TB
     pretraining-data job runs (filter early, dedup on the hash, only
-    then aggregate -- the scan never materializes dropped docs)."""
+    then aggregate -- the scan never materializes dropped docs).
+    Input spread to scan parallelism first (round 12, guide §2.5/§6):
+    the tokenize/fingerprint chain otherwise runs as one task on the
+    single-row-group corpus."""
     from conversation_analysis_tools_spark.functions.text import tokens_expr
 
-    docs = _docs(spark, sf_dir)
+    docs = spread_input(_docs(spark, sf_dir), "doc_id")
     raw = raw_tokens_expr("text")
     stop_arr = array_lit(sorted(STOPWORDS))
     feats = docs.select(
@@ -688,10 +695,14 @@ def gopher_metrics(docs: DataFrame) -> DataFrame:
     count, mean word length, alphabetic-word fraction, distinct stop
     words, bullet-line fraction, ellipsis-line fraction. Map-only
     column expressions; shared by the gate query and the distilled
-    classifier's teacher score (queries/mlfilter.py)."""
+    classifier's teacher score (queries/mlfilter.py). The input is
+    spread to scan parallelism first (round 12, guide §2.5/§6) so the
+    per-doc regex work never serializes onto one scan task."""
     words = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
     lines = F.split(F.col("text"), "\n")
-    feats = docs.select("doc_id", words.alias("words"), lines.alias("lines"))
+    feats = spread_input(docs, "doc_id").select(
+        "doc_id", words.alias("words"), lines.alias("lines")
+    )
     n_words = F.size("words")
     n_lines = F.size("lines")
     mean_len = F.round(
@@ -912,7 +923,7 @@ def corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_with_dupes_expr,
     )
 
-    docs = _catalog_table(spark, "documents", sf_dir)
+    docs = spread_input(_catalog_table(spark, "documents", sf_dir), "doc_id")
     toks = docs.select(
         (F.col("doc_id") % 2 == 1).alias("is_new"),
         F.explode(tokens_with_dupes_expr("text")).alias("term"),
@@ -1377,6 +1388,10 @@ def _v2_gop(docs: DataFrame, cache: bool = True) -> DataFrame:
         (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
         F.lit(" now"),
     )
+    # spread before the redact chain (round 12, guide §2.5/§6): the
+    # PII regex cascade is the stage's dominant per-row cost and the
+    # single-row-group corpus otherwise runs it as ONE task
+    docs = spread_input(docs, "doc_id")
     base = docs.select(
         "doc_id",
         "source",

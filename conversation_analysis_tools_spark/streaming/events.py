@@ -145,6 +145,57 @@ def dedup_first(
     return events.dropDuplicates(keys).select(*keys)
 
 
+#: Rows-per-shuffle-partition target for sizing a stateful streaming
+#: query's state layout. A stateful operator opens one state store per
+#: shuffle partition (a stream-stream join opens FOUR: keyToNumValues
+#: + keyWithIndexToValue per side) and EVERY micro-batch -- including
+#: the mandatory zero-row watermark-advance batch -- pays open+commit
+#: on all of them, so over-partitioned small state is pure store
+#: overhead (measured at sf0.1's ~40k state rows: the stream-stream
+#: join ran 12.8 s at 32 partitions, 2.6 s at 4) while
+#: under-partitioned large state serializes the operator and
+#: concentrates state in few stores. 10k rows/partition is the
+#: measured sf0.1 optimum (40k rows -> 4 partitions beat 2, 8 and 16
+#: in interleaved A/B, round 11) and scales: 1M state rows -> 100
+#: partitions, 10B -> the hundreds-to-thousands a 100 TB cluster
+#: wants, each store's state bounded.
+STATE_ROWS_PER_PARTITION = 10_000
+
+
+def size_state_partitions(
+    est_state_rows: int, rows_per_partition: int = STATE_ROWS_PER_PARTITION
+) -> int:
+    """Shuffle-partition count for a stateful streaming query, derived
+    from the estimated state volume instead of a constant: one
+    partition per ``rows_per_partition`` state rows, floor 1. The
+    estimate only needs the right order of magnitude -- the measured
+    cost curve is flat within 2x of the optimum (sf0.1 A/B: 4 beat 8
+    by ~10% and 2 was level) -- so callers size it from driver-side
+    metadata (parquet footer row counts x filter selectivity), never
+    from an extra Spark job."""
+    import math
+
+    return max(1, math.ceil(max(0, est_state_rows) / rows_per_partition))
+
+
+def parquet_row_count(path: str) -> int:
+    """Exact row count of a parquet file/directory from its footer
+    metadata -- driver-side, no Spark job (the streaming state-sizing
+    probe; at cluster scale this is one metadata read per file, the
+    same cost as planning the scan)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            parquet_row_count(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     name: str,

@@ -70,3 +70,40 @@ def test_streaming_funnel_fold_replay_idempotent(spark, tmp_path):
     fold_curation_batch(dup, 1, store, stage)
     fps3 = spark.read.parquet(os.path.join(store, "fps")).collect()
     assert sorted(map(tuple, fps3)) == fps1  # nothing new admitted
+
+
+def test_state_partition_sizing_contract():
+    """State-volume-derived streaming partition count (round 12): one
+    partition per STATE_ROWS_PER_PARTITION state rows, floor 1 -- the
+    sf0.1 A/B optimum (40k rows -> 4) is the formula's OUTPUT, and the
+    count grows linearly with state volume instead of being a
+    committed constant."""
+    from conversation_analysis_tools_spark.streaming.events import (
+        STATE_ROWS_PER_PARTITION,
+        size_state_partitions,
+    )
+
+    assert size_state_partitions(0) == 1
+    assert size_state_partitions(1) == 1
+    assert size_state_partitions(STATE_ROWS_PER_PARTITION) == 1
+    # the measured sf0.1 stream-stream join state (~40k rows) derives
+    # the A/B-measured optimum of 4 partitions
+    assert size_state_partitions(40_000) == 4
+    # linear growth: 100 TB-scale state derives hundreds+ partitions
+    assert size_state_partitions(10_000_000) == 1000
+    assert size_state_partitions(25 * STATE_ROWS_PER_PARTITION + 1) == 26
+
+
+def test_parquet_row_count_matches_spark(spark):
+    """The driver-side footer row count (no Spark job) agrees with a
+    full scan -- it feeds the state sizing estimate."""
+    from conversation_analysis_tools_spark.catalog import table
+    from conversation_analysis_tools_spark.streaming.events import (
+        parquet_row_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # events.parquet is TIMESTAMP(NANOS) -- load via catalog.table
+    assert parquet_row_count(f"{sf}/events.parquet") == table(
+        spark, "events", sf
+    ).count()
