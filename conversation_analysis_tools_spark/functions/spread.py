@@ -37,13 +37,24 @@ from pyspark.sql import DataFrame
 SPREAD_MIN_BYTES = 512 << 10
 
 
-def spread_input(df: DataFrame, key: str) -> DataFrame:
+def spread_input(
+    df: DataFrame, key: str, min_bytes: int = SPREAD_MIN_BYTES
+) -> DataFrame:
     """Repartition ``df`` by ``key`` up to the session's default
     parallelism when the scan would otherwise produce fewer splits
     than cores; identity for big inputs (scale-adaptive), tiny inputs
-    (below SPREAD_MIN_BYTES), and anything whose stats cannot be
+    (below ``min_bytes``), and anything whose stats cannot be
     estimated. Hash repartition on the key is deterministic, so
-    retried tasks reproduce their partition assignment (guide §2.5)."""
+    retried tasks reproduce their partition assignment (guide §2.5).
+
+    ``min_bytes`` is the measured crossover where the one raw-row
+    exchange starts paying for itself; it depends on how heavy the
+    downstream per-row work is. The default suits regex-tokenize /
+    shingle / banding chains; callers whose per-row kernel is a single
+    codegen'd expression (e.g. a small fixed centroid distance) should
+    pass a larger floor -- the exchange only wins once the single-task
+    scan is long enough to leave the other cores idle for longer than
+    the shuffle costs."""
     try:
         spark = df.sparkSession
         target = spark.sparkContext.defaultParallelism
@@ -54,7 +65,7 @@ def spread_input(df: DataFrame, key: str) -> DataFrame:
         max_pb = int("".join(c for c in str(raw) if c.isdigit()) or "134217728")
     except Exception:  # noqa: BLE001 -- estimation must never kill a plan
         return df
-    if est < SPREAD_MIN_BYTES:
+    if est < min_bytes:
         return df
     if math.ceil(est / max_pb) >= target:
         return df

@@ -14,6 +14,7 @@ from conversation_analysis_tools_spark.operators import ann as A
 from conversation_analysis_tools_spark.operators import cache
 from conversation_analysis_tools_spark.queries.registry import REGISTRY, register
 from conversation_analysis_tools_spark.fitcache import cached_fit
+from conversation_analysis_tools_spark.functions.spread import spread_input
 
 N_QUERIES = 5  # vec_id 0..4 used as the query batch
 EMB_DIM = 64
@@ -52,7 +53,12 @@ def ann_bruteforce_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return A.brute_force_topk(emb, queries, k=5, exclude_self=True)
+    # spread the corpus side to scan parallelism (round 12, guide
+    # §2.5/§6): the single-row-group embeddings file otherwise runs
+    # the whole dot-product scan as one task
+    return A.brute_force_topk(
+        spread_input(emb, "vec_id"), queries, k=5, exclude_self=True
+    )
 
 
 @register("ann_lsh_knn", oracle=None)
@@ -73,8 +79,12 @@ def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # spread the corpus side (round 12, guide §2.5/§6): bucket exprs +
+    # cosine re-rank otherwise run as one task on the single-row-group
+    # embeddings file (measured: the whole search was one map-only job)
     return A.lsh_topk(
-        emb, queries, dim=EMB_DIM, k=5, n_planes=3, exclude_self=True, n_tables=3
+        spread_input(emb, "vec_id"), queries, dim=EMB_DIM, k=5, n_planes=3,
+        exclude_self=True, n_tables=3,
     )
 
 
@@ -104,7 +114,12 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # builds its index inline per run, so assignment is its dominant
     # cost at scale; rows-only, and the certified staged/inline parity
     # paths stay on the expression assignment (see ivf_assign)
-    assigned = A.ivf_assign(emb, cents, vectorized=True)
+    # 4 MB floor: the Arrow assignment kernel is light per row, so the
+    # spread exchange only pays above the measured 0.8->5.9 MB
+    # crossover (sf0.1 A/B: spread cost ~0.3 s; sf1 A/B: saved ~0.7 s)
+    assigned = A.ivf_assign(
+        spread_input(emb, "vec_id", min_bytes=4 << 20), cents, vectorized=True
+    )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -249,7 +264,9 @@ def ann_int8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return A.int8_brute_force_topk(emb, queries, k=5, exclude_self=True)
+    return A.int8_brute_force_topk(
+        spread_input(emb, "vec_id"), queries, k=5, exclude_self=True
+    )
 
 
 @register("ann_pq_knn", oracle=None)
@@ -273,7 +290,14 @@ def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq_codebooks", (EMB_DIM,), sf_dir, lambda: A.pq_train(emb, EMB_DIM)
     )
     # persist: the per-query ADC frames each rescan the encoded table
-    encoded = cache.track(A.pq_encode(emb, codebooks))
+    # (spread first -- round 12, guide §2.5/§6 -- so the encode and
+    # the cached scan run at full parallelism; 4 MB floor because the
+    # codebook-distance encode is a light codegen'd kernel: below the
+    # measured 0.8->5.9 MB crossover the exchange costs more than the
+    # single-task encode)
+    encoded = cache.track(
+        A.pq_encode(spread_input(emb, "vec_id", min_bytes=4 << 20), codebooks)
+    )
     # Re-rank depth scales with corpus size: these synthetic
     # near-isotropic embeddings are PQ's worst case (ADC ordering
     # degrades as the corpus outgrows the m=8,k=32 codebook
