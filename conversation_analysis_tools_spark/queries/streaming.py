@@ -331,10 +331,11 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every view and click -- 2 of the 5 near-uniform event types, so
     # est_state ~ 2/5 of the events footer row count (driver-side
     # metadata, no job; sizing needs only the order of magnitude).
-    # At sf0.1 this derives the A/B-measured optimum 4 (100k events
-    # -> 40k state rows / 10k rows-per-partition target); a 100 TB
-    # backlog derives the hundreds-to-thousands of partitions that
-    # keep each of the join's 4-stores-per-partition state bounded.
+    # At sf0.1 AND sf1 this derives the A/B-measured optimum 4 (40k /
+    # 400k state rows both sit under the 1M-rows-per-partition memory
+    # target, so the floor holds); a 100 TB backlog derives the
+    # thousands of partitions that keep each of the join's
+    # 4-stores-per-partition state bounded.
     from conversation_analysis_tools_spark.streaming.events import (
         parquet_row_count,
         size_state_partitions,

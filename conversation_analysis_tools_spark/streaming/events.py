@@ -152,14 +152,25 @@ def dedup_first(
 #: the mandatory zero-row watermark-advance batch -- pays open+commit
 #: on all of them, so over-partitioned small state is pure store
 #: overhead (measured at sf0.1's ~40k state rows: the stream-stream
-#: join ran 12.8 s at 32 partitions, 2.6 s at 4) while
-#: under-partitioned large state serializes the operator and
-#: concentrates state in few stores. 10k rows/partition is the
-#: measured sf0.1 optimum (40k rows -> 4 partitions beat 2, 8 and 16
-#: in interleaved A/B, round 11) and scales: 1M state rows -> 100
-#: partitions, 10B -> the hundreds-to-thousands a 100 TB cluster
-#: wants, each store's state bounded.
-STATE_ROWS_PER_PARTITION = 10_000
+#: join ran 12.8 s at 32 partitions, 2.6 s at 4; at sf1's ~400k rows:
+#: 10.6 s at 40 partitions, 5.4 at 16, 3.7 at 8, 3.5 at 4, 4.5 at 2)
+#: while under-partitioned large state serializes the operator and
+#: concentrates state in few stores. The measured optimum sits at ~4
+#: partitions across a 10x state-volume span, so the per-partition
+#: target is sized for MEMORY, not for the local curve's left edge:
+#: 1M state rows/partition keeps each store's state in the tens-of-MB
+#: band the optimization guide sizes shuffle partitions to (§2.2),
+#: and derives the hundreds-to-thousands of partitions a 10B-row
+#: backlog wants while the PARTITION_FLOOR keeps a small-state
+#: operator from serializing (2 partitions measured ~30% slower than
+#: 4 at both sfs).
+STATE_ROWS_PER_PARTITION = 1_000_000
+
+#: Never fewer than this many stateful partitions: below it the
+#: operator loses its last useful parallelism and the measured curve
+#: turns back up (2 partitions: 4.5 s vs 3.5 at sf1; "2 was level, 4
+#: best" at sf0.1 in the round-11 interleaved A/B).
+STATE_PARTITION_FLOOR = 4
 
 
 def size_state_partitions(
@@ -167,15 +178,21 @@ def size_state_partitions(
 ) -> int:
     """Shuffle-partition count for a stateful streaming query, derived
     from the estimated state volume instead of a constant: one
-    partition per ``rows_per_partition`` state rows, floor 1. The
-    estimate only needs the right order of magnitude -- the measured
-    cost curve is flat within 2x of the optimum (sf0.1 A/B: 4 beat 8
-    by ~10% and 2 was level) -- so callers size it from driver-side
-    metadata (parquet footer row counts x filter selectivity), never
-    from an extra Spark job."""
+    partition per ``rows_per_partition`` state rows, floor
+    STATE_PARTITION_FLOOR. The estimate only needs the right order of
+    magnitude -- the measured cost curve is flat within 2x of the
+    optimum at both sf0.1 and sf1 -- so callers size it from
+    driver-side metadata (parquet footer row counts x filter
+    selectivity), never from an extra Spark job. Round 12 retargeted
+    rows_per_partition 10k -> 1M after the sf1 A/B showed the 10k
+    target deriving 40 partitions whose store open/commit overhead
+    tripled the query (see STATE_ROWS_PER_PARTITION)."""
     import math
 
-    return max(1, math.ceil(max(0, est_state_rows) / rows_per_partition))
+    return max(
+        STATE_PARTITION_FLOOR,
+        math.ceil(max(0, est_state_rows) / rows_per_partition),
+    )
 
 
 def parquet_row_count(path: str) -> int:

@@ -79,18 +79,22 @@ def test_state_partition_sizing_contract():
     count grows linearly with state volume instead of being a
     committed constant."""
     from conversation_analysis_tools_spark.streaming.events import (
+        STATE_PARTITION_FLOOR,
         STATE_ROWS_PER_PARTITION,
         size_state_partitions,
     )
 
-    assert size_state_partitions(0) == 1
-    assert size_state_partitions(1) == 1
-    assert size_state_partitions(STATE_ROWS_PER_PARTITION) == 1
-    # the measured sf0.1 stream-stream join state (~40k rows) derives
-    # the A/B-measured optimum of 4 partitions
+    # small state pins to the floor: the measured optimum is ~4
+    # partitions at BOTH sf0.1 (~40k state rows) and sf1 (~400k),
+    # where finer partitioning only multiplies per-batch store
+    # open/commit overhead (sf1 A/B: 40 partitions 10.6s vs 4 3.5s)
+    assert size_state_partitions(0) == STATE_PARTITION_FLOOR
     assert size_state_partitions(40_000) == 4
-    # linear growth: 100 TB-scale state derives hundreds+ partitions
-    assert size_state_partitions(10_000_000) == 1000
+    assert size_state_partitions(400_000) == 4
+    # linear growth once state outgrows the per-store memory target:
+    # a 10B-row backlog derives the thousands a 100 TB cluster wants
+    assert size_state_partitions(10 * STATE_ROWS_PER_PARTITION) == 10
+    assert size_state_partitions(10_000_000_000) == 10_000
     assert size_state_partitions(25 * STATE_ROWS_PER_PARTITION + 1) == 26
 
 
