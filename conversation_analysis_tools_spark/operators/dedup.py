@@ -233,10 +233,11 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     u, step = km_u_step(F.col("_d"))
     based = digested.select(F.col(id_col), u.alias("_u"), step.alias("_step"))
+    # one F.expr per aggregate (not one per sub-Column): each PySpark
+    # Column call is a py4j round trip, and this builder sits inside
+    # every MinHash-family query's timed build (guide §4)
     aggs = [
-        F.min(
-            F.pmod(F.col("_u") + F.lit(i) * F.col("_step"), F.lit(MINHASH_P))
-        ).alias(f"h{i}")
+        F.expr(f"min(pmod(_u + {i}L * _step, {MINHASH_P}L)) AS h{i}")
         for i in range(N_HASHES)
     ]
     return based.groupBy(id_col).agg(*aggs)
@@ -404,27 +405,35 @@ def tuned_lsh_pairs(
     )
     u, step = km_u_step(F.col("_d"))
     based = digested.select(F.col(id_col), u.alias("_u"), step.alias("_step"))
-    aggs = [
-        F.min(
-            F.pmod(F.col("_u") + F.lit(i) * F.col("_step"), F.lit(MINHASH_P))
-        ).alias(f"h{i}")
-        for i in range(k)
-    ]
-    sigs = based.groupBy(id_col).agg(*aggs)
+    # The k min-aggregates and b band structs are built as TWO F.expr
+    # SQL strings instead of 2(k + b) Column calls: each PySpark
+    # Column/function call is a py4j round trip, and at the low-
+    # threshold solve (t = 0.15 -> b = 172, k = 344) the old listcomps
+    # cost ~1.9 s of pure driver-side socket chatter PER BUILD
+    # (cProfile: 12.6k round trips, guide §4 -- the plan, aggregate
+    # buffers, and every hash value are byte-identical; the only
+    # change is how many strings cross the Python/JVM boundary).
+    sigs = based.groupBy(id_col).agg(
+        F.expr(
+            "array("
+            + ",".join(
+                f"min(pmod(_u + {i}L * _step, {MINHASH_P}L))" for i in range(k)
+            )
+            + ")"
+        ).alias("sig")
+    )
     # r=2 band key packs both row hashes into one long (h < P < 2^31,
     # so h1*P + h2 < 2^62): one 8-byte shuffle column per band
-    bands_expr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                (F.col(f"h{2 * i}") * F.lit(MINHASH_P) + F.col(f"h{2 * i + 1}")).alias(
-                    "key"
-                ),
-            )
+    bands_sql = (
+        "explode(array("
+        + ",".join(
+            f"struct({i} AS band,"
+            f" sig[{2 * i}] * {MINHASH_P}L + sig[{2 * i + 1}] AS key)"
             for i in range(b)
-        ]
+        )
+        + "))"
     )
-    bx = sigs.select(F.col(id_col), F.explode(bands_expr).alias("bk")).select(
+    bx = sigs.select(F.col(id_col), F.expr(bands_sql).alias("bk")).select(
         F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     cands = capped_bucket_pairs(bx, id_col, max_bucket)
