@@ -1049,57 +1049,52 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     > 0 (iterating occurrences is the same sum as cnt-weighted
     distinct terms). Engine-portable (md5 + integer ops only).
 
-    Fully MAP-ONLY: the md5 prefix parses once per token into a
-    60-bit BIGINT (bit b of the signature = bit 59-b, bit-exact with
-    the digit-at-a-time formula the DuckDB oracle uses), and the 60
-    bit-sums accumulate in ONE aggregate pass over the token array
-    with a 60-wide array accumulator (zip_with) -- no (doc, term)
-    shuffle, no 60-buffer hash aggregate, and crucially not 60
-    *separate* interpreted aggregate passes: HOF lambdas evaluate
-    outside codegen, so per-row aggregate SETUP costs ~60x more than
-    the adds themselves on short docs (measured: the 60-pass form was
-    6.2 s vs 1.1 s single-pass on a 50k-doc ~200-token corpus, and
-    0.96 s vs 0.39 s at sf0.1). At 100 TB the signature stage costs
-    exactly one corpus scan.
+    Physical shape (round 12, guide §4.1/§1.2): the md5 prefix parses
+    once per token into a 60-bit BIGINT (bit b of the signature =
+    bit 59-b, bit-exact with the digit-at-a-time formula the DuckDB
+    oracle uses), tokens explode to (id, hash) rows, and the 60
+    bit-sums run as 60 CODEGEN'D sum aggregates in one groupBy(id)
+    (inside whole-stage codegen under the session's
+    spark.sql.codegen.maxFields=600). Two earlier shapes were
+    measured and rejected: 60 *separate* interpreted aggregate passes
+    (6.2 s vs 1.1 s on a 50k-doc corpus -- per-row interpreted
+    aggregate setup), and the round-3..11 row-local zip_with/aggregate
+    HOF accumulator, whose lambdas evaluate INTERPRETED outside
+    codegen: at sf1 the HOF signature pass measured 1.11 s vs 0.63 s
+    for this 60-sum codegen form (bit-exact parity on 50k docs); the
+    HOF's only edge was ~0.15 s of avoided stage overhead on the
+    5k-doc sf0.1 corpus. The groupBy exchange carries one 60-long row
+    per doc per map partition (explode keeps a doc's tokens row-local,
+    so partial aggregation completes map-side); at 100 TB the stage is
+    still one corpus scan plus a signature-sized exchange, and the
+    per-row work is codegen that scales with cores, where the
+    interpreted HOF did not. ``explode_outer`` keeps token-less docs:
+    their sums are NULL, every CASE falls to 0, and the signature is
+    0 -- exactly the HOF form's empty-array output.
     """
     from conversation_analysis_tools_spark.functions.text import raw_tokens_expr
 
-    toks = _spread(df, id_col).select(
-        F.col(id_col), raw_tokens_expr(text_col).alias("_toks")
+    hv = _spread(df, id_col).select(
+        F.col(id_col),
+        F.explode_outer(raw_tokens_expr(text_col)).alias("_t"),
+    ).select(
+        F.col(id_col),
+        F.expr(
+            f"cast(conv(substring(md5(cast(_t as binary)), 1,"
+            f" {SIMHASH_BITS // 4}), 16, 10) as bigint)"
+        ).alias("_h"),
     )
-    hvs = F.transform(
-        "_toks",
-        lambda t: F.conv(
-            F.substring(F.md5(t.cast("binary")), 1, SIMHASH_BITS // 4), 16, 10
-        ).cast("bigint"),
+    sums = hv.groupBy(id_col).agg(
+        *[
+            F.expr(f"sum(2 * bit_get(_h, {SIMHASH_BITS - 1 - b}) - 1) AS s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    hv_df = toks.select(F.col(id_col), hvs.alias("_hvs"))
-    bit_idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
-    sums = F.aggregate(
-        "_hvs",
-        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc,
-            bit_idx,
-            lambda a, b: a
-            + 2 * F.bit_get(h, F.lit(SIMHASH_BITS - 1) - b).cast("bigint")
-            - 1,
-        ),
+    sig = "+".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(SIMHASH_BITS)
     )
-    sum_df = hv_df.select(F.col(id_col), sums.alias("_s"))
-    # 2^b is a power of two <= 2^59: exact in double, exact after cast
-    sig = F.aggregate(
-        F.zip_with(
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-            "_s",
-            lambda b, s: F.when(s > 0, F.pow(F.lit(2.0), b).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x,
-    )
-    return sum_df.select(F.col(id_col), sig.alias("simhash"))
+    return sums.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def simhash_pairs(
