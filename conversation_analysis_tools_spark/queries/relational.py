@@ -1683,8 +1683,16 @@ def rollup_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells regardless of row count, ONE md5 per (day,user), not per
     event, D precomputed positions via posexplode (no interpreted
     HOF lambdas). The candidate probe joins broadcast top-k
-    positions against the bounded cell table."""
-    events = _t(spark, sf_dir, "events")
+    positions against the bounded cell table.
+    The events input is spread to scan parallelism above the 4 MB
+    floor (round 12, guide §2.5/§6): the single-row-group events file
+    otherwise runs the to_date + 310k-group partial aggregate as ONE
+    task (interleaved A/B: sf1 3.24 -> 2.42 s best with the spread;
+    the 2 MB sf0.1 input sits under the floor, where the raw-row
+    exchange measured ~0.1 s worse than the single-task scan)."""
+    from conversation_analysis_tools_spark.functions.spread import spread_input
+
+    events = spread_input(_t(spark, sf_dir, "events"), "event_id", min_bytes=4 << 20)
     per_day_user = events.groupBy(
         F.to_date("ts").alias("d"), "user_id"
     ).agg(F.count("*").alias("c"))
