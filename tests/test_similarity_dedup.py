@@ -1437,3 +1437,27 @@ def test_cosine_route_seeded_random_parity(spark):
         strong = {kk for kk, v in exact.items() if v >= 0.95}
         missed = strong - set(routed)
         assert not missed, (trial, missed)
+
+
+def test_dense_doc_vectors_codegen_agg_form(spark):
+    """The round-12 per-vocab-slot sum-aggregate form of
+    _dense_doc_vectors must reproduce the map-lookup semantics
+    exactly: vocab-aligned slots, 0.0 for absent terms, L2
+    normalization with the zero-vector guard, and an empty
+    vocabulary (max_df dropped every term) yielding no rows."""
+    import math
+
+    tf = spark.createDataFrame(
+        [(1, "a", 0.5), (1, "b", 0.5), (2, "a", 1.0), (3, "c", 2.0)],
+        "doc_id long, term string, tf double",
+    )
+    out = {
+        r["_id"]: r["v"]
+        for r in S._dense_doc_vectors(tf, "doc_id", ["a", "b", "c"]).collect()
+    }
+    s = 1 / math.sqrt(0.5)  # ||(0.5, 0.5, 0)||
+    assert out[1] == [0.5 * s, 0.5 * s, 0.0]
+    assert out[2] == [1.0, 0.0, 0.0]
+    assert out[3] == [0.0, 0.0, 1.0]
+    empty = S._dense_doc_vectors(tf.where(F.lit(False)), "doc_id", [])
+    assert empty.count() == 0
