@@ -170,6 +170,24 @@ from conversation_analysis_tools_spark.queries import ingest  # noqa: F401
 # landed); test_rotation_staleness_bound now models exactly that --
 # a transient fat pin round cannot push any query past the
 # ceil(O / window) = 4 steady-state bound.
+#
+# Round-12 optimization-session additions (changed plans this round,
+# appended for the same independent re-certification, within the
+# 50//4 pin budget test_rotation_staleness_bound enforces):
+# dedup_simhash (signature bit-sums now 60 codegen'd aggregates),
+# nlp_duplicate_pairs + pipeline_analysis_results (dense doc vectors
+# as per-slot codegen'd sums), dedup_jaccard_routed_fixed (the ONLY
+# oracle that executes tuned_lsh_pairs' F.expr-folded band/aggregate
+# builders end to end). To stay inside the budget, semdedup_prune is
+# dropped from the r11 carry-over (rows-only row; the changed CC
+# probe operator is identically covered by the oracled
+# near_dup_canonicalize pin). Deliberately NOT pinned:
+# dedup_minhash_lsh / dedup_edit_distance (F.expr fold only -- values
+# byte-identical, same aggregate buffers; self-run oracle green),
+# dedup_ngram_jaccard (driver sfs run the untouched exact path; the
+# folded routed path is what the pinned routed_fixed certificate
+# executes), rollup_heavy_hitters_cms (events-scan spread engages
+# above a 4 MB floor -- the sf0.01/0.1 plans are byte-identical).
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY: list[str] = [
@@ -179,9 +197,12 @@ VERIFY_PRIORITY: list[str] = [
     "dedup_substring_spans",
     "decontamination_bloom",
     "curation_pipeline_v3",
-    "semdedup_prune",
     "near_dup_canonicalize",
     "streaming_stream_join",
+    "dedup_simhash",
+    "dedup_jaccard_routed_fixed",
+    "nlp_duplicate_pairs",
+    "pipeline_analysis_results",
 ]
 
 
